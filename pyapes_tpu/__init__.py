@@ -1,0 +1,13 @@
+"""pyapes-tpu: a TPU-native structured-grid finite-difference PDE framework.
+
+A from-scratch JAX/XLA/Pallas rebuild with the capabilities of the reference
+``pyapes`` package (OpenFOAM-like equation DSL, matrix-free Krylov solvers,
+Dirichlet/Neumann/Periodic/Symmetry BCs, Cartesian + axisymmetric
+coordinates, Fokker-Planck operators), redesigned TPU-first:
+
+  * whole solves compile to single ``lax.while_loop`` programs (no host sync)
+  * stencils run as fused XLA roll-sums or Pallas VMEM-tiled kernels
+  * multi-chip scaling via ``jax.sharding`` domain decomposition with
+    ``ppermute`` halo exchange over ICI
+"""
+__version__ = "0.1.0"

@@ -1,0 +1,6 @@
+"""Geometry layer (reference ``pyapes/geometry/__init__.py``)."""
+from pyapes_tpu.geometry.basis import Geometry, GeoTypeIdentifier
+from pyapes_tpu.geometry.box import Box
+from pyapes_tpu.geometry.cylinder import Cylinder
+
+__all__ = ["Box", "Cylinder", "Geometry", "GeoTypeIdentifier"]

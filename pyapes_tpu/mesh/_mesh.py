@@ -1,0 +1,289 @@
+"""Equidistant rectangular mesh (TPU-native rebuild of ``pyapes/mesh/_mesh.py``).
+
+Design differences from the torch reference:
+  * Coordinates/masks are computed **on host with numpy** once at
+    construction; they are static data under ``jax.jit`` (boundary masks never
+    change during a solve), so boundary-coefficient surgery constant-folds.
+  * ``grid`` are ``jnp`` arrays usable inside jitted code.
+  * Masks additionally carry *structured* face metadata (axis, side) so BC
+    application can use static-slice updates instead of scatter
+    (reference applies BCs by boolean indexing, ``variables/bcs.py:200-280``).
+"""
+from __future__ import annotations
+
+from functools import cached_property
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyapes_tpu.backend import DType, Device, DTYPE_DOUBLE, DTYPE_SINGLE, DTYPE_HALF
+from pyapes_tpu.geometry import GeoTypeIdentifier
+from pyapes_tpu.geometry.basis import DIR_TO_NUM, Geometry
+
+
+class Mesh:
+    """Equidistant rectangular mesh (reference ``_mesh.py:19-318``).
+
+    Args:
+        domain: Domain geometry (``Box`` or ``Cylinder``).
+        obstacle: Optional list of inner-obstacle geometries.
+        spacing: list of ints (node counts) or floats (cell sizes)
+            (``_mesh.py:67-80``).
+        device: "cpu" | "tpu" | "gpu" (aliases "cuda"/"mps" accepted).
+        dtype: "single" | "double" | "half".
+    """
+
+    def __init__(
+        self,
+        domain: Geometry,
+        obstacle: Optional[list[Geometry]] = None,
+        spacing: list[int] | list[float] | None = None,
+        device: str = "cpu",
+        dtype: str | int = "double",
+    ):
+        spacing = [] if spacing is None else spacing
+        self.device = Device(device).device
+        assert (
+            dtype in DTYPE_DOUBLE or dtype in DTYPE_SINGLE or dtype in DTYPE_HALF
+        ), "Mesh: dtype must be single, double, or half"
+        self.dtype = DType(dtype)
+
+        self.domain = domain
+        if self.coord_sys == "rz":
+            assert self.dim == 2, "Mesh: rz coordinate system only accepts 2D domain"
+        self.obstacle = obstacle
+
+        lower = np.asarray(domain.lower, dtype=np.float64)
+        upper = np.asarray(domain.upper, dtype=np.float64)
+        self._lx_np = upper - lower
+
+        if int in GeoTypeIdentifier(spacing):
+            self._nx: list[int] = [int(s) for s in spacing]
+            self._dx: list[float] = [
+                float(l / (n - 1.0)) for l, n in zip(self._lx_np, self._nx)
+            ]
+        elif float in GeoTypeIdentifier(spacing):
+            self._dx = [float(s) for s in spacing]
+            self._nx = [int(l / d + 1.0) for l, d in zip(self._lx_np, self._dx)]
+        else:
+            raise TypeError("Mesh: spacing only accepts int or float")
+
+        # Host (numpy, float64) coordinates — static metadata.
+        self._x_np: list[np.ndarray] = [
+            np.linspace(lower[i], upper[i], self._nx[i]) for i in range(self.dim)
+        ]
+        self._grid_np = np.meshgrid(*self._x_np, indexing="ij")
+
+        # Device (jnp) coordinates in the simulation dtype.
+        fdt = self.dtype.float
+        self.x: list[jnp.ndarray] = [jnp.asarray(x, dtype=fdt) for x in self._x_np]
+        self.grid: tuple[jnp.ndarray, ...] = tuple(
+            jnp.asarray(g, dtype=fdt) for g in self._grid_np
+        )
+
+        self._lower_np = lower
+        self._upper_np = upper
+
+        # Boundary masks (host numpy bools — static under jit).
+        self.d_mask, self.o_mask = boundary_mask(self)
+
+        first_face = "xl" if self.coord_sys == "xyz" else "rl"
+        t_mask = np.zeros_like(self.d_mask[first_face])
+        for dm in self.d_mask:
+            t_mask |= self.d_mask[dm]
+        for o_idx in self.o_mask:
+            for om in self.o_mask[o_idx]:
+                t_mask |= self.o_mask[o_idx][om]
+        self.t_mask: np.ndarray = t_mask
+        """Union of all domain/obstacle masks (``_mesh.py:102-116``)."""
+
+    # -- identity ---------------------------------------------------------
+    def __repr__(self) -> str:
+        return f"{self.domain} with dx={self._dx}"
+
+    def __hash__(self) -> int:
+        return id(self)
+
+    def __eq__(self, other) -> bool:
+        return self is other
+
+    # -- coordinate system ------------------------------------------------
+    @property
+    def coord_sys(self) -> str:
+        """``xyz`` (Cartesian) or ``rz`` (axisymmetric), from the domain type
+        (``_mesh.py:122-131``)."""
+        if self.domain.type == "box":
+            return "xyz"
+        elif self.domain.type == "cylinder":
+            return "rz"
+        raise TypeError(f"Mesh: domain type {self.domain.type} not identifiable")
+
+    def d_mask_dim(self, d_face: str) -> int:
+        return DIR_TO_NUM[d_face[0]] if self.coord_sys == "xyz" else {"r": 0, "z": 1}[
+            d_face[0]
+        ]
+
+    def d_mask_dir(self, d_face: str) -> int:
+        """Face normal direction: -1 lower, +1 upper.
+
+        (Fixes reference quirk ``_mesh.py:138-141`` which tested ``"r"``
+        where faces use ``"u"``.)
+        """
+        return 1 if d_face[1] == "u" else -1
+
+    def d_mask_shift(self, d_face: str, shift: int) -> np.ndarray:
+        """Shift the domain mask toward the inner side (``_mesh.py:143-170``)."""
+        face_dim = self.d_mask_dim(d_face)
+        face_dir = self.d_mask_dir(d_face)
+        return np.roll(self.d_mask[d_face], -shift * face_dir, face_dim)
+
+    # -- grid properties --------------------------------------------------
+    @property
+    def _depth(self) -> float:
+        if self.dim == 1:
+            return self._dx[0] * self._dx[0]
+        elif self.dim == 2:
+            return self._dx[0]
+        return 1.0
+
+    @property
+    def dim(self) -> int:
+        return self.domain.dim
+
+    @property
+    def R(self) -> jnp.ndarray:
+        if self.coord_sys != "rz":
+            raise KeyError("Mesh: R coordinate only available in axisymmetric case.")
+        return self.grid[0]
+
+    @property
+    def X(self) -> jnp.ndarray:
+        return self.grid[0]
+
+    @property
+    def Y(self) -> jnp.ndarray:
+        if self.coord_sys == "xyz" and self.dim > 1:
+            return self.grid[1]
+        return jnp.array([], dtype=self.dtype.float)
+
+    @property
+    def Z(self) -> jnp.ndarray:
+        if self.coord_sys == "rz":
+            return self.grid[1]
+        if self.dim > 2:
+            return self.grid[2]
+        return jnp.array([], dtype=self.dtype.float)
+
+    @property
+    def N(self) -> int:
+        return int(np.prod(self._nx))
+
+    @property
+    def size(self) -> float:
+        return self.domain.size
+
+    @property
+    def lx(self) -> jnp.ndarray:
+        return jnp.asarray(self._lx_np, dtype=self.dtype.float)
+
+    @property
+    def dx(self) -> jnp.ndarray:
+        return jnp.asarray(self._dx, dtype=self.dtype.float)
+
+    @property
+    def dx_np(self) -> np.ndarray:
+        """Host copy of the spacing (used in static coefficient surgery)."""
+        return np.asarray(self._dx)
+
+    @cached_property
+    def dg(self) -> list[jnp.ndarray]:
+        """Boundary-corrected grid spacing (``_mesh.py:262-293``)."""
+        del_grid: list[jnp.ndarray] = []
+        for idx, g in enumerate(self._grid_np):
+            g_rp = np.roll(g, -1, idx) - g
+            g_rm = g - np.roll(g, 1, idx)
+            g_rp[g_rp < 0.0] = 0.0
+            g_rm[g_rm < 0.0] = 0.0
+            del_grid.append(jnp.asarray((g_rp + g_rm) / 2, dtype=self.dtype.float))
+        return del_grid
+
+    @property
+    def nx(self) -> tuple[int, ...]:
+        return tuple(self._nx)
+
+    @property
+    def lower(self) -> jnp.ndarray:
+        return jnp.asarray(self._lower_np, dtype=self.dtype.float)
+
+    @property
+    def upper(self) -> jnp.ndarray:
+        return jnp.asarray(self._upper_np, dtype=self.dtype.float)
+
+    @property
+    def center(self) -> jnp.ndarray:
+        return self.lx * 0.5
+
+    @property
+    def is_cuda(self) -> bool:
+        return self.device.platform in ("gpu", "tpu")
+
+
+def boundary_mask(mesh: Mesh) -> tuple[dict, dict]:
+    """Create face masks for the domain and obstacles (``_mesh.py:321-372``).
+
+    Returns host numpy bool arrays keyed by face id.
+    """
+    x = mesh._x_np
+    dx = np.asarray(mesh._dx)
+    nx = mesh.nx
+    dim = mesh.dim
+
+    domain = mesh.domain
+    obstacle = mesh.obstacle
+
+    domain_mask: dict[str, np.ndarray] = {}
+    object_mask: dict[int, dict[str, np.ndarray]] = {}
+
+    for obj in domain.config:
+        mask = np.zeros(nx, dtype=bool)
+        mask = get_box_mask(x, dx, domain.config[obj], mask, dim)
+        domain_mask[str(domain.config[obj]["face"])] = mask
+
+    if obstacle is not None:
+        for i, obj in enumerate(obstacle):
+            if obj.type in ("box", "cylinder"):
+                obj_mask = {}
+                for o in obj.config:
+                    mask = np.zeros(nx, dtype=bool)
+                    mask = get_box_mask(x, dx, obj.config[o], mask, dim)
+                    obj_mask[str(obj.config[o]["face"])] = mask
+                object_mask[i] = obj_mask
+            else:
+                raise NotImplementedError(
+                    "Mask: non box type inner obstacle is not supported yet!"
+                )
+
+    return domain_mask, object_mask
+
+
+def get_box_mask(
+    x: list[np.ndarray],
+    dx: np.ndarray,
+    obj: dict,
+    mask: np.ndarray,
+    dim: int,
+) -> np.ndarray:
+    """Mark the face slab described by ``obj`` (``_mesh.py:375-399``)."""
+    x_p = np.asarray(obj["x_p"], dtype=np.float64)
+    e_x = np.asarray(obj["e_x"], dtype=np.float64)
+
+    slicer = []
+    for i in range(dim):
+        snapped = x[i][np.argmin(np.abs(x[i] - x_p[i]))]
+        n_i = int(np.ceil(e_x[i] / dx[i])) + 1
+        i0 = int(np.argmin(np.abs(x[i] - snapped)))
+        slicer.append(slice(i0, i0 + n_i))
+
+    mask[tuple(slicer)] = True
+    return mask

@@ -1,0 +1,346 @@
+"""Implicit-operator DSL ``FDM`` (OpenFOAM ``fvm``-like).
+
+TPU-native rebuild of reference ``pyapes/solver/fdm.py``. The DSL surface is
+preserved — ``solver.set_eq(fdm.laplacian(1.0, var) == rhs)`` builds an
+equation record — but each operator stores the **per-axis structured
+stencil** (``pyapes_tpu.ops.stencil``) instead of full-grid banks, and its
+``Aop`` is a pure array function traced into the jitted Krylov loop.
+
+``Ddt`` (backward Euler) is implemented for real: the reference advertises
+it but its body is commented out (``fdm.py:315-353``, SURVEY §2 quirk 5);
+semantics follow the intent pinned by ``tests/test_fdm.py:274-301``:
+``Aop`` gains ``(var - var_old)/dt`` and the old value moves to the RHS for
+the linear solve.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax.numpy as jnp
+
+from pyapes_tpu.ops.stencil import (
+    apply_axis_stencil,
+    apply_div_field,
+    div_axis_coeffs,
+    div_surgery_info,
+    grad_axis_coeffs,
+    laplacian_axis_coeffs,
+)
+from pyapes_tpu.solver.fdc import FDC
+from pyapes_tpu.solver.types import DiscretizerConfigType, OPStype
+from pyapes_tpu.variables import Field
+
+
+@dataclass(eq=False)
+class Operators:
+    """Base of FDM operators (reference ``fdm.py:27-105``).
+
+    * ``==`` assigns the RHS (deliberately shadows equality — kept for API
+      parity; ``__hash__`` uses identity so records stay usable in dicts).
+    * ``+`` / ``-`` append a term; ``-`` flips its sign.
+    """
+
+    _ops: dict[int, OPStype] = field(default_factory=dict)
+    _rhs: jnp.ndarray | None = None
+    _config: DiscretizerConfigType | None = None
+
+    @property
+    def ops(self) -> dict[int, OPStype]:
+        return self._ops
+
+    @ops.setter
+    def ops(self, other: dict) -> None:
+        self._ops = other
+
+    @property
+    def rhs(self) -> jnp.ndarray | None:
+        return self._rhs
+
+    @rhs.setter
+    def rhs(self, other) -> None:
+        self._rhs = other
+
+    @property
+    def var(self) -> Field:
+        raise NotImplementedError
+
+    def update_config(self, config: DiscretizerConfigType) -> None:
+        self._config = config
+
+    @property
+    def config(self) -> DiscretizerConfigType | None:
+        return self._config
+
+    def __hash__(self) -> int:
+        return id(self)
+
+    def __eq__(self, other) -> "Operators":
+        if isinstance(other, Field):
+            self._rhs = other()
+        elif isinstance(other, (int, float)):
+            self._rhs = jnp.zeros_like(self.var()) + other
+        else:
+            self._rhs = jnp.asarray(other)
+        assert self._rhs.shape == self.var().shape, (
+            f"FDM Operators: RHS shape {self._rhs.shape} does not match "
+            f"{self.var().shape}!"
+        )
+        return self
+
+    def __add__(self, other: "Operators") -> "Operators":
+        idx = list(self._ops.keys())
+        self._ops.update({idx[-1] + 1: other.ops[0]})
+        return self
+
+    def __sub__(self, other: "Operators") -> "Operators":
+        idx = list(self._ops.keys())
+        other.ops[0]["sign"] = -1
+        self._ops.update({idx[-1] + 1: other.ops[0]})
+        return self
+
+    def __neg__(self) -> "Operators":
+        self._ops[0]["sign"] = -1
+        return self
+
+
+class Laplacian(Operators):
+    r"""Implicit Laplacian :math:`\partial_j (\Gamma \partial_j \Phi)`
+    (reference ``fdm.py:108-169``)."""
+
+    def __call__(self, *inputs: Any) -> "Laplacian":
+        if len(inputs) == 2:
+            coeff = inputs[0]
+            if isinstance(coeff, int):
+                coeff = float(coeff)
+            var = inputs[1]
+        elif len(inputs) == 1:
+            coeff = None
+            var = inputs[0]
+        else:
+            raise TypeError("FDM: invalid input type!")
+        assert isinstance(var, Field), "FDM Laplacian: var must be a Field!"
+
+        axis_coeffs = laplacian_axis_coeffs(var.mesh, var.bcs)
+
+        self._var = var
+        self._ops = {
+            0: {
+                "name": self.__class__.__name__,
+                "Aop": self.Aop,
+                "target": var,
+                "param": (coeff,),
+                "sign": 1.0,
+                "other": None,
+                "axis_coeffs": axis_coeffs,
+                "A_coeffs": None,
+                "adv": None,
+                "limiter": None,
+                "dt": None,
+                "adjust_rhs": lambda v=var: FDC(
+                    {"laplacian": {"edge": False}}
+                ).laplacian.adjust_rhs(v),
+            }
+        }
+        return self
+
+    @property
+    def var(self) -> Field:
+        return self._var
+
+    @staticmethod
+    def Aop(rec: OPStype, x: jnp.ndarray) -> jnp.ndarray:
+        out = apply_axis_stencil(rec["axis_coeffs"], x)
+        coeff = rec["param"][0]
+        return out if coeff is None else out * coeff
+
+
+class Grad(Operators):
+    r"""Implicit gradient. In an equation the (var.dim, mesh.dim, *nx) grad
+    output is contracted over mesh axes (the reference reshapes, valid only
+    in 1-D — ``ops.py:145-147``; summing generalizes and coincides in 1-D).
+    """
+
+    def __call__(self, *inputs: Any) -> "Grad":
+        if len(inputs) == 2:
+            coeff = inputs[0]
+            var = inputs[1]
+        elif len(inputs) == 1:
+            coeff = None
+            var = inputs[0]
+        else:
+            raise TypeError("FDM: invalid input type!")
+        assert isinstance(var, Field), "FDM Grad: var must be a Field!"
+
+        axis_coeffs = grad_axis_coeffs(var.mesh, var.bcs)
+
+        self._var = var
+        self._ops = {
+            0: {
+                "name": self.__class__.__name__,
+                "Aop": self.Aop,
+                "target": var,
+                "param": (coeff,),
+                "sign": 1.0,
+                "other": None,
+                "axis_coeffs": axis_coeffs,
+                "A_coeffs": None,
+                "adv": None,
+                "limiter": None,
+                "dt": None,
+                "adjust_rhs": lambda v=var: FDC(
+                    {"grad": {"edge": False}}
+                ).grad.adjust_rhs(v),
+            }
+        }
+        return self
+
+    @property
+    def var(self) -> Field:
+        return self._var
+
+    @staticmethod
+    def Aop(rec: OPStype, x: jnp.ndarray) -> jnp.ndarray:
+        out = apply_axis_stencil(rec["axis_coeffs"], x)
+        coeff = rec["param"][0]
+        return out if coeff is None else out * coeff
+
+
+class Div(Operators):
+    r"""Implicit divergence :math:`\partial_j (u_j \phi_i)` in advective form
+    (reference ``fdm.py:233-312``).
+
+    * Constant advection (float): coefficients fold into the per-axis
+      stencil (``central`` or ``upwind``).
+    * ``Field``/array advection: the advecting values are **frozen at
+      equation-build time** and multiplied in at apply time (semi-implicit
+      Picard linearization). The reference instead rebuilt coefficients from
+      the live iterate inside CG (``fdm.py:295-312``), which changes the
+      operator mid-Krylov-solve; freezing is the standard linearization and
+      keeps the solve a fixed linear system. Outer Picard sweeps are
+      available via the solver config (``pyapes_tpu/solver/ops.py``).
+    """
+
+    def __call__(self, *inputs: Any) -> "Div":
+        if len(inputs) == 2:
+            var_j, var_i = inputs
+        elif len(inputs) == 1:
+            var_j, var_i = 1.0, inputs[0]
+        else:
+            raise TypeError("FDM: invalid input type!")
+        assert isinstance(var_i, Field), "FDM Div: var_i must be a Field!"
+
+        if isinstance(var_j, int):
+            var_j = float(var_j)
+
+        config = self.config or {"div": {"limiter": "none", "edge": False}}
+        limiter = config.get("div", {}).get("limiter", "none")
+
+        self._var_j = var_j
+        self._var_i = var_i
+
+        mesh = var_i.mesh
+        if isinstance(var_j, float):
+            axis_coeffs = div_axis_coeffs(mesh, var_i.bcs, var_j, limiter)
+            adv = None
+            base = None
+            surgery = None
+        else:
+            adv = var_j() if isinstance(var_j, Field) else jnp.asarray(var_j)
+            axis_coeffs = None
+            base = div_axis_coeffs(mesh, None, 1.0, "none")
+            surgery = div_surgery_info(var_i.bcs, mesh.dim)
+
+        self._ops = {
+            0: {
+                "name": self.__class__.__name__,
+                "Aop": self.Aop,
+                "target": var_i,
+                "param": (var_j, config),
+                "sign": 1.0,
+                "other": {"base": base, "surgery": surgery},
+                "axis_coeffs": axis_coeffs,
+                "A_coeffs": None,
+                "adv": adv,
+                "limiter": limiter,
+                "dt": None,
+                "adjust_rhs": lambda vj=var_j, vi=var_i, cfg=config: FDC(
+                    cfg
+                ).div.adjust_rhs(vj, vi, cfg),
+            }
+        }
+        return self
+
+    @property
+    def var(self) -> Field:
+        return self._var_i
+
+    @staticmethod
+    def Aop(rec: OPStype, x: jnp.ndarray) -> jnp.ndarray:
+        if rec["adv"] is None:
+            return apply_axis_stencil(rec["axis_coeffs"], x)
+        return apply_div_field(
+            x,
+            rec["adv"],
+            rec["other"]["base"],
+            rec["limiter"],
+            rec["other"]["surgery"],
+        )
+
+
+class Ddt(Operators):
+    r"""Backward (implicit) Euler time derivative: contributes ``x / dt`` to
+    the linear operator and ``var_old / dt`` to the RHS.
+
+    Implements the reference's advertised-but-disabled ``Ddt``
+    (``fdm.py:315-353``) with the semantics pinned by
+    ``tests/test_fdm.py:292-294``: the *affine* operator seen by
+    ``Solver.Aop`` is ``(x - var_old)/dt``.
+    """
+
+    def __call__(self, var: Field) -> "Ddt":
+        dt = var.dt  # raises if not set (reference ``fdm.py:323-326``)
+        self._var = var
+        self._ops = {
+            0: {
+                "name": self.__class__.__name__,
+                "Aop": self.Aop,
+                "target": var,
+                "param": (dt,),
+                "sign": 1.0,
+                "other": None,
+                "axis_coeffs": None,
+                "A_coeffs": None,
+                "adv": None,
+                "limiter": None,
+                "dt": dt,
+                "adjust_rhs": None,
+            }
+        }
+        return self
+
+    @property
+    def var(self) -> Field:
+        return self._var
+
+    @staticmethod
+    def Aop(rec: OPStype, x: jnp.ndarray) -> jnp.ndarray:
+        """Linear part only: ``x / dt``."""
+        return x / rec["dt"]
+
+
+class FDM:
+    """Facade over the implicit operators (reference ``fdm.py:356-407``).
+
+    Operators are **per-instance** (the reference's class-level singletons
+    are shared mutable state — SURVEY §2 quirk 3).
+    """
+
+    def __init__(self, config: DiscretizerConfigType | None = None) -> None:
+        self.laplacian = Laplacian()
+        self.grad = Grad()
+        self.div = Div()
+        self.ddt = Ddt()
+        self.config = config
+        if config is not None:
+            self.div.update_config(config)

@@ -1,0 +1,342 @@
+"""Matrix-free Krylov solvers as single compiled TPU programs.
+
+Rebuild of reference ``pyapes/solver/linalg.py`` (CG ``linalg.py:74-159``,
+BiCGSTAB ``linalg.py:162-279``), redesigned for XLA:
+
+  * The entire solve — stencil applies, BC re-application, reductions,
+    convergence test — is ONE jitted ``lax.while_loop``. The reference
+    synced ``tol.item()`` to host every iteration (``linalg.py:338``); here
+    there is a single device->host sync at the end.
+  * Interior restriction (``boundary_slicer`` semantics, periodic faces stay
+    active — ``linalg.py:94``) is a static 0/1 mask multiply that XLA fuses
+    into the stencil apply.
+  * Compiled solvers are cached by problem *structure*, so time-stepping
+    loops (Burgers, NS) re-use one executable and only stream new
+    coefficient/advection arrays in.
+
+Convergence criteria:
+  * ``"delta"`` (default, reference behavior ``linalg.py:321-338``):
+    max over components of the L2 norm of the iterate update.
+  * ``"residual"``: true residual norm relative to the initial residual.
+"""
+from __future__ import annotations
+
+import warnings
+from typing import Callable, TypedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyapes_tpu.mesh.tools import boundary_slicer, interior_mask
+from pyapes_tpu.ops.stencil import apply_axis_stencil, apply_div_field
+from pyapes_tpu.variables.bcs import apply_bcs_fn
+
+
+class ReportType(TypedDict):
+    """Solver report (reference ``linalg.py:22-30``)."""
+
+    itr: int
+    tol: float
+    converge: bool
+
+
+def _nan0(x):
+    return jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def _term_descriptor(rec) -> tuple:
+    """Static (hashable) description of one equation term."""
+    name = rec["name"].lower()
+    if name == "ddt":
+        kind = "ddt"
+    elif rec.get("adv") is not None:
+        kind = "div_field"
+    else:
+        kind = "axis"
+    return (
+        kind,
+        name,
+        float(rec["sign"]),
+        rec.get("limiter"),
+        rec["other"]["surgery"] if (kind == "div_field") else None,
+        rec["param"][0] is not None if name in ("laplacian", "grad") else False,
+    )
+
+
+def _term_params(rec, desc) -> dict:
+    kind = desc[0]
+    if kind == "ddt":
+        return {"inv_dt": jnp.asarray(1.0 / rec["dt"])}
+    if kind == "div_field":
+        return {"adv": rec["adv"], "base": rec["other"]["base"]}
+    p = {"axis": rec["axis_coeffs"]}
+    if desc[5]:
+        p["param"] = jnp.asarray(rec["param"][0])
+    return p
+
+
+def _make_Aop(term_descs) -> Callable:
+    def Aop(x, tparams):
+        out = jnp.zeros_like(x)
+        for desc, tp in zip(term_descs, tparams):
+            kind, _, sign, limiter, surgery, has_param = desc
+            if kind == "axis":
+                r = apply_axis_stencil(tp["axis"], x)
+                if has_param:
+                    r = r * tp["param"]
+            elif kind == "div_field":
+                r = apply_div_field(x, tp["adv"], tp["base"], limiter, surgery)
+            else:  # ddt
+                r = x * tp["inv_dt"]
+            out = out + sign * r
+        return out
+
+    return Aop
+
+
+def _l2_per_dim(x: jnp.ndarray) -> jnp.ndarray:
+    axes = tuple(range(1, x.ndim))
+    return jnp.sqrt(jnp.sum(x * x, axis=axes))
+
+
+def _vsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-component reduction over mesh axes, keepdims for broadcasting
+    (reference ``torch.sum(..., dim=var.mesh_axis)``, ``linalg.py:118-120``)."""
+    axes = tuple(range(1, x.ndim))
+    return jnp.sum(x, axis=axes, keepdims=True)
+
+
+# Cache of compiled solver functions keyed by problem structure.
+_SOLVER_CACHE: dict = {}
+
+
+def clear_cache() -> None:
+    _SOLVER_CACHE.clear()
+
+
+def _bc_signature(bcs) -> tuple:
+    sig = []
+    for bc in bcs or []:
+        val = bc.bc_val
+        if isinstance(val, (int, float)) or val is None:
+            vkey = ("scalar", val)
+        elif callable(val):
+            vkey = ("callable", id(val))
+        elif isinstance(val, list):
+            vkey = ("list", tuple(val))
+        else:
+            vkey = ("array", id(val))
+        sig.append((bc.bc_type, bc.bc_face, vkey))
+    return tuple(sig)
+
+
+def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
+    """Dispatch to CG / BiCGSTAB (reference ``linalg.py:33-71``).
+
+    Args:
+        var: target ``Field`` (solution is written back to ``var``).
+        rhs: right-hand side array (BC adjustments already folded in).
+        eqs: equation-term records from ``Solver.set_eq``.
+        config: ``FDMSolverConfig``.
+        mesh: the mesh.
+    """
+    method = config["method"].lower()
+    if method not in ("cg", "bicgstab"):
+        raise RuntimeError(
+            f"Linalg: solver only supports CG and BICGSTAB. {method=} is not "
+            "supported."
+        )
+    assert min(mesh.nx) >= 3, "Linalg: minimum grid size is 3 per direction"
+
+    tol = float(config.get("tol", 1e-6))
+    max_it = int(config.get("max_it", 1000))
+    report = bool(config.get("report", False))
+    criterion = config.get("criterion", "delta")
+
+    terms = [eqs[k] for k in sorted(eqs)]
+    term_descs = tuple(_term_descriptor(rec) for rec in terms)
+    tparams = tuple(_term_params(rec, d) for rec, d in zip(terms, term_descs))
+
+    x0 = var()
+    key = (
+        method,
+        criterion,
+        tol,
+        max_it,
+        x0.shape,
+        str(x0.dtype),
+        id(mesh),
+        _bc_signature(var.bcs),
+        term_descs,
+    )
+
+    if key not in _SOLVER_CACHE:
+        slicer = boundary_slicer(mesh.dim, var.bcs, mesh.coord_sys)
+        M = jnp.asarray(
+            interior_mask(mesh.nx, slicer), dtype=x0.dtype
+        )
+        apply_bcs = apply_bcs_fn(list(var.bcs), mesh.grid)
+        Aop = _make_Aop(term_descs)
+        if method == "cg":
+            fn = _build_cg(Aop, apply_bcs, M, tol, max_it, criterion)
+        else:
+            fn = _build_bicgstab(Aop, apply_bcs, M, tol, max_it, criterion)
+        _SOLVER_CACHE[key] = jax.jit(fn)
+
+    x_final, itr, tol_final = _SOLVER_CACHE[key](x0, rhs, tparams)
+
+    itr = int(itr)
+    tol_final = float(tol_final)
+    if np.isnan(tol_final) or np.isinf(tol_final):
+        raise RuntimeError(f"Invalid tolerance detected! tol: {tol_final}")
+
+    var.VAR = x_final
+
+    converge = itr < max_it
+    if report:
+        _solution_report(itr, tol_final, method.upper())
+    return {"itr": itr, "tol": tol_final, "converge": converge}
+
+
+def _build_cg(Aop, apply_bcs, M, tolerance, max_it, criterion):
+    """Conjugate gradient as a ``lax.while_loop`` (reference ``linalg.py:74-159``)."""
+
+    def cg_fn(x0, rhs, tparams):
+        x = apply_bcs(x0)
+        r = (rhs - Aop(x, tparams)) * M
+        d = r
+        r0n = jnp.maximum(jnp.max(_l2_per_dim(r)), jnp.finfo(x.dtype).tiny)
+
+        def cond(s):
+            x, r, d, tol, itr = s
+            return jnp.logical_and(tol > tolerance, itr < max_it)
+
+        def body(s):
+            x, r, d, tol, itr = s
+            Ad = Aop(d, tparams) * M
+            rr = _vsum(r * r)
+            alpha = _nan0(rr / _vsum(d * Ad))
+            x_new = apply_bcs(x + alpha * d)
+            r_new = r - alpha * Ad
+            if criterion == "delta":
+                tol_new = jnp.max(_l2_per_dim(x_new - x))
+            else:
+                tol_new = jnp.max(_l2_per_dim(r_new)) / r0n
+            beta = _nan0(_vsum(r_new * r_new) / rr)
+            d_new = r_new + beta * d
+            return (x_new, r_new, d_new, tol_new, itr + 1)
+
+        tol0 = jnp.asarray(1.0, dtype=x.dtype)
+        state = (x, r, d, tol0, jnp.asarray(0, dtype=jnp.int32))
+        x, r, d, tol, itr = jax.lax.while_loop(cond, body, state)
+        return x, itr, tol
+
+    return cg_fn
+
+
+def _build_bicgstab(Aop, apply_bcs, M, tolerance, max_it, criterion):
+    """BiCGSTAB as a ``lax.while_loop`` (reference ``linalg.py:162-279``,
+    after pykrylov). The reference's mid-loop early exit
+    (``linalg.py:235-240``) becomes a ``lax.cond`` branch."""
+
+    def bicg_fn(x0, rhs, tparams):
+        x = apply_bcs(x0)
+        r0 = (rhs - Aop(x, tparams)) * M
+        r = r0
+        p = jnp.zeros_like(r)
+        v = jnp.zeros_like(r)
+        one = jnp.ones((r.shape[0],) + (1,) * (r.ndim - 1), dtype=r.dtype)
+        rho = one
+        alpha = one
+        omega = one
+        rho_next = _vsum(r0 * r0)
+        r0n = jnp.maximum(jnp.max(_l2_per_dim(r0)), jnp.finfo(x.dtype).tiny)
+        tol0 = jnp.sqrt(jnp.max(rho_next))
+
+        def tol_of(vec):
+            if criterion == "delta":
+                return jnp.max(_l2_per_dim(vec))
+            return jnp.max(_l2_per_dim(vec)) / r0n
+
+        def cond(s):
+            return jnp.logical_and(
+                jnp.logical_not(s["finished"]), s["itr"] < max_it
+            )
+
+        def body(s):
+            beta = _nan0(s["rho_next"] / s["rho"] * s["alpha"] / s["omega"])
+            rho = s["rho_next"]
+            p = s["r"] + beta * (s["p"] - s["omega"] * s["v"])
+            v = Aop(p, tparams) * M
+            itr = s["itr"] + 1
+            alpha = _nan0(rho / _vsum(r0 * v))
+            s_vec = s["r"] - alpha * v
+            tol1 = tol_of(s_vec)
+            early = tol1 <= tolerance
+
+            def do_early(_):
+                x_new = apply_bcs(s["x"] + alpha * p)
+                return {
+                    "x": x_new,
+                    "r": s_vec,
+                    "p": p,
+                    "v": v,
+                    "rho": rho,
+                    "rho_next": rho,
+                    "alpha": alpha,
+                    "omega": s["omega"],
+                    "tol": tol1,
+                    "itr": itr,
+                    "finished": jnp.asarray(True),
+                }
+
+            def do_full(_):
+                t = Aop(s_vec, tparams) * M
+                omega = _nan0(_vsum(t * s_vec) / _vsum(t * t))
+                rho_next = -omega * _vsum(r0 * t)
+                x_new = apply_bcs(s["x"] + alpha * p + omega * s_vec)
+                r_new = s_vec - omega * t
+                tol2 = tol_of(r_new)
+                return {
+                    "x": x_new,
+                    "r": r_new,
+                    "p": p,
+                    "v": v,
+                    "rho": rho,
+                    "rho_next": rho_next,
+                    "alpha": alpha,
+                    "omega": omega,
+                    "tol": tol2,
+                    "itr": itr,
+                    "finished": tol2 <= tolerance,
+                }
+
+            return jax.lax.cond(early, do_early, do_full, None)
+
+        state = {
+            "x": x,
+            "r": r,
+            "p": p,
+            "v": v,
+            "rho": rho,
+            "rho_next": rho_next,
+            "alpha": alpha,
+            "omega": omega,
+            "tol": tol0.astype(x.dtype),
+            "itr": jnp.asarray(0, dtype=jnp.int32),
+            "finished": jnp.asarray(False),
+        }
+        out = jax.lax.while_loop(cond, body, state)
+        return out["x"], out["itr"], out["tol"]
+
+    return bicg_fn
+
+
+def _solution_report(itr: int, tol: float, method: str) -> None:
+    print(f"\n{method}: The solution converged after {itr} iteration.")
+    print(f"\ttolerance: {tol}")
+
+
+def _write_report(itr: int, tol: float, converge: bool) -> ReportType:
+    return {"itr": itr, "tol": tol, "converge": converge}

@@ -1,0 +1,90 @@
+"""Solver tools: configuration types and default coefficient banks
+(reference ``pyapes/solver/tools.py``).
+
+The full-grid 5-bank layout ``[App, Ap, Ac, Am, Amm]`` is kept for the
+*explicit* FDC path and parity tests (it makes BC surgery local and
+testable, ``tools.py:29-112``); the implicit solver hot path uses the
+per-axis vectors in ``pyapes_tpu.ops.stencil`` instead.
+"""
+from __future__ import annotations
+
+from typing import TypedDict
+
+import jax.numpy as jnp
+
+from pyapes_tpu.variables import Field
+
+
+class FDMSolverConfig(TypedDict, total=False):
+    method: str
+    tol: float
+    max_it: int
+    report: bool
+    criterion: str
+    """Convergence criterion: "delta" (reference behavior,
+    ``linalg.py:321-338``) or "residual" (true relative residual norm)."""
+
+
+class SolverConfig(TypedDict, total=False):
+    fdm: FDMSolverConfig
+
+
+def default_A_ops(var: Field, ops: str) -> list[list[jnp.ndarray]]:
+    """Construct second-order central-difference coefficient banks
+    (reference ``tools.py:29-112``).
+
+    Returns five banks ``[App, Ap, Ac, Am, Amm]`` for offsets
+    ``i+2, i+1, i, i-1, i-2``; each bank is a list over ``mesh.dim`` of
+    arrays shaped ``(var.dim, *mesh.nx)``.
+    """
+    mesh = var.mesh
+    md = mesh.dim
+    shape = (var.dim, *mesh.nx)
+    dtype = mesh.dtype.float
+
+    ones = jnp.ones(shape, dtype=dtype)
+    zeros = jnp.zeros(shape, dtype=dtype)
+
+    op = ops.lower()
+    if op == "grad":
+        App = [zeros for _ in range(md)]
+        Ap = [ones for _ in range(md)]
+        Ac = [zeros for _ in range(md)]
+        Am = [-ones for _ in range(md)]
+        Amm = [zeros for _ in range(md)]
+    elif op == "div":
+        if mesh.coord_sys == "xyz":
+            App = [zeros for _ in range(md)]
+            Ap = [ones for _ in range(md)]
+            Ac = [zeros for _ in range(md)]
+            Am = [-ones for _ in range(md)]
+            Amm = [zeros for _ in range(md)]
+        else:
+            r = mesh.R
+            dr = mesh.dx[0]
+            scale = jnp.nan_to_num(2 * dr / r, nan=0.0, posinf=0.0, neginf=0.0)
+            App = [zeros for _ in range(md)]
+            Ap = [ones for _ in range(md)]
+            Ac = [scale * ones if i == 0 else zeros for i in range(md)]
+            Am = [-ones for _ in range(md)]
+            Amm = [zeros for _ in range(md)]
+    elif op == "laplacian":
+        if mesh.coord_sys == "xyz":
+            App = [zeros for _ in range(md)]
+            Ap = [ones for _ in range(md)]
+            Ac = [-2.0 * ones for _ in range(md)]
+            Am = [ones for _ in range(md)]
+            Amm = [zeros for _ in range(md)]
+        else:
+            r = mesh.R
+            dr = mesh.dx[0]
+            scale = jnp.nan_to_num(dr / (2 * r), nan=0.0, posinf=0.0, neginf=0.0)
+            App = [zeros for _ in range(md)]
+            Ap = [(1 + scale) * ones if i == 0 else ones for i in range(md)]
+            Ac = [-2.0 * ones for _ in range(md)]
+            Am = [(1 - scale) * ones if i == 0 else ones for i in range(md)]
+            Amm = [zeros for _ in range(md)]
+    else:
+        raise RuntimeError(f"Given {ops=} should be either grad, div, or laplacian.")
+
+    return [App, Ap, Ac, Am, Amm]

@@ -1,0 +1,357 @@
+"""Boundary conditions for the FDM method (TPU-native rebuild of
+``pyapes/variables/bcs.py``).
+
+Supported: Dirichlet / Neumann / Symmetry / Periodic, identified by face ids
+``["xl","xu","yl","yu","zl","zu"]`` (or ``["rl","ru","zl","zu"]`` in rz).
+
+Design differences from the torch reference:
+  * ``apply`` is **pure**: ``new_var = bc.apply(var, grid)`` (the reference
+    mutates boundary nodes in place, ``bcs.py:200-280``).
+  * Domain-face masks are static full-face slabs, so application uses
+    **static-slice updates** (``x.at[..., 0].set(row)``) which XLA fuses —
+    no boolean scatter (gather/scatter with dynamic shapes is not jittable).
+  * Callable BC values receive the full ``grid`` tuple and must return either
+    a full ``(*nx)``-shaped array (its face row is extracted) or an array
+    broadcastable to the face row. Signature: ``f(grid, mask, var, opt)``
+    like the reference (``bcs.py:204``), but no boolean mask indexing.
+
+Sign convention (matches reference *behavior*, pinned by its passing tests
+``test_variables.py::test_cylinder_field_bcs`` and
+``test_solver.py::test_poisson_1d_mixed_neumann``): the Neumann value is the
+gradient along the **outward face normal**; the applied update is
+``p_face = 4/3 p1 - 1/3 p2 + 2/3 * V * dx`` on both sides
+(``bcs.py:236-253``).
+"""
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from dataclasses import dataclass
+from typing import Any, Callable, NamedTuple, TypedDict
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyapes_tpu.geometry.basis import (
+    DIR_TO_NUM,
+    DIR_TO_NUM_RZ,
+    FDIR,
+    FDIR_RZ,
+)
+
+BC_val_type = Any
+"""int | float | list | Callable | Array | None."""
+
+
+class BCConfig(TypedDict, total=False):
+    bc_face: str
+    bc_type: str
+    bc_val: BC_val_type
+    bc_val_opt: dict | None
+
+
+def _face_index(axis: int, i: int, leading: int = 1) -> tuple:
+    """Index tuple selecting face row ``i`` along mesh-axis ``axis`` of an
+    array with ``leading`` extra leading dims (e.g. the var-dim axis)."""
+    return (slice(None),) * (leading + axis) + (i,)
+
+
+@dataclass
+class BC(ABC):
+    """Abstract base boundary condition (reference ``bcs.py:45-194``)."""
+
+    bc_id: str
+    bc_val: BC_val_type
+    bc_val_opt: dict | None
+    bc_face: str
+    bc_mask: np.ndarray
+    bc_var_name: str
+    bc_coord_sys: str
+    mesh_dim: int
+    dtype: Any
+    device: Any
+    dx_face: float = 0.0
+    """Grid spacing along the face-normal axis (positive)."""
+
+    def __post_init__(self):
+        if self.bc_coord_sys == "rz":
+            self._bc_face_dim = DIR_TO_NUM_RZ[self.bc_face[0]]
+        else:
+            self._bc_face_dim = DIR_TO_NUM[self.bc_face[0]]
+
+        self._bc_n_dir: int = -1 if self.bc_face[-1] == "l" else 1
+        self._bc_type = self.__class__.__name__.lower()
+
+        m = np.asarray(self.bc_mask, dtype=bool)
+        self.bc_mask = m
+        self._bc_mask_prev = np.roll(m, -self._bc_n_dir, self._bc_face_dim)
+        self._bc_mask_prev2 = np.roll(m, -self._bc_n_dir * 2, self._bc_face_dim)
+        self._bc_mask_forward = np.roll(m, self._bc_n_dir, self._bc_face_dim)
+        self._bc_mask_forward2 = np.roll(m, self._bc_n_dir * 2, self._bc_face_dim)
+
+        self._bc_n_vec = np.zeros(3)
+        self._bc_n_vec[self._bc_face_dim] = self._bc_n_dir
+
+        # Verify the mask is the full boundary slab on its face (domain BCs
+        # always are — ``mesh/_mesh.py:375-399`` snaps faces to the grid).
+        slab = np.zeros_like(m)
+        slab[_face_index(self._bc_face_dim, 0 if self._bc_n_dir < 0 else -1, 0)] = True
+        self._is_slab = bool(np.array_equal(m, slab))
+
+    # -- mask views (parity with ``bcs.py:97-155``) -----------------------
+    def bc_mask_shift(self, shift: int) -> np.ndarray:
+        return np.roll(self.bc_mask, shift, self._bc_face_dim)
+
+    @property
+    def bc_n_vec(self) -> np.ndarray:
+        return self._bc_n_vec
+
+    @property
+    def bc_mask_prev(self) -> np.ndarray:
+        return self._bc_mask_prev
+
+    @property
+    def bc_mask_prev2(self) -> np.ndarray:
+        return self._bc_mask_prev2
+
+    @property
+    def bc_mask_forward(self) -> np.ndarray:
+        return self._bc_mask_forward
+
+    @property
+    def bc_mask_forward2(self) -> np.ndarray:
+        return self._bc_mask_forward2
+
+    @property
+    def bc_treat(self) -> bool:
+        """True when stencil-coefficient surgery is required
+        (``bcs.py:157-163``)."""
+        return self._bc_type in ("neumann", "symmetry")
+
+    @property
+    def bc_type(self) -> str:
+        return self._bc_type
+
+    @property
+    def bc_face_dim(self) -> int:
+        return self._bc_face_dim
+
+    @property
+    def bc_n_dir(self) -> int:
+        return self._bc_n_dir
+
+    @property
+    def type(self) -> str:
+        return self._bc_type
+
+    # -- value resolution --------------------------------------------------
+    def _value_row(self, var: jnp.ndarray, grid, var_dim: int, row_idx: int):
+        """Resolve ``bc_val`` to something broadcastable to the face row."""
+        v = self.bc_val
+        if callable(v):
+            full = v(grid, self.bc_mask, var, self.bc_val_opt)
+            full = jnp.asarray(full)
+            if full.ndim == self.mesh_dim:
+                return full[_face_index(self._bc_face_dim, row_idx, 0)]
+            return full
+        if isinstance(v, list):
+            return float(v[var_dim])
+        if isinstance(v, (int, float)):
+            return float(v)
+        if v is None:
+            raise ValueError(f"BC {self.bc_id}: bc_val is not specified!")
+        arr = jnp.asarray(v)
+        if arr.ndim == self.mesh_dim:
+            return arr[_face_index(self._bc_face_dim, row_idx, 0)]
+        return arr
+
+    # -- application -------------------------------------------------------
+    def apply(
+        self, var: jnp.ndarray, grid, var_dim: int | None = None
+    ) -> jnp.ndarray:
+        """Apply the BC, returning the updated array.
+
+        Args:
+            var: field values, shape ``(var_dim, *nx)``.
+            grid: mesh grid tuple.
+            var_dim: apply to this component only; ``None`` applies to all.
+        """
+        if not self._is_slab:
+            raise NotImplementedError(
+                "BC: non-face (obstacle) masks are not supported yet "
+                "(matches reference `_apply_bc_otf`, linalg.py:282-299)."
+            )
+        dims = range(var.shape[0]) if var_dim is None else [var_dim]
+        for d in dims:
+            var = self._apply_one(var, grid, d)
+        return var
+
+    @abstractmethod
+    def _apply_one(self, var: jnp.ndarray, grid, d: int) -> jnp.ndarray:
+        ...
+
+
+def _row(var: jnp.ndarray, d: int, axis: int, i: int) -> jnp.ndarray:
+    return var[(d,) + _face_index(axis, i, 0)]
+
+
+class Dirichlet(BC):
+    """Dirichlet BC (reference ``bcs.py:197-213``)."""
+
+    def _apply_one(self, var, grid, d):
+        a = self._bc_face_dim
+        i0 = 0 if self._bc_n_dir < 0 else -1
+        val = self._value_row(var, grid, d, i0)
+        return var.at[(d,) + _face_index(a, i0, 0)].set(val)
+
+
+class Neumann(BC):
+    """Neumann BC, 2nd-order one-sided (reference ``bcs.py:216-253``):
+    ``p_face = 4/3 p1 - 1/3 p2 + 2/3 V dx`` (outward-normal convention)."""
+
+    def _apply_one(self, var, grid, d):
+        a = self._bc_face_dim
+        if self._bc_n_dir < 0:
+            i0, i1, i2 = 0, 1, 2
+        else:
+            i0, i1, i2 = -1, -2, -3
+        val = self._value_row(var, grid, d, i0)
+        p = _row(var, d, a, i1)
+        pp = _row(var, d, a, i2)
+        new = 4.0 / 3.0 * p - 1.0 / 3.0 * pp + 2.0 / 3.0 * val * self.dx_face
+        return var.at[(d,) + _face_index(a, i0, 0)].set(new)
+
+
+class Symmetry(BC):
+    """Symmetry BC: copy the adjacent interior row (reference ``bcs.py:256-262``)."""
+
+    def _apply_one(self, var, grid, d):
+        a = self._bc_face_dim
+        i0, i1 = (0, 1) if self._bc_n_dir < 0 else (-1, -2)
+        return var.at[(d,) + _face_index(a, i0, 0)].set(_row(var, d, a, i1))
+
+
+class Periodic(BC):
+    """Periodic BC (reference ``bcs.py:265-280``): the lower side takes
+    ``p1 - p[-1] + p[-2]``; the upper side copies the lower boundary."""
+
+    def _apply_one(self, var, grid, d):
+        a = self._bc_face_dim
+        if self._bc_n_dir < 0:
+            new = (
+                _row(var, d, a, 1) - _row(var, d, a, -1) + _row(var, d, a, -2)
+            )
+            return var.at[(d,) + _face_index(a, 0, 0)].set(new)
+        return var.at[(d,) + _face_index(a, -1, 0)].set(_row(var, d, a, 0))
+
+
+# -- configuration helpers (reference ``bcs.py:293-467``) -------------------
+
+
+class BCContainer(TypedDict, total=False):
+    bc_type: str
+    bc_val: BC_val_type
+    bc_val_opt: dict | None
+
+
+class CylinderBoundary(NamedTuple):
+    """Per-face BC setup for ``Cylinder`` domains (``bcs.py:301-328``)."""
+
+    rl: BCContainer | None = None
+    ru: BCContainer | None = None
+    zl: BCContainer | None = None
+    zu: BCContainer | None = None
+
+    def __call__(self) -> list[BCConfig]:
+        return _get_bc_dict(self, FDIR_RZ)
+
+
+class BoxBoundary(NamedTuple):
+    """Per-face BC setup for ``Box`` domains (``bcs.py:331-360``)."""
+
+    xl: BCContainer | None = None
+    xu: BCContainer | None = None
+    yl: BCContainer | None = None
+    yu: BCContainer | None = None
+    zl: BCContainer | None = None
+    zu: BCContainer | None = None
+
+    def __call__(self) -> list[BCConfig]:
+        return _get_bc_dict(self, FDIR)
+
+
+def _get_bc_dict(bc_config, fdir: list[str]) -> list[BCConfig]:
+    config: list[BCConfig] = []
+    for face in fdir:
+        bc_dict = getattr(bc_config, face)
+        if bc_dict is not None:
+            config.append(
+                {
+                    "bc_face": face,
+                    "bc_type": bc_dict["bc_type"],
+                    "bc_val": bc_dict["bc_val"],
+                    "bc_val_opt": bc_dict.get("bc_val_opt"),
+                }
+            )
+    return config
+
+
+def mixed_bcs(bc_val: list, bc_type: list[str]) -> list[BCConfig]:
+    """Per-face values/types in FDIR order (``bcs.py:385-408``).
+    Box domains only."""
+    return [
+        {"bc_face": FDIR[i], "bc_type": t, "bc_val": v, "bc_val_opt": None}
+        for i, (v, t) in enumerate(zip(bc_val, bc_type))
+    ]
+
+
+def homogeneous_bcs(dim: int, bc_val, bc_type: str) -> list[BCConfig]:
+    """Same BC on every face (``bcs.py:411-440``). Box domains only."""
+    return [
+        {
+            "bc_face": FDIR[i],
+            "bc_type": bc_type,
+            "bc_val": bc_val[i] if isinstance(bc_val, list) else bc_val,
+            "bc_val_opt": None,
+        }
+        for i in range(dim * 2)
+    ]
+
+
+class BC_HD:
+    """Homogeneous Dirichlet shorthand (``bcs.py:443-447``)."""
+
+    def __new__(cls, dim: int, bc_val: float):
+        return homogeneous_bcs(dim, bc_val, "dirichlet")
+
+
+class BC_HN:
+    """Homogeneous Neumann shorthand (``bcs.py:450-454``)."""
+
+    def __new__(cls, dim: int, bc_val: float):
+        return homogeneous_bcs(dim, bc_val, "neumann")
+
+
+BC_type = Dirichlet | Neumann | Symmetry | Periodic
+
+BC_FACTORY: dict[str, type] = {
+    "dirichlet": Dirichlet,
+    "neumann": Neumann,
+    "symmetry": Symmetry,
+    "periodic": Periodic,
+}
+
+
+def apply_bcs_fn(bcs: list[BC_type], grid) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Build a pure ``x -> x`` function applying all BCs in order.
+
+    This is the jit-safe equivalent of ``_apply_bc_otf``
+    (``linalg.py:282-299``); it is traced into the Krylov ``while_loop`` body
+    so the whole solve stays on device.
+    """
+
+    def apply_all(x: jnp.ndarray) -> jnp.ndarray:
+        for bc in bcs:
+            x = bc.apply(x, grid)
+        return x
+
+    return apply_all
