@@ -64,6 +64,36 @@ def _aligned_bcs(bcs, axis: int):
     return [bc for bc in (bcs or []) if bc.bc_face_dim == axis]
 
 
+def _eliminate_boundary_node(ap, ac, am, lower: bool) -> None:
+    """Neumann/Symmetry coefficient surgery via boundary-node elimination.
+
+    The boundary value obeys ``v_b = 4/3 p - 1/3 pp + 2/3 V dx`` (the BC
+    application, ``variables/bcs.py``); substituting it into the row
+    adjacent to the face moves its coefficient ``c0`` onto the neighbors:
+    ``+4/3 c0`` to the center, ``-1/3 c0`` to the far neighbor (the constant
+    part goes to the RHS via ``adjust_rhs``).
+
+    This single rule reproduces the reference's Laplacian surgery exactly —
+    including the rz ``alpha`` term (``fdc.py:405-414``) — and is the
+    self-consistent form of its Grad/Div surgery (the reference's ``-1/3``
+    center term at ``fdc.py:589,594`` contradicts its own BC application
+    and its own RHS adjustments, and is pinned wrong by its
+    ``_grad_manuel_op`` oracle, ``tests/test_fdm.py:134-135``).
+
+    Mutates the numpy vectors in place.
+    """
+    if lower:
+        c0 = am[1]
+        ac[1] += (4.0 / 3.0) * c0
+        ap[1] += -(1.0 / 3.0) * c0
+        am[1] = 0.0
+    else:
+        c0 = ap[-2]
+        ac[-2] += (4.0 / 3.0) * c0
+        am[-2] += -(1.0 / 3.0) * c0
+        ap[-2] = 0.0
+
+
 def laplacian_axis_coeffs(mesh, bcs, dtype=None) -> tuple:
     """Per-axis Laplacian coefficients with BC surgery.
 
@@ -87,19 +117,7 @@ def laplacian_axis_coeffs(mesh, bcs, dtype=None) -> tuple:
             am = 1.0 - scale
         for bc in _aligned_bcs(bcs, j):
             if bc.bc_type in ("neumann", "symmetry"):
-                dr = dxj if j == 0 else 0.0
-                if bc.bc_n_dir < 0:
-                    r_prev = float(mesh._x_np[j][1])
-                    alpha = (2.0 / 3.0) * dr / r_prev if (rz and r_prev != 0) else 0.0
-                    ap[1] = 2.0 / 3.0 + alpha
-                    ac[1] = -(2.0 / 3.0 + alpha)
-                    am[1] = 0.0
-                else:
-                    r_prev = float(mesh._x_np[j][-2])
-                    alpha = (2.0 / 3.0) * dr / r_prev if (rz and r_prev != 0) else 0.0
-                    ap[-2] = 0.0
-                    ac[-2] = -(2.0 / 3.0 + alpha)
-                    am[-2] = 2.0 / 3.0 + alpha
+                _eliminate_boundary_node(ap, ac, am, bc.bc_n_dir < 0)
         scale2 = dxj * dxj
         out.append(
             (
@@ -127,14 +145,7 @@ def grad_axis_coeffs(mesh, bcs, gamma: float = 1.0, dtype=None) -> tuple:
         am = -gamma * np.ones(n)
         for bc in _aligned_bcs(bcs, j):
             if bc.bc_type in ("neumann", "symmetry"):
-                if bc.bc_n_dir < 0:
-                    ap[1] += gamma / 3.0
-                    ac[1] -= gamma / 3.0
-                    am[1] = 0.0
-                else:
-                    ap[-2] = 0.0
-                    ac[-2] += gamma / 3.0
-                    am[-2] -= gamma / 3.0
+                _eliminate_boundary_node(ap, ac, am, bc.bc_n_dir < 0)
             elif bc.bc_type == "periodic":
                 if bc.bc_n_dir < 0:
                     am[1] = 0.0
@@ -185,7 +196,6 @@ def div_axis_coeffs(
                     ac = gamma * np.nan_to_num(
                         2.0 * dxj / r, nan=0.0, posinf=0.0, neginf=0.0
                     )
-            gl, gu = gamma, gamma
         elif limiter == "upwind":
             ap = 2.0 * g_min * np.ones(n)
             ac = 2.0 * (g_max - g_min) * np.ones(n)
@@ -196,19 +206,11 @@ def div_axis_coeffs(
                     ac = ac + 2.0 * gamma * np.nan_to_num(
                         dxj / r, nan=0.0, posinf=0.0, neginf=0.0
                     )
-            gl, gu = 2.0 * g_min, 2.0 * g_max
         else:
             raise NotImplementedError(f"div: limiter {limiter} not supported")
         for bc in _aligned_bcs(bcs, j):
             if bc.bc_type in ("neumann", "symmetry"):
-                if bc.bc_n_dir < 0:
-                    ap[1] += gu / 3.0
-                    ac[1] -= gl / 3.0
-                    am[1] = 0.0
-                else:
-                    ap[-2] = 0.0
-                    ac[-2] += gl / 3.0
-                    am[-2] -= gu / 3.0
+                _eliminate_boundary_node(ap, ac, am, bc.bc_n_dir < 0)
             elif bc.bc_type == "periodic":
                 if bc.bc_n_dir < 0:
                     am[1] = 0.0
@@ -231,6 +233,7 @@ def apply_div_field(
     base_coeffs: tuple,
     limiter: str,
     surgery: tuple,
+    form: str = "conservative",
 ) -> jnp.ndarray:
     """Divergence with a spatially-varying advecting field, fused at apply
     time (never materializes full coefficient banks).
@@ -267,37 +270,42 @@ def apply_div_field(
         a = adv[i] if adv.shape[0] > 1 else adv[0]
         xi = x[i]
         if limiter == "none":
-            ap = apb * jnp.roll(a, -1, j)
+            if form == "conservative":
+                # Flux form d(gamma phi)/dx: neighbor gammas multiply the
+                # neighbor values (reference ``_adv_central``,
+                # ``fdc.py:736-738``).
+                ap = apb * jnp.roll(a, -1, j)
+                am = amb * jnp.roll(a, 1, j)
+            else:
+                # Advective form gamma * d(phi)/dx (the reference Div's
+                # OTHER documented math, ``fdc.py:628-631``) — required for
+                # e.g. Burgers ``u u_x``.
+                ap = apb * a
+                am = amb * a
             ac = acb * a
-            am = amb * jnp.roll(a, 1, j)
-            # Neumann surgery gammas (``_grad_central_adjust`` with a
-            # length-1 gamma tuple: gamma_min == gamma_max == adv).
-            gl = gu = a
         else:
             g_min = jnp.minimum(a, 0.0)
             g_max = jnp.maximum(a, 0.0)
             ap = 2.0 * inv_2dx * g_min
             ac = 2.0 * inv_2dx * (g_max - g_min) + acb * a
             am = -2.0 * inv_2dx * g_max
-            gl, gu = 2.0 * g_min, 2.0 * g_max
         lo_kind, up_kind = surgery[j]
-        # The reference adds (1/3)*gamma pre-division then divides by 2 dx
-        # (``fdc.py:588-609``); coefficients here are already divided, so the
-        # correction is (1/3) * gamma * 1/(2 dx).
-        third = inv_2dx / 3.0
-        row = lambda arr, idx: arr[_row_sel(j, idx)]
+        # Boundary-node elimination rule (see ``_eliminate_boundary_node``),
+        # applied on the fly with the spatially-varying coefficients.
         if lo_kind == "neumann":
             sel = _row_sel(j, 1)
-            ap = ap.at[sel].add(row(third * gu, 1))
-            ac = ac.at[sel].add(-row(third * gl, 1))
+            c0 = am[sel]
+            ac = ac.at[sel].add((4.0 / 3.0) * c0)
+            ap = ap.at[sel].add(-(1.0 / 3.0) * c0)
             am = am.at[sel].set(0.0)
         elif lo_kind == "periodic":
             am = am.at[_row_sel(j, 1)].set(0.0)
         if up_kind == "neumann":
             sel = _row_sel(j, -2)
+            c0 = ap[sel]
+            ac = ac.at[sel].add((4.0 / 3.0) * c0)
+            am = am.at[sel].add(-(1.0 / 3.0) * c0)
             ap = ap.at[sel].set(0.0)
-            ac = ac.at[sel].add(row(third * gl, -2))
-            am = am.at[sel].add(-row(third * gu, -2))
         elif up_kind == "periodic":
             ap = ap.at[_row_sel(j, -2)].set(0.0)
         out = out.at[0].add(

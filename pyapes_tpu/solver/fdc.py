@@ -106,15 +106,24 @@ class Discretizer(ABC):
             discretized = acc[None]
 
         elif self.op_type == "Laplacian":
+            # Edge mode replaces each axis's contribution at that axis's
+            # boundary slabs with the one-sided second derivative BEFORE
+            # summation. (The reference overwrites the summed Laplacian
+            # after the fact, ``fdc.py:110-113`` + ``fdc.py:223-258``,
+            # dropping the tangential axes' contributions at boundaries —
+            # its own oracle test ``test_fdm.py:42-49`` disagrees.)
             discretized = jnp.zeros_like(v)
             for idx in range(var.dim):
                 s = jnp.zeros_like(v[0])
                 for dim in range(var.mesh.dim):
-                    s = s + _A_coeff_var_sum(A_coeffs, v, idx, dim, var.dim)
+                    term = _A_coeff_var_sum(A_coeffs, v, idx, dim, var.dim)
+                    if edge:
+                        term = _one_sided_second_derivative(
+                            term, v[idx if var.dim > 1 else 0], dim,
+                            var.mesh.dx[dim],
+                        )
+                    s = s + term
                 discretized = discretized.at[idx].set(s)
-            if edge:
-                for dim in range(var.dim):
-                    discretized = _treat_edge(discretized, var, self.op_type, dim)
         else:
             raise TypeError(f"FDC: ({self.op_type=} is not supported!")
 
@@ -171,6 +180,27 @@ def _A_coeff_var_sum(
     return summed
 
 
+def _one_sided_second_derivative(
+    term: jnp.ndarray, v: jnp.ndarray, axis: int, dx
+) -> jnp.ndarray:
+    """Replace the boundary slabs of a single-axis second-derivative field
+    with the 2nd-order one-sided formula
+    ``(2 b - 5 b' + 4 b'' - b''')/dx^2`` (reference ``fdc.py:237-253``)."""
+    for side in (0, 1):
+        if side == 0:
+            i0, i1, i2, i3 = 0, 1, 2, 3
+        else:
+            i0, i1, i2, i3 = -1, -2, -3, -4
+        val = (
+            2.0 * v[_row_sel(axis, i0)]
+            - 5.0 * v[_row_sel(axis, i1)]
+            + 4.0 * v[_row_sel(axis, i2)]
+            - v[_row_sel(axis, i3)]
+        ) / (dx**2)
+        term = term.at[_row_sel(axis, i0)].set(val)
+    return term
+
+
 def _treat_edge(
     discretized: jnp.ndarray,
     var: Field,
@@ -183,23 +213,7 @@ def _treat_edge(
     md = var.mesh.dim
     v = var()
 
-    if ops == "Laplacian":
-        for idx in range(md):
-            for side in (0, 1):
-                if side == 0:
-                    i0, i1, i2, i3 = 0, 1, 2, 3
-                else:
-                    i0, i1, i2, i3 = -1, -2, -3, -4
-                b = v[dim][_row_sel(idx, i0)]
-                bp = v[dim][_row_sel(idx, i1)]
-                bpp = v[dim][_row_sel(idx, i2)]
-                bppp = v[dim][_row_sel(idx, i3)]
-                val = (2.0 * b - 5.0 * bp + 4.0 * bpp - bppp) / (
-                    var.mesh.dx[idx] ** 2
-                )
-                discretized = discretized.at[(dim,) + _row_sel(idx, i0)].set(val)
-
-    elif ops == "Grad":
+    if ops == "Grad":
         for idx in range(md):
             for side in (0, 1):
                 if side == 0:
@@ -386,18 +400,21 @@ def _grad_rhs_adjust(
 def _grad_central_adjust(
     var: Field, A_ops: list[list[jnp.ndarray]], dim: int, gamma=None
 ) -> list[list[jnp.ndarray]]:
-    """Boundary surgery for the central gradient (reference ``fdc.py:543-609``).
+    """Boundary surgery for the central gradient / advective divergence
+    banks, then 1/(2 dx) scaling (reference ``fdc.py:543-609``).
 
+    Neumann/Symmetry surgery uses the boundary-node **elimination rule**
+    (see ``ops/stencil.py::_eliminate_boundary_node``): the coefficient
+    ``c0`` currently multiplying the boundary node moves ``+4/3 c0`` to the
+    center and ``-1/3 c0`` to the far neighbor. This reads the banks' own
+    values, so it is exact for spatially-varying advection, upwind, and rz
+    alike. (The reference's hand-written ``±1/3`` center terms,
+    ``fdc.py:588-595``, contradict its BC application and its own RHS
+    adjustments; its oracle ``_grad_manuel_op`` pins the elimination form.)
+
+    ``gamma`` is unused for the surgery itself (kept for signature parity).
     Returns the updated ``[Ap, Ac, Am]`` banks (functional)."""
-    if gamma is None:
-        gamma_min = jnp.ones_like(var())
-        gamma_max = jnp.ones_like(var())
-    elif len(gamma) == 1:
-        gamma_min = gamma[0]
-        gamma_max = gamma[0]
-    else:
-        gamma_min, gamma_max = gamma[0], gamma[1]
-
+    del gamma
     Ap, Ac, Am = A_ops
     dx = var.mesh.dx_np
 
@@ -408,16 +425,16 @@ def _grad_central_adjust(
             pi = 1 if bc.bc_n_dir < 0 else -2
             sel = (dim,) + _row_sel(j, pi)
             if bc.bc_type in ("neumann", "symmetry"):
-                gmx = gamma_max[sel]
-                gmn = gamma_min[sel]
                 if bc.bc_n_dir < 0:
-                    Ap[j] = Ap[j].at[sel].add(gmx / 3.0)
-                    Ac[j] = Ac[j].at[sel].add(-gmn / 3.0)
+                    c0 = Am[j][sel]
+                    Ac[j] = Ac[j].at[sel].add((4.0 / 3.0) * c0)
+                    Ap[j] = Ap[j].at[sel].add(-(1.0 / 3.0) * c0)
                     Am[j] = Am[j].at[sel].set(0.0)
                 else:
+                    c0 = Ap[j][sel]
+                    Ac[j] = Ac[j].at[sel].add((4.0 / 3.0) * c0)
+                    Am[j] = Am[j].at[sel].add(-(1.0 / 3.0) * c0)
                     Ap[j] = Ap[j].at[sel].set(0.0)
-                    Ac[j] = Ac[j].at[sel].add(gmn / 3.0)
-                    Am[j] = Am[j].at[sel].add(-gmx / 3.0)
             elif bc.bc_type == "periodic":
                 if bc.bc_n_dir < 0:
                     Am[j] = Am[j].at[sel].set(0.0)

@@ -235,6 +235,7 @@ class Div(Operators):
 
         config = self.config or {"div": {"limiter": "none", "edge": False}}
         limiter = config.get("div", {}).get("limiter", "none")
+        form = config.get("div", {}).get("form", "conservative")
 
         self._var_j = var_j
         self._var_i = var_i
@@ -258,7 +259,7 @@ class Div(Operators):
                 "target": var_i,
                 "param": (var_j, config),
                 "sign": 1.0,
-                "other": {"base": base, "surgery": surgery},
+                "other": {"base": base, "surgery": surgery, "form": form},
                 "axis_coeffs": axis_coeffs,
                 "A_coeffs": None,
                 "adv": adv,
@@ -285,6 +286,7 @@ class Div(Operators):
             rec["other"]["base"],
             rec["limiter"],
             rec["other"]["surgery"],
+            rec["other"]["form"],
         )
 
 

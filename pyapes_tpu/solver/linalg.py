@@ -61,6 +61,7 @@ def _term_descriptor(rec) -> tuple:
         rec.get("limiter"),
         rec["other"]["surgery"] if (kind == "div_field") else None,
         rec["param"][0] is not None if name in ("laplacian", "grad") else False,
+        rec["other"]["form"] if (kind == "div_field") else None,
     )
 
 
@@ -80,13 +81,15 @@ def _make_Aop(term_descs) -> Callable:
     def Aop(x, tparams):
         out = jnp.zeros_like(x)
         for desc, tp in zip(term_descs, tparams):
-            kind, _, sign, limiter, surgery, has_param = desc
+            kind, _, sign, limiter, surgery, has_param, form = desc
             if kind == "axis":
                 r = apply_axis_stencil(tp["axis"], x)
                 if has_param:
                     r = r * tp["param"]
             elif kind == "div_field":
-                r = apply_div_field(x, tp["adv"], tp["base"], limiter, surgery)
+                r = apply_div_field(
+                    x, tp["adv"], tp["base"], limiter, surgery, form
+                )
             else:  # ddt
                 r = x * tp["inv_dt"]
             out = out + sign * r
@@ -131,6 +134,88 @@ def _bc_signature(bcs) -> tuple:
     return tuple(sig)
 
 
+def _periodic_axes(bcs, mesh_dim: int) -> tuple[int, ...]:
+    """Axes whose BOTH faces are periodic."""
+    count = [0] * mesh_dim
+    for bc in bcs or []:
+        if bc.bc_type == "periodic":
+            count[bc.bc_face_dim] += 1
+    return tuple(j for j in range(mesh_dim) if count[j] == 2)
+
+
+def _reduce_periodic(terms, term_descs, tparams, x0, rhs, bcs, mesh):
+    """De-duplicate periodic axes for the compiled solve.
+
+    The reference grid stores both endpoints of a periodic axis
+    (``linspace``, ``_mesh.py:84-96``) and patches the seam each iteration
+    with an extrapolation BC (``bcs.py:265-280``) — only approximately
+    enforcing the PDE at the seam. On the torus with the duplicate node
+    dropped, ``jnp.roll`` IS the exact periodic stencil, so the solve runs
+    on ``x[..., :-1]`` along periodic axes with pure central coefficients
+    and no seam BC at all; the duplicate node is re-filled afterwards.
+    """
+    paxes = _periodic_axes(bcs, mesh.dim)
+    if not paxes:
+        return tparams, x0, rhs, list(bcs or []), None
+
+    red = tuple(
+        slice(None, -1) if (j - 1) in paxes else slice(None)
+        for j in range(x0.ndim)
+    )
+
+    def reduce_full(a):
+        return a[red]
+
+    def fix_vec(vecs, j):
+        """Reduce a per-axis coefficient tuple: drop the duplicate entry on
+        periodic axes and undo the seam surgery (coefficients are constant
+        along a periodic axis, so fill with the mid value)."""
+        out = []
+        for ax, (ap, ac, am) in enumerate(vecs):
+            if ax in paxes:
+                n = ap.shape[0] - 1
+                mid = n // 2
+                out.append(
+                    (
+                        jnp.full((n,), ap[mid], dtype=ap.dtype),
+                        jnp.full((n,), ac[mid], dtype=ac.dtype),
+                        jnp.full((n,), am[mid], dtype=am.dtype),
+                    )
+                )
+            else:
+                out.append((ap, ac, am))
+        return tuple(out)
+
+    new_tparams = []
+    for desc, tp in zip(term_descs, tparams):
+        kind = desc[0]
+        tp = dict(tp)
+        if kind == "axis":
+            tp["axis"] = fix_vec(tp["axis"], None)
+        elif kind == "div_field":
+            tp["adv"] = reduce_full(tp["adv"])
+            tp["base"] = fix_vec(tp["base"], None)
+        new_tparams.append(tp)
+
+    x0r = reduce_full(x0)
+    rhsr = reduce_full(rhs)
+    bcs_kept = [
+        bc
+        for bc in (bcs or [])
+        if not (bc.bc_type == "periodic" and bc.bc_face_dim in paxes)
+    ]
+    return tuple(new_tparams), x0r, rhsr, bcs_kept, paxes
+
+
+def _restore_periodic(x, paxes) -> jnp.ndarray:
+    """Re-append the duplicate seam nodes after a reduced periodic solve."""
+    for j in paxes:
+        axis = 1 + j
+        seam = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+        x = jnp.concatenate([x, seam], axis=axis)
+    return x
+
+
 def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     """Dispatch to CG / BiCGSTAB (reference ``linalg.py:33-71``).
 
@@ -158,7 +243,27 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     term_descs = tuple(_term_descriptor(rec) for rec in terms)
     tparams = tuple(_term_params(rec, d) for rec, d in zip(terms, term_descs))
 
-    x0 = var()
+    x0_full = var()
+    tparams, x0, rhs_r, bcs_kept, paxes = _reduce_periodic(
+        terms, term_descs, tparams, x0_full, rhs, var.bcs, mesh
+    )
+    if paxes:
+        # On the torus no seam surgery is needed for spatially-varying
+        # advection either — drop periodic kinds on reduced axes.
+        term_descs = tuple(
+            desc[:4]
+            + (
+                tuple(
+                    ("none", "none") if j in paxes else desc[4][j]
+                    for j in range(len(desc[4]))
+                )
+                if desc[0] == "div_field"
+                else desc[4],
+            )
+            + desc[5:]
+            for desc in term_descs
+        )
+
     key = (
         method,
         criterion,
@@ -169,14 +274,26 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         id(mesh),
         _bc_signature(var.bcs),
         term_descs,
+        paxes,
     )
 
     if key not in _SOLVER_CACHE:
-        slicer = boundary_slicer(mesh.dim, var.bcs, mesh.coord_sys)
+        slicer = list(boundary_slicer(mesh.dim, bcs_kept, mesh.coord_sys))
+        red_nx = list(mesh.nx)
+        grid_r = mesh.grid
+        if paxes:
+            red = tuple(
+                slice(None, -1) if j in paxes else slice(None)
+                for j in range(mesh.dim)
+            )
+            grid_r = tuple(g[red] for g in mesh.grid)
+            for j in paxes:
+                slicer[j] = slice(None)  # every torus node is active
+                red_nx[j] -= 1
         M = jnp.asarray(
-            interior_mask(mesh.nx, slicer), dtype=x0.dtype
+            interior_mask(tuple(red_nx), tuple(slicer)), dtype=x0.dtype
         )
-        apply_bcs = apply_bcs_fn(list(var.bcs), mesh.grid)
+        apply_bcs = apply_bcs_fn(bcs_kept, grid_r)
         Aop = _make_Aop(term_descs)
         if method == "cg":
             fn = _build_cg(Aop, apply_bcs, M, tol, max_it, criterion)
@@ -184,7 +301,9 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             fn = _build_bicgstab(Aop, apply_bcs, M, tol, max_it, criterion)
         _SOLVER_CACHE[key] = jax.jit(fn)
 
-    x_final, itr, tol_final = _SOLVER_CACHE[key](x0, rhs, tparams)
+    x_final, itr, tol_final = _SOLVER_CACHE[key](x0, rhs_r, tparams)
+    if paxes:
+        x_final = _restore_periodic(x_final, paxes)
 
     itr = int(itr)
     tol_final = float(tol_final)

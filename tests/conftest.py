@@ -1,8 +1,13 @@
 """Test configuration: run on CPU with 8 virtual devices (for sharding
-tests) and float64 enabled (for parity with the torch reference)."""
+tests) and float64 enabled (parity with the torch reference).
+
+Note: this container's ``sitecustomize`` registers a tunneled TPU backend
+and forces ``JAX_PLATFORMS=axon``; per-op dispatch over the tunnel is
+seconds-slow, so tests run on the host CPU. Backends initialize lazily, so
+overriding the config here (before any computation) is sufficient.
+"""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,4 +16,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,358 @@
+"""End-to-end PDE solves vs closed-form solutions
+(ported from reference ``tests/test_solver.py``)."""
+from math import cos, cosh, exp, pi, sin
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from pyapes_tpu.geometry import Box, Cylinder
+from pyapes_tpu.mesh import Mesh
+from pyapes_tpu.solver.fdm import FDM
+from pyapes_tpu.solver.ops import Solver
+from pyapes_tpu.testing.burgers import burger_exact_nd
+from pyapes_tpu.testing.poisson import (
+    poisson_bcs,
+    poisson_exact_nd,
+    poisson_rhs_nd,
+)
+from pyapes_tpu.variables import Field
+from pyapes_tpu.variables.bcs import (
+    CylinderBoundary,
+    homogeneous_bcs,
+    mixed_bcs,
+)
+
+
+def _close(a, b, rtol, atol):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize(
+    ["domain", "spacing", "dim"],
+    [
+        [Box[0:1], [11], 1],
+        [Box[0:1, 0:1], [0.01, 0.01], 2],
+        [Box[0:1, 0:1, 0:1], [0.1, 0.1, 0.1], 3],
+    ],
+)
+def test_poisson_nd_pure_dirichlet(domain, spacing, dim) -> None:
+    """N-D Poisson, pure Dirichlet, CG + BiCGSTAB
+    (reference ``test_solver.py:30-88``)."""
+    mesh = Mesh(domain, None, spacing)
+    f_bc = poisson_bcs(dim)
+
+    var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None})
+    rhs = poisson_rhs_nd(mesh, var)
+    sol_ex = poisson_exact_nd(mesh)
+
+    solver = Solver(
+        {"fdm": {"method": "cg", "tol": 1e-6, "max_it": 1000, "report": False}}
+    )
+    fdm = FDM()
+
+    solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+    solver.solve()
+
+    assert solver.report["converge"] is True
+    _close(var()[0], sol_ex, rtol=0.1, atol=0.01)
+
+    var = var.zeros_like()
+
+    solver = Solver(
+        {
+            "fdm": {
+                "method": "bicgstab",
+                "tol": 1e-6,
+                "max_it": 1000,
+                "report": False,
+            }
+        }
+    )
+    solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+    solver.solve()
+
+    assert solver.report["converge"] is True
+    _close(var()[0], sol_ex, rtol=0.1, atol=0.01)
+
+
+def test_heat_conduction_2d_mixed() -> None:
+    """2-D Laplace, mixed Neumann/Dirichlet, vs the separable series solution
+    (reference ``test_solver.py:91-161``; asserted against the analytic
+    series instead of the golden CSV, same physics)."""
+    mesh = Mesh(Box[0:1, 0:1], None, [11, 11])
+
+    # xl - xu - yl - yu
+    f_bc = mixed_bcs(
+        [0.0, 0.0, 0.0, 1.0],
+        ["neumann", "dirichlet", "neumann", "dirichlet"],
+    )
+    var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None}, init_val=0.0)
+
+    solver = Solver(
+        {
+            "fdm": {
+                "method": "bicgstab",
+                "tol": 1e-8,
+                "max_it": 1000,
+                "report": False,
+            }
+        }
+    )
+    fdm = FDM()
+    solver.set_eq(fdm.laplacian(var) == 0.0)
+    solver.solve()
+
+    def _exact_solution(x, y, n: int):
+        sol_ex = np.zeros_like(x)
+        for i in range(1, n + 1):
+            lambda_n = (2 * i - 1) * pi / 2
+            An = 2 * (-1) ** (i - 1) / (lambda_n * cosh(lambda_n))
+            sol_ex += An * np.cosh(lambda_n * y) * np.cos(lambda_n * x)
+        return sol_ex
+
+    sol_ex = _exact_solution(
+        np.asarray(mesh.X), np.asarray(mesh.Y), 200
+    )
+
+    # Exclude the Dirichlet corner rows like the reference's golden compare
+    # (``test_solver.py:151`` compares [:-1, :-1]).
+    _close(np.asarray(var()[0])[:-1, :-1], sol_ex[:-1, :-1], rtol=0.05, atol=0.01)
+
+
+def test_poisson_2d_mixed_periodic() -> None:
+    """Periodic-x Poisson (reference ``test_solver.py:164-207``; the
+    reference asserts nothing — we check convergence and periodicity)."""
+    mesh = Mesh(Box[0:1, 0:1], None, [101, 101])
+
+    f_bc = mixed_bcs(
+        [None, None, 0, 0],
+        ["periodic", "periodic", "dirichlet", "dirichlet"],
+    )
+    var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None}, init_val=0.0)
+    rhs = jnp.zeros_like(var())
+    rhs = rhs.at[0].set(
+        mesh.X * jnp.sin(5.0 * pi * mesh.Y)
+        + jnp.exp(-((mesh.X - 0.5) ** 2 + (mesh.Y - 0.5) ** 2) / 0.02)
+    )
+
+    solver = Solver(
+        {
+            "fdm": {
+                "method": "bicgstab",
+                "tol": 1e-8,
+                "max_it": 1000,
+                "report": False,
+            }
+        }
+    )
+    fdm = FDM()
+    solver.set_eq(-fdm.laplacian(var) == rhs)
+    solver.solve()
+
+    v = np.asarray(var()[0])
+    # Periodic faces must agree; Dirichlet faces must be zero.
+    assert_allclose(v[0, :], v[-1, :], atol=1e-6)
+    assert_allclose(v[:, 0], 0.0, atol=1e-12)
+    assert_allclose(v[:, -1], 0.0, atol=1e-12)
+    assert np.abs(v).max() > 1e-3  # nontrivial solution
+
+
+def test_poisson_1d_mixed_neumann() -> None:
+    """1-D Poisson with Neumann/Dirichlet vs closed form
+    (reference ``test_solver.py:210-268``)."""
+    mesh = Mesh(Box[-pi / 2 : pi / 4], None, [101])
+
+    # The Neumann value follows the outward face normal.
+    f_bc = mixed_bcs([-1 / 4, -1 / 2], ["neumann", "dirichlet"])
+    var = Field("phi", 1, mesh, {"domain": f_bc, "obstacle": None}, init_val=0.0)
+    rhs = jnp.zeros_like(var())
+    rhs = rhs.at[0].set(jnp.cos(pi / 2 * mesh.X + pi / 4))
+
+    sol_ex = (
+        (1 / 4 - 2 / pi * sin(-(pi**2) / 4 + pi / 4)) * (mesh.X - pi / 4)
+        - (4 / pi**2)
+        * (jnp.cos(pi / 2 * mesh.X + pi / 4) - cos(pi**2 / 8 + pi / 4))
+        - 1 / 2
+    )
+
+    solver = Solver(
+        {
+            "fdm": {
+                "method": "bicgstab",
+                "tol": 1e-6,
+                "max_it": 1000,
+                "report": False,
+            }
+        }
+    )
+    fdm = FDM()
+    solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+    solver.solve()
+
+    v = np.asarray(var()[0])
+    se = np.asarray(sol_ex)
+    dx = float(mesh.dx_np[0])
+
+    phi0 = (-3 / 2 * v[0] + 2 * v[1] - 1 / 2 * v[2]) / dx
+    phi0_ex = (-3 / 2 * se[0] + 2 * se[1] - 1 / 2 * se[2]) / dx
+    _close(phi0, phi0_ex, rtol=1e-1, atol=1e-1)
+    _close(v, se, rtol=1e-3, atol=1e-3)
+
+
+def test_poisson_2d_mixed_neumann() -> None:
+    """2-D Poisson with Dirichlet/Neumann vs manufactured solution
+    (reference ``test_solver.py:271-306`` — which asserts nothing; the
+    exact solution sin(pi x) sin(pi y) satisfies these BCs on [0,0.5]^2)."""
+    mesh = Mesh(Box[0:0.5, 0:0.5], None, [101, 101])
+
+    f_bc = mixed_bcs(
+        [0, 0, 0, 0], ["dirichlet", "neumann", "dirichlet", "neumann"]
+    )
+    var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None}, init_val=0.0)
+    rhs = jnp.zeros_like(var())
+    rhs = rhs.at[0].set(
+        -2 * pi**2 * jnp.sin(pi * mesh.X) * jnp.sin(pi * mesh.Y)
+    )
+
+    solver = Solver(
+        {"fdm": {"method": "cg", "tol": 1e-6, "max_it": 1000, "report": False}}
+    )
+    fdm = FDM()
+    solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+    solver.solve()
+
+    sol_ex = np.sin(pi * np.asarray(mesh.X)) * np.sin(pi * np.asarray(mesh.Y))
+    _close(var()[0], sol_ex, rtol=1e-2, atol=1e-2)
+
+
+def test_poisson_rz() -> None:
+    """Axisymmetric Poisson with callable BCs vs exp(-z) cos(r)
+    (reference ``test_solver.py:309-358``)."""
+    mesh = Mesh(Cylinder[0:1, 0:1], None, [101, 101])
+
+    def bc_ru(grid, mask, *_):
+        return jnp.exp(-grid[1]) * cos(1)
+
+    def bc_zl(grid, mask, *_):
+        return jnp.cos(grid[0])
+
+    def bc_zu(grid, mask, *_):
+        return jnp.cos(grid[0]) * exp(-1)
+
+    f_bc = CylinderBoundary(
+        rl={"bc_type": "neumann", "bc_val": 0.0},
+        ru={"bc_type": "dirichlet", "bc_val": bc_ru},
+        zl={"bc_type": "dirichlet", "bc_val": bc_zl},
+        zu={"bc_type": "dirichlet", "bc_val": bc_zu},
+    )
+    var = Field("U", 1, mesh, {"domain": f_bc(), "obstacle": None}, init_val=0.0)
+
+    solver = Solver(
+        {
+            "fdm": {
+                "method": "bicgstab",
+                "tol": 1e-5,
+                "max_it": 1000,
+                "report": False,
+            }
+        }
+    )
+    fdm = FDM()
+
+    sol_ex = jnp.exp(-mesh.Z) * jnp.cos(mesh.X)
+
+    rhs = jnp.zeros_like(var())
+    rhs_val = -jnp.sin(mesh.X) / (mesh.X * jnp.exp(mesh.Z))
+    rhs_val = jnp.where(mesh.X == 0.0, -1.0 / jnp.exp(mesh.Z), rhs_val)
+    rhs = rhs.at[0].set(rhs_val)
+
+    solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+    solver.solve()
+
+    _close(var()[0], sol_ex, rtol=1e-3, atol=1e-3)
+
+
+def test_advection_diffusion_1d() -> None:
+    """Steady 1-D advection-diffusion vs boundary-layer exact solution
+    (reference ``test_solver.py:361-390``)."""
+    mesh = Mesh(Box[0:1], None, [0.05])
+
+    f_bc = homogeneous_bcs(1, 0.0, "dirichlet")
+    var = Field("U", 1, mesh, {"domain": f_bc, "obstacle": None}, init_val=0.5)
+
+    solver = Solver(
+        {
+            "fdm": {
+                "method": "bicgstab",
+                "tol": 1e-5,
+                "max_it": 1000,
+                "report": False,
+            }
+        }
+    )
+    fdm = FDM()
+
+    epsilon = 0.5
+    sol_ex = mesh.X - (
+        jnp.exp(-(1 - mesh.X) / epsilon) - exp(-1 / epsilon)
+    ) / (1 - exp(-1 / epsilon))
+
+    solver.set_eq(fdm.grad(var) - fdm.laplacian(epsilon, var) == 1.0)
+    solver.solve()
+
+    _close(var()[0], sol_ex, rtol=0.1, atol=0.01)
+
+
+def test_burger_1d_transient() -> None:
+    """1-D viscous Burgers with backward-Euler Ddt + nonlinear Div
+    (the reference's ``wip_burger_1d``, ``test_solver.py:393-436``,
+    renamed-out-of-collection because Ddt is disabled there; our Ddt
+    works)."""
+    mesh = Mesh(Box[0 : 2 * pi], None, [101])
+
+    solver = Solver(
+        {
+            "fdm": {
+                "method": "bicgstab",
+                "tol": 1e-6,
+                "max_it": 1000,
+                "report": False,
+                "picard": 2,
+            }
+        }
+    )
+    # Advective form: div(u, u) means u u_x (Burgers), not (u^2)_x.
+    fdm = FDM({"div": {"limiter": "none", "edge": False, "form": "advective"}})
+
+    nu = 0.1
+    sim_end = 0.1
+    n_itr = 10
+    dt = sim_end / n_itr
+
+    f_bc = homogeneous_bcs(1, None, "periodic")
+    init_val = burger_exact_nd(mesh, nu, 0.0)
+    var = Field(
+        "U", 1, mesh, {"domain": f_bc, "obstacle": None}, init_val=[init_val]
+    )
+
+    var.set_time(dt, 0.0)
+
+    for _ in range(n_itr):
+        var.save_old()
+        solver.set_eq(
+            fdm.ddt(var) + fdm.div(var, var) - fdm.laplacian(nu, var) == 0.0
+        )
+        solver.solve()
+        var.update_time()
+
+        sol_ex = burger_exact_nd(mesh, nu, var.t)
+        # The central+BE scheme's own spatial floor at this resolution is
+        # ~1.0 in max norm at the travelling front (verified against a
+        # dense numpy BE+Picard oracle of the identical scheme); pin the
+        # global accuracy in relative L2 plus that max-norm bound.
+        err = np.asarray(var()[0] - sol_ex)
+        rel_l2 = np.linalg.norm(err) / np.linalg.norm(np.asarray(sol_ex))
+        assert rel_l2 < 0.05, f"relative L2 error too large: {rel_l2}"
+        assert np.abs(err).max() < 1.2
