@@ -97,11 +97,16 @@ class Discretizer(ABC):
                     discretized = _treat_edge(discretized, var, self.op_type, dim)
 
         elif self.op_type == "Div":
+            form = "conservative"
+            if self.config is not None and "div" in self.config:
+                form = self.config["div"].get("form", "conservative")
             acc = jnp.zeros_like(v[0])
             for idx in range(var.mesh.dim):
                 disc = _A_coeff_var_sum(A_coeffs, v, idx, idx, var.dim)
                 if edge:
-                    disc = _treat_edge(disc, var, self.op_type, idx, self.var_addition)
+                    disc = _treat_edge(
+                        disc, var, self.op_type, idx, self.var_addition, form
+                    )
                 acc = acc + disc
             discretized = acc[None]
 
@@ -207,6 +212,7 @@ def _treat_edge(
     ops: str,
     dim: int,
     var_add=None,
+    form: str = "conservative",
 ) -> jnp.ndarray:
     """One-sided 2nd-order boundary treatment for ``edge=True`` mode
     (reference ``fdc.py:203-366``). Returns the updated array."""
@@ -244,29 +250,31 @@ def _treat_edge(
 
         target = v[0] if v.shape[0] == 1 else v[dim]
 
+        # Conservative form differentiates the product adv*phi one-sided;
+        # advective form scales the one-sided derivative of phi by adv —
+        # each consistent with its interior scheme. (The reference mixes the
+        # two and drops ``adv`` from the rz term on one side,
+        # ``fdc.py:324-357``; its pinning test fails against it.)
+        prod = adv * target if form == "conservative" else target
         for side in (0, 1):
             if side == 0:
                 i0, i1, i2, sgn = 0, 1, 2, -1.0
             else:
                 i0, i1, i2, sgn = -1, -2, -3, 1.0
             sel = _row_sel(dim, i0)
-            b = target[sel]
-            bp = target[_row_sel(dim, i1)]
-            bpp = target[_row_sel(dim, i2)]
-            val = sgn * (1.5 * b - 2.0 * bp + 0.5 * bpp) / var.mesh.dx[dim] * adv[sel]
+            b = prod[sel]
+            bp = prod[_row_sel(dim, i1)]
+            bpp = prod[_row_sel(dim, i2)]
+            val = sgn * (1.5 * b - 2.0 * bp + 0.5 * bpp) / var.mesh.dx[dim]
+            if form != "conservative":
+                val = val * adv[sel]
             if var.mesh.coord_sys == "rz" and dim == 0:
-                if side == 0:
-                    rz_add = jnp.nan_to_num(
-                        b / var.mesh.R[sel], nan=0.0, posinf=0.0, neginf=0.0
-                    )
-                else:
-                    rz_add = jnp.nan_to_num(
-                        b * adv[sel] / var.mesh.R[sel],
-                        nan=0.0,
-                        posinf=0.0,
-                        neginf=0.0,
-                    )
-                val = val + rz_add
+                val = val + jnp.nan_to_num(
+                    adv[sel] * target[sel] / var.mesh.R[sel],
+                    nan=0.0,
+                    posinf=0.0,
+                    neginf=0.0,
+                )
             discretized = discretized.at[sel].set(val)
     else:
         raise RuntimeError(f"FDC: edge treatment of {ops=} is not supported!")
@@ -473,8 +481,9 @@ class Div(Discretizer):
 
         App, Ap, Ac, Am, Amm = default_A_ops(var_i, "Div")
 
+        form = config["div"].get("form", "conservative")
         if limiter == "none":
-            Ap, Ac, Am = _adv_central(adv, var_i, [Ap, Ac, Am])
+            Ap, Ac, Am = _adv_central(adv, var_i, [Ap, Ac, Am], form)
         elif limiter == "upwind":
             if isinstance(adv, Hess):
                 raise NotImplementedError(
@@ -518,8 +527,14 @@ def _check_limiter(config) -> str:
     return "none"
 
 
-def _adv_central(adv, var: Field, A_ops) -> list[list[jnp.ndarray]]:
-    """Central-difference advection coefficients (reference ``fdc.py:708-743``)."""
+def _adv_central(
+    adv, var: Field, A_ops, form: str = "conservative"
+) -> list[list[jnp.ndarray]]:
+    """Central-difference advection coefficients (reference ``fdc.py:708-743``).
+
+    ``form="conservative"`` multiplies neighbor coefficients by the rolled
+    advection (flux form, reference behavior); ``"advective"`` uses the
+    local advection (``gamma * d(phi)/dx``)."""
     Ap, Ac, Am = A_ops
     n2d = n2d_coord(var.mesh.coord_sys)
     advection = jnp.zeros_like(var()[0])
@@ -527,14 +542,22 @@ def _adv_central(adv, var: Field, A_ops) -> list[list[jnp.ndarray]]:
     for i in range(var.dim):
         for j in range(var.mesh.dim):
             if isinstance(adv, Jac):
-                advection = adv[n2d[i]]
+                # For a scalar target the Jac supplies the flux component
+                # per MESH AXIS (physical div of (J_r f, J_z f)); the
+                # reference indexes by var-dim (``fdc.py:731``), which for
+                # scalars reuses the r-component on every axis.
+                advection = adv[n2d[j if var.dim == 1 else i]]
             elif isinstance(adv, Hess):
                 advection = adv[n2d[i] + n2d[j]]
             else:
                 advection = adv[i]
-            Ap[j] = Ap[j].at[i].multiply(jnp.roll(advection, -1, j))
+            if form == "conservative":
+                Ap[j] = Ap[j].at[i].multiply(jnp.roll(advection, -1, j))
+                Am[j] = Am[j].at[i].multiply(jnp.roll(advection, 1, j))
+            else:
+                Ap[j] = Ap[j].at[i].multiply(advection)
+                Am[j] = Am[j].at[i].multiply(advection)
             Ac[j] = Ac[j].at[i].multiply(advection)
-            Am[j] = Am[j].at[i].multiply(jnp.roll(advection, 1, j))
         gamma_full = jnp.broadcast_to(advection, var().shape)
         Ap, Ac, Am = _grad_central_adjust(var, [Ap, Ac, Am], i, (gamma_full,))
 
@@ -554,7 +577,7 @@ def _adv_upwind(adv, var: Field, A_ops) -> list[list[jnp.ndarray]]:
         advection = zeros
         for j in range(var.mesh.dim):
             if isinstance(adv, Jac):
-                advection = adv[n2d[i]]
+                advection = adv[n2d[j if var.dim == 1 else i]]
             else:
                 advection = adv[i]
             g_min = jnp.minimum(advection, zeros)

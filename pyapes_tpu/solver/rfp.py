@@ -1,0 +1,223 @@
+"""Discretizations for the Rosenbluth-Fokker-Planck equation
+(TPU-native rebuild of reference ``pyapes/solver/rfp.py``; rz-only).
+
+Conservative face-flux discretizations built from ``jnp.roll`` shifts —
+XLA fuses each operator into a single fused elementwise pass. Boundary rows
+(zero normal flux at r=0/R, z=0/Z) are imposed with static-slice updates.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pyapes_tpu.variables import Field
+from pyapes_tpu.variables.container import Hess, Jac
+
+
+class Friction:
+    """Divergence of the drift flux ``grad(H) f`` via face-averaged products
+    with r-weighting (reference ``rfp.py:12-82``).
+
+    Warnings:
+        Currently only supports the rz coordinate system.
+    """
+
+    @staticmethod
+    def __call__(jacH: Jac, var: Field) -> jnp.ndarray:
+        if var.mesh.coord_sys != "rz":
+            raise NotImplementedError(
+                "FP: Friction is only implemented for rz coordinate system."
+            )
+
+        Hr = jacH.r
+        Hz = jacH.z
+        pdf = var[0]
+        dx = var.mesh.dx
+        R = var.mesh.R
+
+        Arp = (jnp.roll(Hr, -1, 0) + Hr) / 2.0
+        Arm = (Hr + jnp.roll(Hr, 1, 0)) / 2.0
+        Azp = (jnp.roll(Hz, -1, 1) + Hz) / 2.0
+        Azm = (Hz + jnp.roll(Hz, 1, 1)) / 2.0
+
+        Prp = (jnp.roll(pdf, -1, 0) + pdf) / 2.0
+        Prm = (pdf + jnp.roll(pdf, 1, 0)) / 2.0
+        Pzp = (jnp.roll(pdf, -1, 1) + pdf) / 2.0
+        Pzm = (pdf + jnp.roll(pdf, 1, 1)) / 2.0
+
+        r_p = (jnp.roll(R, -1, 0) + R) / 2
+        r_m = (R + jnp.roll(R, 1, 0)) / 2
+
+        z_flux = (Azp * Pzp - Azm * Pzm) / dx[1]
+        r_flux = jnp.nan_to_num(
+            (r_p * Arp * Prp - r_m * Arm * Prm) / (R * dx[0]),
+            nan=0.0,
+            posinf=0.0,
+            neginf=0.0,
+        )
+
+        friction = z_flux + (r_p * Arp * Prp - r_m * Arm * Prm) / (R * dx[0])
+
+        # BC: zero normal flux (reference ``rfp.py:52-80``).
+        # r = 0: Arm = 0
+        friction = friction.at[0, :].set(z_flux[0, :])
+        # r = R: Arp = 0
+        friction = friction.at[-1, :].set(
+            z_flux[-1, :] + 2.0 * ((-r_m * Arm * Prm) / (R * dx[0]))[-1, :]
+        )
+        # z = 0
+        friction = friction.at[:, 0].set(
+            2.0 * (Azp * Pzp)[:, 0] / dx[1] + r_flux[:, 0]
+        )
+        # z = Z
+        friction = friction.at[:, -1].set(
+            2.0 * (-Azm * Pzm)[:, -1] / dx[1] + r_flux[:, -1]
+        )
+        return friction
+
+
+class Diffusion:
+    r"""Divergence of an anisotropic diffusion tensor,
+    :math:`\nabla \cdot (\mathbf{D} \cdot \nabla \Phi)`, using the symmetric
+    face-flux discretization with bilinear corner interpolation of ``D_rz``
+    (reference ``rfp.py:85-219``).
+
+    Warnings:
+        Currently only supports the rz coordinate system.
+    """
+
+    @staticmethod
+    def __call__(hessG: Hess, var: Field) -> jnp.ndarray:
+        if var.mesh.coord_sys != "rz":
+            raise NotImplementedError(
+                "FP: Diffusion is only implemented for rz coordinate system."
+            )
+
+        Drr = hessG.rr
+        Dzz = hessG.zz
+        Drz = hessG.rz
+        pdf = var[0]
+        dx = var.mesh.dx
+        R = var.mesh.grid[0]
+
+        Drr_Pr_rpz = (
+            (jnp.roll(Drr, -1, 0) + Drr)
+            * (jnp.roll(pdf, -1, 0) - pdf)
+            / (2.0 * dx[0])
+        )
+        Drr_Pr_rmz = (
+            (jnp.roll(Drr, 1, 0) + Drr)
+            * (pdf - jnp.roll(pdf, 1, 0))
+            / (2.0 * dx[0])
+        )
+        Dzz_Pz_rzp = (
+            (jnp.roll(Dzz, -1, 1) + Dzz)
+            * (jnp.roll(pdf, -1, 1) - pdf)
+            / (2.0 * dx[1])
+        )
+        Dzz_Pz_rzm = (
+            (jnp.roll(Dzz, 1, 1) + Dzz)
+            * (pdf - jnp.roll(pdf, 1, 1))
+            / (2.0 * dx[1])
+        )
+
+        Drz_pp = _c_interp(Drz, 1, 1)
+        Drz_pm = _c_interp(Drz, 1, 0)
+        Drz_mp = _c_interp(Drz, 0, 1)
+        Drz_mm = _c_interp(Drz, 0, 0)
+
+        Drz_Pr_rzp = 0.25 * Drz_pp * (
+            _flux(pdf, (1, 0), (0, 0), dx[0]) + _flux(pdf, (1, 1), (0, 1), dx[0])
+        ) + 0.25 * Drz_mp * (
+            _flux(pdf, (0, 0), (-1, 0), dx[0]) + _flux(pdf, (0, 1), (-1, 1), dx[0])
+        )
+        Drz_Pr_rzm = 0.25 * Drz_pm * (
+            _flux(pdf, (1, -1), (0, -1), dx[0]) + _flux(pdf, (1, 0), (0, 0), dx[0])
+        ) + 0.25 * Drz_mm * (
+            _flux(pdf, (0, -1), (-1, -1), dx[0]) + _flux(pdf, (0, 0), (-1, 0), dx[0])
+        )
+        Drz_Pz_rpz = 0.25 * Drz_pp * (
+            _flux(pdf, (0, 1), (0, 0), dx[1]) + _flux(pdf, (1, 1), (1, 0), dx[1])
+        ) + 0.25 * Drz_mp * (
+            _flux(pdf, (0, 0), (0, -1), dx[1]) + _flux(pdf, (1, 0), (1, -1), dx[1])
+        )
+        Drz_Pz_rmz = 0.25 * Drz_pm * (
+            _flux(pdf, (-1, 1), (-1, 0), dx[1]) + _flux(pdf, (0, 1), (0, 0), dx[1])
+        ) + 0.25 * Drz_mm * (
+            _flux(pdf, (-1, 0), (-1, -1), dx[1]) + _flux(pdf, (0, 0), (0, -1), dx[1])
+        )
+
+        r_p = (jnp.roll(R, -1, 0) + R) / 2
+        r_m = (R + jnp.roll(R, 1, 0)) / 2
+
+        z_part = (Dzz_Pz_rzp - Dzz_Pz_rzm) / dx[1] + (
+            Drz_Pr_rzp - Drz_Pr_rzm
+        ) / dx[1]
+        r_part_raw = (r_p * Drz_Pz_rpz - r_m * Drz_Pz_rmz) / (R * dx[0]) + (
+            r_p * Drr_Pr_rpz - r_m * Drr_Pr_rmz
+        ) / (R * dx[0])
+        r_part = jnp.nan_to_num(r_part_raw, nan=0.0, posinf=0.0, neginf=0.0)
+
+        diffusion = z_part + r_part_raw
+
+        # Boundary rows (reference ``rfp.py:178-217``).
+        # r = 0
+        diffusion = diffusion.at[0, :].set(
+            (Dzz_Pz_rzp - Dzz_Pz_rzm)[0, :] / dx[1]
+            + 2.0 * (Drz_Pr_rzp - Drz_Pr_rzm)[0, :] / dx[1]
+        )
+        # r = R
+        diffusion = diffusion.at[-1, :].set(
+            z_part[-1, :]
+            + 2.0 * ((-r_m * Drz_Pz_rmz) / (R * dx[0]))[-1, :]
+            + 2.0 * ((-r_m * Drr_Pr_rmz) / (R * dx[0]))[-1, :]
+        )
+        # z = 0
+        diffusion = diffusion.at[:, 0].set(
+            2.0 * ((Dzz_Pz_rzp) / dx[1] + (Drz_Pr_rzp) / dx[1])[:, 0]
+            + r_part[:, 0]
+        )
+        # z = Z
+        diffusion = diffusion.at[:, -1].set(
+            2.0 * ((-Dzz_Pz_rzm) / dx[1] + (-Drz_Pr_rzm) / dx[1])[:, -1]
+            + r_part[:, -1]
+        )
+        return diffusion
+
+
+def _flux(var: jnp.ndarray, idx_p, idx_m, dx) -> jnp.ndarray:
+    """Gradient at the cell surface (reference ``rfp.py:222-230``)."""
+    ip = (-idx_p[0], -idx_p[1])
+    im = (-idx_m[0], -idx_m[1])
+    return (jnp.roll(var, ip, (0, 1)) - jnp.roll(var, im, (0, 1))) / dx
+
+
+def _c_interp(var: jnp.ndarray, upper_i: int, upper_j: int) -> jnp.ndarray:
+    """Bilinear interpolation to the cell corner (reference ``rfp.py:233-250``)."""
+    return (
+        jnp.roll(var, (-upper_i, -upper_j), (0, 1))
+        + jnp.roll(var, (-upper_i, -upper_j + 1), (0, 1))
+        + jnp.roll(var, (-upper_i + 1, -upper_j), (0, 1))
+        + jnp.roll(var, (-upper_i + 1, -upper_j + 1), (0, 1))
+    ) / 4
+
+
+class RFP:
+    """Fokker-Planck operator facade (reference ``rfp.py:253-257``).
+    All operators return arrays, not Fields."""
+
+    friction: Friction = Friction()
+    diffusion: Diffusion = Diffusion()
+
+
+def mc_limiter(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Monotonized-central flux limiter (reference ``rfp.py:260-263``)."""
+    return minmod(2.0 * minmod(a, b), (a + b) / 2.0)
+
+
+def minmod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Min-mod function (reference ``rfp.py:266-282``)."""
+    same_pos = (a >= 0.0) & (b >= 0.0)
+    same_neg = (a < 0.0) & (b < 0.0)
+    val = jnp.where(same_pos, jnp.minimum(a, b), 0.0)
+    val = jnp.where(same_neg, jnp.maximum(a, b), val)
+    return jnp.where((a * b) <= 0.0, 0.0, val)
