@@ -264,6 +264,38 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             for desc in term_descs
         )
 
+    decomp = config.get("decomp")
+    if decomp is not None:
+        for j, nd in enumerate(decomp.mesh_shape):
+            if nd > 1 and x0.shape[1 + j] % nd != 0:
+                raise ValueError(
+                    f"DomainDecomposition: grid axis {j} has "
+                    f"{x0.shape[1 + j]} active nodes (after periodic "
+                    f"de-duplication), not divisible by {nd} devices. "
+                    "Choose node counts divisible by the device count "
+                    "(periodic axes: 2^k + 1 nodes reduce to 2^k)."
+                )
+        # GSPMD tier: commit inputs to the domain decomposition; the jitted
+        # while_loop partitions rolls into collective-permutes and dot
+        # products into all-reduces over the device mesh.
+        shard = decomp.sharding(x0.ndim)
+        x0 = jax.device_put(x0, shard)
+        rhs_r = jax.device_put(rhs_r, shard)
+        repl = decomp.replicated()
+        tparams = tuple(
+            {
+                k: (
+                    jax.device_put(v, shard)
+                    if k == "adv"
+                    else jax.tree_util.tree_map(
+                        lambda a: jax.device_put(a, repl), v
+                    )
+                )
+                for k, v in tp.items()
+            }
+            for tp in tparams
+        )
+
     key = (
         method,
         criterion,
@@ -275,6 +307,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         _bc_signature(var.bcs),
         term_descs,
         paxes,
+        decomp,
     )
 
     if key not in _SOLVER_CACHE:

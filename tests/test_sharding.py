@@ -1,0 +1,120 @@
+"""Multi-device tests on 8 virtual CPU devices: sharded solves must match
+single-device results (the capability the reference lacks entirely —
+SURVEY §2 parallelism inventory)."""
+from math import pi
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from pyapes_tpu.geometry import Box
+from pyapes_tpu.mesh import Mesh
+from pyapes_tpu.ops.stencil import apply_axis_stencil, laplacian_axis_coeffs
+from pyapes_tpu.parallel import DomainDecomposition
+from pyapes_tpu.parallel.halo import make_sharded_stencil
+from pyapes_tpu.solver.fdm import FDM
+from pyapes_tpu.solver.ops import Solver
+from pyapes_tpu.testing.poisson import (
+    poisson_bcs,
+    poisson_exact_nd,
+    poisson_rhs_nd,
+)
+from pyapes_tpu.variables import Field
+
+needs_8 = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _solve_poisson_2d(decomp):
+    mesh = Mesh(Box[0:1, 0:1], None, [64, 64])
+    var = Field("p", 1, mesh, {"domain": poisson_bcs(2), "obstacle": None})
+    rhs = poisson_rhs_nd(mesh, var)
+    cfg = {"method": "cg", "tol": 1e-8, "max_it": 2000, "report": False}
+    if decomp is not None:
+        cfg["decomp"] = decomp
+    solver = Solver({"fdm": cfg})
+    fdm = FDM()
+    solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+    solver.solve()
+    return np.asarray(var()[0]), solver.report, mesh
+
+
+@needs_8
+def test_sharded_solve_matches_single_device() -> None:
+    ref, rep_ref, mesh = _solve_poisson_2d(None)
+    for shape in [(8, 1), (1, 8), (2, 4), (4, 2)]:
+        out, rep, _ = _solve_poisson_2d(DomainDecomposition(shape))
+        assert rep["converge"]
+        assert_allclose(out, ref, atol=1e-10, rtol=1e-10)
+    # and against the exact solution
+    assert_allclose(ref, np.asarray(poisson_exact_nd(mesh)), rtol=0.1, atol=0.01)
+
+
+@needs_8
+def test_sharded_solve_periodic() -> None:
+    """Periodic + sharded: torus reduction composes with the decomposition."""
+
+    def run(decomp):
+        mesh = Mesh(Box[0:1, 0:1], None, [33, 32])
+        from pyapes_tpu.variables.bcs import mixed_bcs
+
+        f_bc = mixed_bcs(
+            [None, None, 0, 0], ["periodic", "periodic", "dirichlet", "dirichlet"]
+        )
+        var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None}, init_val=0.0)
+        rhs = jnp.zeros_like(var())
+        rhs = rhs.at[0].set(jnp.sin(2 * pi * mesh.X) * jnp.sin(pi * mesh.Y))
+        cfg = {"method": "bicgstab", "tol": 1e-10, "max_it": 2000, "report": False}
+        if decomp is not None:
+            cfg["decomp"] = decomp
+        solver = Solver({"fdm": cfg})
+        fdm = FDM()
+        solver.set_eq(-fdm.laplacian(var) == rhs)
+        solver.solve()
+        return np.asarray(var()[0])
+
+    ref = run(None)
+    out = run(DomainDecomposition((2, 4)))  # x: 33->32 torus nodes
+    assert_allclose(out, ref, atol=1e-8)
+
+
+@needs_8
+def test_shard_map_stencil_matches_gspmd() -> None:
+    """Explicit ppermute halo-exchange stencil == jnp.roll stencil."""
+    mesh = Mesh(Box[0:1, 0:1], None, [64, 64])
+    var = Field("t", 1, mesh, None, init_val="random")
+    coeffs = laplacian_axis_coeffs(mesh, [])
+
+    expected = np.asarray(apply_axis_stencil(coeffs, var()))
+
+    for shape in [(2, 4), (8, 1), (4, 2)]:
+        dd = DomainDecomposition(shape)
+        apply = make_sharded_stencil(dd, coeffs, vdim_ndim=3)
+        x = jax.device_put(var(), dd.sharding(3))
+        out = np.asarray(apply(x))
+        assert_allclose(out, expected, atol=1e-12)
+
+
+@needs_8
+def test_sharded_3d_poisson() -> None:
+    """3-D Poisson sharded over a 2x2x2 mesh vs single device."""
+
+    def run(decomp):
+        mesh = Mesh(Box[0:1, 0:1, 0:1], None, [16, 16, 16])
+        var = Field("p", 1, mesh, {"domain": poisson_bcs(3), "obstacle": None})
+        rhs = poisson_rhs_nd(mesh, var)
+        cfg = {"method": "cg", "tol": 1e-8, "max_it": 2000, "report": False}
+        if decomp is not None:
+            cfg["decomp"] = decomp
+        solver = Solver({"fdm": cfg})
+        fdm = FDM()
+        solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+        solver.solve()
+        return np.asarray(var()[0])
+
+    ref = run(None)
+    out = run(DomainDecomposition((2, 2, 2)))
+    assert_allclose(out, ref, atol=1e-10)
