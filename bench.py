@@ -1,0 +1,158 @@
+#!/usr/bin/env python3
+"""Benchmark: 3-D Poisson CG solve throughput (DOF/s/chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Baseline (driver north star, BASELINE.json): 512^3 Poisson CG to 1e-6
+relative residual in < 2 s on TPU v5e-8 => 512^3 / 2s / 8 chips
+= 8.39e6 DOF/s/chip of *solve* throughput. ``vs_baseline`` is the measured
+single-chip solve throughput over that number.
+
+Runs on whatever JAX backend is available (real TPU chip under the driver;
+CPU locally with PYAPES_BENCH_CPU=1 PYAPES_BENCH_N=64).
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+
+if os.environ.get("PYAPES_BENCH_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from pyapes_tpu.geometry import Box  # noqa: E402
+from pyapes_tpu.mesh import Mesh  # noqa: E402
+from pyapes_tpu.solver.fdm import FDM  # noqa: E402
+from pyapes_tpu.solver.ops import Solver  # noqa: E402
+from pyapes_tpu.variables import Field  # noqa: E402
+from pyapes_tpu.variables.bcs import homogeneous_bcs  # noqa: E402
+
+BASELINE_DOF_PER_S_CHIP = (512**3) / 2.0 / 8.0
+
+
+def solve_poisson(n: int, tol: float, max_it: int):
+    mesh = Mesh(Box[0:1, 0:1, 0:1], None, [n, n, n], device="tpu", dtype="single")
+    f_bc = homogeneous_bcs(3, 0.0, "dirichlet")
+    var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None}, init_val=0.0)
+
+    # Fixed-seed random RHS: full spectral content (a smooth manufactured
+    # RHS is near an eigenmode of the discrete Laplacian and converges in
+    # O(10) iterations — not a representative workload). Generated on
+    # device — never shipped over the host link.
+    rhs = jax.random.normal(
+        jax.random.PRNGKey(0), (1, n, n, n), dtype=var().dtype
+    )
+
+    solver = Solver(
+        {
+            "fdm": {
+                "method": "cg",
+                "tol": tol,
+                "max_it": max_it,
+                "report": False,
+                "criterion": "residual",
+            }
+        }
+    )
+    fdm = FDM()
+
+    # Warm-up/compile on the same shapes.
+    solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+    t_compile = time.perf_counter()
+    solver.solve()
+    t_compile = time.perf_counter() - t_compile
+
+    # Timed run from scratch.
+    var2 = var.zeros_like()
+    solver.set_eq(fdm.laplacian(1.0, var2) == rhs)
+    jax.block_until_ready(var2())
+    tic = time.perf_counter()
+    report = solver.solve()
+    jax.block_until_ready(var2())
+    wall = time.perf_counter() - tic
+
+    return {
+        "n": n,
+        "wall_s": wall,
+        "compile_s": t_compile,
+        "itr": report["itr"],
+        "tol": report["tol"],
+        "converge": report["converge"],
+        
+        "dof_per_s": n**3 / wall,
+    }
+
+
+def _attempt_subprocess(n_try: int, budget_s: int):
+    """Run one size attempt in a subprocess with a wall-clock budget (the
+    tunneled remote-compile service has minutes-scale latency variance; a
+    stuck compile must not eat the whole bench)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["PYAPES_BENCH_SINGLE"] = str(n_try)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            timeout=budget_s,
+            text=True,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+        print(f"# bench: n={n_try}: {out.stderr[-500:]}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print(f"# bench: n={n_try} exceeded {budget_s}s budget", file=sys.stderr)
+    return None
+
+
+def main() -> None:
+    n = int(os.environ.get("PYAPES_BENCH_N", "512"))
+    tol = float(os.environ.get("PYAPES_BENCH_TOL", "1e-6"))
+    max_it = int(os.environ.get("PYAPES_BENCH_MAXIT", "4000"))
+
+    single = os.environ.get("PYAPES_BENCH_SINGLE")
+    if single is not None:
+        result = solve_poisson(int(single), tol, max_it)
+        print(json.dumps(result))
+        return
+
+    result = None
+    for n_try, budget in [(n, 540), (n // 2, 420), (n // 4, 300)]:
+        result = _attempt_subprocess(n_try, budget)
+        if result is not None:
+            break
+    if result is None:
+        print(json.dumps({"metric": "poisson3d_cg_dof_per_s_chip", "value": 0.0,
+                          "unit": "DOF/s/chip", "vs_baseline": 0.0}))
+        return
+
+    print(
+        f"# n={result['n']} itr={result['itr']} wall={result['wall_s']:.3f}s "
+        f"compile={result['compile_s']:.1f}s tol={result['tol']:.2e} "
+        f"converge={result['converge']}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "poisson3d_cg_dof_per_s_chip",
+                "value": round(result["dof_per_s"], 1),
+                "unit": "DOF/s/chip",
+                "vs_baseline": round(
+                    result["dof_per_s"] / BASELINE_DOF_PER_S_CHIP, 4
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

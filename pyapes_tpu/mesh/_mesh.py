@@ -73,14 +73,13 @@ class Mesh:
         self._x_np: list[np.ndarray] = [
             np.linspace(lower[i], upper[i], self._nx[i]) for i in range(self.dim)
         ]
-        self._grid_np = np.meshgrid(*self._x_np, indexing="ij")
 
-        # Device (jnp) coordinates in the simulation dtype.
+        # Device (jnp) 1-D coordinates in the simulation dtype. The full
+        # N-D grid is built lazily ON DEVICE by broadcasting (a 512^3 grid
+        # is 3 x 537 MB — never ship it over the host link; the reference
+        # materializes it eagerly via torch.meshgrid, ``_mesh.py:96``).
         fdt = self.dtype.float
         self.x: list[jnp.ndarray] = [jnp.asarray(x, dtype=fdt) for x in self._x_np]
-        self.grid: tuple[jnp.ndarray, ...] = tuple(
-            jnp.asarray(g, dtype=fdt) for g in self._grid_np
-        )
 
         self._lower_np = lower
         self._upper_np = upper
@@ -107,6 +106,21 @@ class Mesh:
 
     def __eq__(self, other) -> bool:
         return self is other
+
+    @cached_property
+    def grid(self) -> tuple[jnp.ndarray, ...]:
+        """Full N-D coordinate grid, built on device by broadcast."""
+
+        def build(i):
+            shape = [1] * self.dim
+            shape[i] = -1
+            return jnp.broadcast_to(self.x[i].reshape(shape), self.nx)
+
+        return tuple(build(i) for i in range(self.dim))
+
+    @cached_property
+    def _grid_np(self) -> list[np.ndarray]:
+        return list(np.meshgrid(*self._x_np, indexing="ij"))
 
     # -- coordinate system ------------------------------------------------
     @property

@@ -38,3 +38,24 @@ def interior_mask(nx: tuple[int, ...], slicer: tuple[slice, ...]) -> np.ndarray:
     m = np.zeros(nx, dtype=np.float64)
     m[slicer] = 1.0
     return m
+
+
+def interior_mask_device(nx: tuple[int, ...], slicer: tuple[slice, ...], dtype):
+    """Same mask, built ON DEVICE from iota comparisons (traceable).
+
+    A host-built full-grid mask becomes a giant HLO constant when closed
+    over by jit (537 MB at 512^3) and dominates compile time; iota-based
+    construction is a few scalar-compare fusions instead.
+    """
+    import jax.numpy as jnp
+
+    m = jnp.ones(nx, dtype=dtype)
+    for j, s in enumerate(slicer):
+        n = nx[j]
+        start = 0 if s.start is None else (s.start % n if s.start < 0 else s.start)
+        stop = n if s.stop is None else (s.stop % n if s.stop < 0 else s.stop)
+        shape = [1] * len(nx)
+        shape[j] = -1
+        idx = jnp.arange(n).reshape(shape)
+        m = m * ((idx >= start) & (idx < stop)).astype(dtype)
+    return m

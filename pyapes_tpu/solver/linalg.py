@@ -28,7 +28,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pyapes_tpu.mesh.tools import boundary_slicer, interior_mask
+from pyapes_tpu.mesh.tools import (
+    boundary_slicer,
+    interior_mask,
+    interior_mask_device,
+)
+
+
+class _MaskSpec:
+    """Static recipe for the interior mask, materialized on device inside
+    the traced solver (avoids a full-grid HLO constant)."""
+
+    def __init__(self, nx, slicer, dtype):
+        self.nx, self.slicer, self.dtype = nx, slicer, dtype
+
+    def build(self):
+        return interior_mask_device(self.nx, self.slicer, self.dtype)
 from pyapes_tpu.ops.stencil import apply_axis_stencil, apply_div_field
 from pyapes_tpu.variables.bcs import apply_bcs_fn
 
@@ -323,9 +338,8 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             for j in paxes:
                 slicer[j] = slice(None)  # every torus node is active
                 red_nx[j] -= 1
-        M = jnp.asarray(
-            interior_mask(tuple(red_nx), tuple(slicer)), dtype=x0.dtype
-        )
+        red_nx_t, slicer_t, xdtype = tuple(red_nx), tuple(slicer), x0.dtype
+        M = _MaskSpec(red_nx_t, slicer_t, xdtype)
         apply_bcs = apply_bcs_fn(bcs_kept, grid_r)
         Aop = _make_Aop(term_descs)
         if method == "cg":
@@ -355,8 +369,9 @@ def _build_cg(Aop, apply_bcs, M, tolerance, max_it, criterion):
     """Conjugate gradient as a ``lax.while_loop`` (reference ``linalg.py:74-159``)."""
 
     def cg_fn(x0, rhs, tparams):
+        M_ = M.build()
         x = apply_bcs(x0)
-        r = (rhs - Aop(x, tparams)) * M
+        r = (rhs - Aop(x, tparams)) * M_
         d = r
         r0n = jnp.maximum(jnp.max(_l2_per_dim(r)), jnp.finfo(x.dtype).tiny)
 
@@ -366,7 +381,7 @@ def _build_cg(Aop, apply_bcs, M, tolerance, max_it, criterion):
 
         def body(s):
             x, r, d, tol, itr = s
-            Ad = Aop(d, tparams) * M
+            Ad = Aop(d, tparams) * M_
             rr = _vsum(r * r)
             alpha = _nan0(rr / _vsum(d * Ad))
             x_new = apply_bcs(x + alpha * d)
@@ -393,8 +408,9 @@ def _build_bicgstab(Aop, apply_bcs, M, tolerance, max_it, criterion):
     (``linalg.py:235-240``) becomes a ``lax.cond`` branch."""
 
     def bicg_fn(x0, rhs, tparams):
+        M_ = M.build()
         x = apply_bcs(x0)
-        r0 = (rhs - Aop(x, tparams)) * M
+        r0 = (rhs - Aop(x, tparams)) * M_
         r = r0
         p = jnp.zeros_like(r)
         v = jnp.zeros_like(r)
@@ -420,7 +436,7 @@ def _build_bicgstab(Aop, apply_bcs, M, tolerance, max_it, criterion):
             beta = _nan0(s["rho_next"] / s["rho"] * s["alpha"] / s["omega"])
             rho = s["rho_next"]
             p = s["r"] + beta * (s["p"] - s["omega"] * s["v"])
-            v = Aop(p, tparams) * M
+            v = Aop(p, tparams) * M_
             itr = s["itr"] + 1
             alpha = _nan0(rho / _vsum(r0 * v))
             s_vec = s["r"] - alpha * v
@@ -444,7 +460,7 @@ def _build_bicgstab(Aop, apply_bcs, M, tolerance, max_it, criterion):
                 }
 
             def do_full(_):
-                t = Aop(s_vec, tparams) * M
+                t = Aop(s_vec, tparams) * M_
                 omega = _nan0(_vsum(t * s_vec) / _vsum(t * t))
                 rho_next = -omega * _vsum(r0 * t)
                 x_new = apply_bcs(s["x"] + alpha * p + omega * s_vec)
