@@ -92,13 +92,13 @@ def _term_params(rec, desc) -> dict:
     return p
 
 
-def _make_Aop(term_descs) -> Callable:
+def _make_Aop(term_descs, stencil_fn=apply_axis_stencil) -> Callable:
     def Aop(x, tparams):
         out = jnp.zeros_like(x)
         for desc, tp in zip(term_descs, tparams):
             kind, _, sign, limiter, surgery, has_param, form = desc
             if kind == "axis":
-                r = apply_axis_stencil(tp["axis"], x)
+                r = stencil_fn(tp["axis"], x)
                 if has_param:
                     r = r * tp["param"]
             elif kind == "div_field":
@@ -311,6 +311,17 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             for tp in tparams
         )
 
+    # Stencil kernel selection: the fused Pallas kernel is the TPU hot
+    # path; the jnp roll-sum is the portable fallback (and the only option
+    # under a domain decomposition, where XLA partitions the rolls).
+    kernel = config.get("kernel", "auto")
+    use_pallas = kernel == "pallas" or (
+        kernel == "auto"
+        and decomp is None
+        and jax.default_backend() == "tpu"
+        and mesh.dim in (2, 3)
+    )
+
     key = (
         method,
         criterion,
@@ -323,6 +334,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         term_descs,
         paxes,
         decomp,
+        use_pallas,
     )
 
     if key not in _SOLVER_CACHE:
@@ -341,7 +353,12 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         red_nx_t, slicer_t, xdtype = tuple(red_nx), tuple(slicer), x0.dtype
         M = _MaskSpec(red_nx_t, slicer_t, xdtype)
         apply_bcs = apply_bcs_fn(bcs_kept, grid_r)
-        Aop = _make_Aop(term_descs)
+        if use_pallas:
+            from pyapes_tpu.ops.pallas_stencil import pallas_axis_stencil
+
+            Aop = _make_Aop(term_descs, pallas_axis_stencil)
+        else:
+            Aop = _make_Aop(term_descs)
         if method == "cg":
             fn = _build_cg(Aop, apply_bcs, M, tol, max_it, criterion)
         else:
