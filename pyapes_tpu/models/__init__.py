@@ -1,0 +1,19 @@
+"""Ready-made problem templates ("model families") built on the solver
+stack: Poisson, advection-diffusion, Burgers, Navier-Stokes
+(lid-driven cavity), and Rosenbluth-Fokker-Planck evolution.
+
+These are the framework's end-to-end flagships (the reference ships only
+notebooks, ``demos/*.ipynb``)."""
+from pyapes_tpu.models.poisson import PoissonSolver
+from pyapes_tpu.models.advection_diffusion import AdvectionDiffusion
+from pyapes_tpu.models.burgers import Burgers1D
+from pyapes_tpu.models.navier_stokes import LidDrivenCavity
+from pyapes_tpu.models.rfp_evolution import RFPEvolution
+
+__all__ = [
+    "PoissonSolver",
+    "AdvectionDiffusion",
+    "Burgers1D",
+    "LidDrivenCavity",
+    "RFPEvolution",
+]

@@ -1,0 +1,156 @@
+"""Incompressible Navier-Stokes: lid-driven cavity via Chorin
+pressure-projection (BASELINE.json config 5: "coupled Grad/Div/Laplacian
+solves per step").
+
+Semi-implicit scheme on the collocated grid:
+  1. advection explicit (central), diffusion implicit (backward Euler):
+     ``(I/dt - nu lap) u* = u^n/dt - (u.grad)u^n``
+  2. pressure Poisson with homogeneous Neumann:
+     ``lap p = div(u*) / dt``
+  3. projection ``u = u* - dt grad p`` + velocity BC re-application.
+
+Each implicit solve is one cached compiled ``lax.while_loop`` — the
+per-step cost is three kernel launches, no retracing.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pyapes_tpu.mesh import Mesh
+from pyapes_tpu.solver.fdm import FDM
+from pyapes_tpu.solver.ops import Solver
+from pyapes_tpu.variables import Field
+from pyapes_tpu.variables.bcs import BoxBoundary
+
+
+def _ddx(f, dx, axis):
+    """Central difference with one-sided 2nd-order edges."""
+    d = (jnp.roll(f, -1, axis) - jnp.roll(f, 1, axis)) / (2 * dx)
+    il = [slice(None)] * f.ndim
+
+    def row(i):
+        s = list(il)
+        s[axis] = i
+        return tuple(s)
+
+    d = d.at[row(0)].set(
+        (-1.5 * f[row(0)] + 2 * f[row(1)] - 0.5 * f[row(2)]) / dx
+    )
+    d = d.at[row(-1)].set(
+        (1.5 * f[row(-1)] - 2 * f[row(-2)] + 0.5 * f[row(-3)]) / dx
+    )
+    return d
+
+
+class LidDrivenCavity:
+    """2-D lid-driven cavity, Re = U L / nu.
+
+    Args:
+        mesh: Box mesh on [0, L]^2.
+        nu: kinematic viscosity.
+        lid_velocity: x-velocity of the top (yu) wall.
+        config: FDM solver config overrides.
+    """
+
+    def __init__(self, mesh: Mesh, nu: float = 0.01, lid_velocity: float = 1.0,
+                 config=None):
+        assert mesh.dim == 2 and mesh.coord_sys == "xyz"
+        self.mesh = mesh
+        self.nu = nu
+        self.lid = lid_velocity
+
+        d = {"bc_type": "dirichlet", "bc_val": 0.0}
+        u_bc = BoxBoundary(
+            xl=d, xu=d, yl=d,
+            yu={"bc_type": "dirichlet", "bc_val": float(lid_velocity)},
+        )
+        v_bc = BoxBoundary(xl=d, xu=d, yl=d, yu=d)
+        n = {"bc_type": "neumann", "bc_val": 0.0}
+        p_bc = BoxBoundary(xl=n, xu=n, yl=n, yu=n)
+
+        self.u = Field("u", 1, mesh, {"domain": u_bc(), "obstacle": None},
+                       init_val=0.0)
+        self.v = Field("v", 1, mesh, {"domain": v_bc(), "obstacle": None},
+                       init_val=0.0)
+        self.p = Field("p", 1, mesh, {"domain": p_bc(), "obstacle": None},
+                       init_val=0.0)
+
+        mom_cfg = {"method": "bicgstab", "tol": 1e-8, "max_it": 500,
+                   "report": False}
+        mom_cfg.update(config or {})
+        self.mom_solver = Solver({"fdm": dict(mom_cfg)})
+        # Pressure: all-Neumann Poisson is singular (pressure defined up to
+        # a constant); CG with a residual criterion handles the consistent
+        # zero-mean system (BiCGSTAB can break down on it).
+        p_cfg = dict(mom_cfg)
+        p_cfg.update(
+            {
+                "method": "cg",
+                "tol": 1e-5,
+                "max_it": 2000,
+                "criterion": "residual",
+                "nullspace": "mean",
+            }
+        )
+        self.p_solver = Solver({"fdm": p_cfg})
+        self.fdm = FDM()
+        self.t = 0.0
+
+    def _advect(self, f):
+        dx = float(self.mesh.dx_np[0])
+        dy = float(self.mesh.dx_np[1])
+        return self.u()[0] * _ddx(f, dx, 0) + self.v()[0] * _ddx(f, dy, 1)
+
+    def step(self, dt: float) -> None:
+        mesh = self.mesh
+        dx = float(mesh.dx_np[0])
+        dy = float(mesh.dx_np[1])
+
+        # 1. momentum: implicit diffusion, explicit advection
+        for var in (self.u, self.v):
+            if var._dt is None:
+                var.set_time(dt, self.t)
+            var.save_old()
+        rhs_u = (-self._advect(self.u()[0]))[None]
+        rhs_v = (-self._advect(self.v()[0]))[None]
+
+        self.mom_solver.set_eq(
+            self.fdm.ddt(self.u) - self.fdm.laplacian(self.nu, self.u) == rhs_u
+        )
+        self.mom_solver.solve()
+        self.mom_solver.set_eq(
+            self.fdm.ddt(self.v) - self.fdm.laplacian(self.nu, self.v) == rhs_v
+        )
+        self.mom_solver.solve()
+
+        self.u.apply_bcs()
+        self.v.apply_bcs()
+
+        # 2. pressure Poisson: lap p = div(u*) / dt (consistent RHS: zero
+        # mean for the all-Neumann singular system)
+        div_star = _ddx(self.u()[0], dx, 0) + _ddx(self.v()[0], dy, 1)
+        rhs_p = div_star / dt
+        rhs_p = rhs_p - jnp.mean(rhs_p)
+        self.p_solver.set_eq(self.fdm.laplacian(1.0, self.p) == rhs_p[None])
+        self.p_solver.solve()
+        p = self.p()[0]
+        self.p.set_var_tensor((p - jnp.mean(p))[None])
+
+        # 3. projection + BCs
+        u_new = self.u()[0] - dt * _ddx(self.p()[0], dx, 0)
+        v_new = self.v()[0] - dt * _ddx(self.p()[0], dy, 1)
+        self.u.set_var_tensor(u_new[None])
+        self.v.set_var_tensor(v_new[None])
+        self.u.apply_bcs()
+        self.v.apply_bcs()
+
+        self.t += dt
+
+    def run(self, dt: float, n_steps: int) -> None:
+        for _ in range(n_steps):
+            self.step(dt)
+
+    def divergence(self) -> jnp.ndarray:
+        dx = float(self.mesh.dx_np[0])
+        dy = float(self.mesh.dx_np[1])
+        return _ddx(self.u()[0], dx, 0) + _ddx(self.v()[0], dy, 1)

@@ -1,0 +1,55 @@
+"""Rosenbluth-Fokker-Planck time evolution (rz velocity space).
+
+Explicit stepping of ``df/dt = -div(f grad H) + div(hess(G) . grad f)``
+using the conservative RFP operators (``solver/rfp.py``). The whole
+multi-step evolution compiles to one ``lax.scan``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pyapes_tpu.mesh import Mesh
+from pyapes_tpu.solver.fdc import hessian, jacobian
+from pyapes_tpu.solver.rfp import RFP
+from pyapes_tpu.variables import Field
+
+
+class RFPEvolution:
+    """Explicit RFP stepper with frozen potentials.
+
+    Args:
+        mesh: rz (Cylinder) mesh.
+        H: friction potential values (*nx).
+        G: diffusion potential values (*nx).
+    """
+
+    def __init__(self, mesh: Mesh, H, G):
+        assert mesh.coord_sys == "rz"
+        self.mesh = mesh
+        hp = Field("H", 1, mesh, None)
+        gp = Field("G", 1, mesh, None)
+        self.jacH = jacobian(hp.set_var_tensor(jnp.asarray(H)))
+        self.hessG = hessian(gp.set_var_tensor(jnp.asarray(G)))
+        self.rfp = RFP()
+
+    def rhs(self, f: Field) -> jnp.ndarray:
+        friction = self.rfp.friction(self.jacH, f)
+        diffusion = self.rfp.diffusion(self.hessG, f)
+        return -friction + diffusion
+
+    def run(self, f: Field, dt: float, n_steps: int) -> Field:
+        """Advance ``n_steps`` with forward Euler inside one lax.scan."""
+        jacH, hessG, mesh = self.jacH, self.hessG, self.mesh
+        rfp = self.rfp
+        f_shell = f
+
+        def step(pdf, _):
+            fv = f_shell.copy()
+            fv.set_var_tensor(pdf)
+            upd = -rfp.friction(jacH, fv) + rfp.diffusion(hessG, fv)
+            return pdf + dt * upd[None], None
+
+        pdf_final, _ = jax.lax.scan(step, f(), None, length=n_steps)
+        f.set_var_tensor(pdf_final)
+        return f

@@ -2,15 +2,17 @@
 
 The jnp fallback (``ops/stencil.py``) expresses the stencil as roll-sums;
 XLA materializes each roll as a copy, so a 3-D 7-point apply moves ~6x the
-necessary bytes. This kernel performs the whole apply in ONE VMEM pass:
-the grid is tiled into x-slabs, each program DMAs its slab plus two ghost
-planes from HBM, applies all axes' (ap, ac, am) coefficient vectors, and
-writes the output slab. Ghost planes use modular indexing, so periodic
-wrap (torus semantics of ``jnp.roll``) is exact.
+necessary bytes. These kernels perform the whole apply in ONE pass: the
+grid is tiled (x-slabs in 2-D; x-slabs x y-tiles in 3-D); the tile body is
+a pipelined BlockSpec input (Pallas double-buffers it), ghost planes are
+fetched by manual DMA with modular indexing (exact torus wrap).
 
-Used as the hot-path stencil on TPU (``solver/linalg.py`` selects it when
-``config["fdm"]["kernel"] == "pallas"``); interpret mode keeps CPU tests
-runnable.
+TPU memref slicing must respect the (8, 128) tiling of the last two dims,
+so ghost planes along a *tiled* axis are fetched as 8-row aligned blocks
+and the wanted row is selected in-register with an iota compare.
+
+``pallas_supported`` gates shapes; the solver falls back to the jnp path
+otherwise.
 """
 from __future__ import annotations
 
@@ -23,189 +25,293 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_VMEM_BUDGET = 4 * 1024 * 1024  # per-program tile budget (bytes)
 
-def _pick_tile(n: int, max_tile: int = 8) -> int:
-    for t in range(max_tile, 0, -1):
-        if n % t == 0:
+
+def _pick_tile(n: int, max_tile: int, step: int = 1) -> int:
+    for t in range(min(max_tile, n), 0, -1):
+        if n % t == 0 and t % step == 0:
             return t
-    return 1
+    return 0
+
+
+def _mod(i, n):
+    return jax.lax.rem(i + jnp.int32(n), jnp.int32(n))
+
+
+def _select_row(block8, off, axis):
+    """Select one row from an 8-row aligned block (in-register; Mosaic
+    cannot slice at dynamic sublane offsets)."""
+    shape = [1] * block8.ndim
+    shape[axis] = 8
+    ids = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
+    return jnp.sum(
+        jnp.where(ids == off, block8, jnp.zeros_like(block8)),
+        axis=axis,
+        keepdims=True,
+    )
 
 
 def _stencil3d_kernel(
-    x_hbm,
+    x_any,
+    body,
     ap0, ac0, am0, ap1, ac1, am1, ap2, ac2, am2,
     out_ref,
-    scratch,
+    xg_lo, xg_hi, yg_lo, yg_hi,
     sems,
     *,
-    tile: int,
+    tx: int,
+    ty: int,
     nx: int,
+    ny: int,
 ):
     i = pl.program_id(0)
-    start = i * tile
+    j = pl.program_id(1)
+    sx = i * tx
+    sy = pl.multiple_of(j * ty, 8)
 
-    # Body slab -> scratch rows [1, tile]; ghost planes wrap modularly.
-    body = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(start, tile)], scratch.at[pl.ds(1, tile)], sems.at[0]
+    gy_lo = _mod(sy - 1, ny)
+    gy_hi = _mod(sy + ty, ny)
+    gy_lo_blk = pl.multiple_of((gy_lo // 8) * 8, 8)
+    gy_hi_blk = pl.multiple_of((gy_hi // 8) * 8, 8)
+
+    copies = [
+        pltpu.make_async_copy(
+            x_any.at[pl.ds(_mod(sx - 1, nx), 1), pl.ds(sy, ty)],
+            xg_lo, sems.at[0],
+        ),
+        pltpu.make_async_copy(
+            x_any.at[pl.ds(_mod(sx + tx, nx), 1), pl.ds(sy, ty)],
+            xg_hi, sems.at[1],
+        ),
+        pltpu.make_async_copy(
+            x_any.at[pl.ds(sx, tx), pl.ds(gy_lo_blk, 8)], yg_lo, sems.at[2]
+        ),
+        pltpu.make_async_copy(
+            x_any.at[pl.ds(sx, tx), pl.ds(gy_hi_blk, 8)], yg_hi, sems.at[3]
+        ),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    xc = body[:, :, :]
+    nz = xc.shape[2]
+
+    # x-axis: roll within the slab, boundary rows patched with ghosts.
+    xids = jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0)
+    xm = jnp.where(xids == 0, xg_lo[:, :, :], pltpu.roll(xc, 1, 0))
+    xp = jnp.where(xids == tx - 1, xg_hi[:, :, :], pltpu.roll(xc, tx - 1, 0))
+
+    out = (
+        ap0[:, 0:1].reshape(tx, 1, 1) * xp
+        + ac0[:, 0:1].reshape(tx, 1, 1) * xc
+        + am0[:, 0:1].reshape(tx, 1, 1) * xm
     )
-    lo_src = jax.lax.rem(start - 1 + nx, jnp.int32(nx))
-    hi_src = jax.lax.rem(start + tile, jnp.int32(nx))
-    lo = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(lo_src, 1)], scratch.at[pl.ds(0, 1)], sems.at[1]
+
+    # y-axis: select ghost rows from the 8-wide aligned fetches.
+    g_lo = _select_row(yg_lo[:, :, :], gy_lo - gy_lo_blk, 1)
+    g_hi = _select_row(yg_hi[:, :, :], gy_hi - gy_hi_blk, 1)
+    yids = jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1)
+    ym = jnp.where(yids == 0, g_lo, pltpu.roll(xc, 1, 1))
+    yp = jnp.where(yids == ty - 1, g_hi, pltpu.roll(xc, ty - 1, 1))
+
+    out += (
+        ap1[:, 0:1].reshape(1, ty, 1) * yp
+        + ac1[:, 0:1].reshape(1, ty, 1) * xc
+        + am1[:, 0:1].reshape(1, ty, 1) * ym
     )
-    hi = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(hi_src, 1)], scratch.at[pl.ds(tile + 1, 1)], sems.at[2]
+
+    # z-axis: full extent in-tile; rolls are exact wraps.
+    out += (
+        ap2[:].reshape(1, 1, nz) * pltpu.roll(xc, nz - 1, 2)
+        + ac2[:].reshape(1, 1, nz) * xc
+        + am2[:].reshape(1, 1, nz) * pltpu.roll(xc, 1, 2)
     )
-    body.start()
-    lo.start()
-    hi.start()
-    body.wait()
-    lo.wait()
-    hi.wait()
-
-    xc = scratch[1 : tile + 1, :, :]
-    xm0 = scratch[0:tile, :, :]
-    xp0 = scratch[2 : tile + 2, :, :]
-
-    a_p0 = ap0[:, 0:1].reshape(tile, 1, 1)
-    a_c0 = ac0[:, 0:1].reshape(tile, 1, 1)
-    a_m0 = am0[:, 0:1].reshape(tile, 1, 1)
-    out = a_p0 * xp0 + a_c0 * xc + a_m0 * xm0
-
-    # Axis 1 (full extent in-tile; roll == exact wrap).
-    a_p1 = ap1[:].reshape(1, -1, 1)
-    a_c1 = ac1[:].reshape(1, -1, 1)
-    a_m1 = am1[:].reshape(1, -1, 1)
-    n1 = xc.shape[1]
-    out += a_p1 * pltpu.roll(xc, n1 - 1, 1) + a_c1 * xc + a_m1 * pltpu.roll(xc, 1, 1)
-
-    # Axis 2.
-    a_p2 = ap2[:].reshape(1, 1, -1)
-    a_c2 = ac2[:].reshape(1, 1, -1)
-    a_m2 = am2[:].reshape(1, 1, -1)
-    n2 = xc.shape[2]
-    out += a_p2 * pltpu.roll(xc, n2 - 1, 2) + a_c2 * xc + a_m2 * pltpu.roll(xc, 1, 2)
 
     out_ref[:, :, :] = out
 
 
 def _stencil2d_kernel(
-    x_hbm,
+    x_any,
+    body,
     ap0, ac0, am0, ap1, ac1, am1,
     out_ref,
-    scratch,
+    xg_lo, xg_hi,
     sems,
     *,
-    tile: int,
+    tx: int,
     nx: int,
 ):
     i = pl.program_id(0)
-    start = i * tile
+    sx = pl.multiple_of(i * tx, 8)
 
-    body = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(start, tile)], scratch.at[pl.ds(1, tile)], sems.at[0]
-    )
-    lo_src = jax.lax.rem(start - 1 + nx, jnp.int32(nx))
-    hi_src = jax.lax.rem(start + tile, jnp.int32(nx))
-    lo = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(lo_src, 1)], scratch.at[pl.ds(0, 1)], sems.at[1]
-    )
-    hi = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(hi_src, 1)], scratch.at[pl.ds(tile + 1, 1)], sems.at[2]
-    )
-    body.start()
-    lo.start()
-    hi.start()
-    body.wait()
-    lo.wait()
-    hi.wait()
+    g_lo = _mod(sx - 1, nx)
+    g_hi = _mod(sx + tx, nx)
+    g_lo_blk = pl.multiple_of((g_lo // 8) * 8, 8)
+    g_hi_blk = pl.multiple_of((g_hi // 8) * 8, 8)
 
-    xc = scratch[1 : tile + 1, :]
-    xm0 = scratch[0:tile, :]
-    xp0 = scratch[2 : tile + 2, :]
+    copies = [
+        pltpu.make_async_copy(
+            x_any.at[pl.ds(g_lo_blk, 8)], xg_lo, sems.at[0]
+        ),
+        pltpu.make_async_copy(
+            x_any.at[pl.ds(g_hi_blk, 8)], xg_hi, sems.at[1]
+        ),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    xc = body[:, :]
+    ny = xc.shape[1]
+
+    lo = _select_row(xg_lo[:, :], g_lo - g_lo_blk, 0)
+    hi = _select_row(xg_hi[:, :], g_hi - g_hi_blk, 0)
+    xids = jax.lax.broadcasted_iota(jnp.int32, (tx, 1), 0)
+    xm = jnp.where(xids == 0, lo, pltpu.roll(xc, 1, 0))
+    xp = jnp.where(xids == tx - 1, hi, pltpu.roll(xc, tx - 1, 0))
 
     out = (
-        ap0[:, 0:1].reshape(tile, 1) * xp0
-        + ac0[:, 0:1].reshape(tile, 1) * xc
-        + am0[:, 0:1].reshape(tile, 1) * xm0
+        ap0[:, 0:1].reshape(tx, 1) * xp
+        + ac0[:, 0:1].reshape(tx, 1) * xc
+        + am0[:, 0:1].reshape(tx, 1) * xm
     )
     out += (
-        ap1[:].reshape(1, -1) * pltpu.roll(xc, xc.shape[1] - 1, 1)
-        + ac1[:].reshape(1, -1) * xc
-        + am1[:].reshape(1, -1) * pltpu.roll(xc, 1, 1)
+        ap1[:].reshape(1, ny) * pltpu.roll(xc, ny - 1, 1)
+        + ac1[:].reshape(1, ny) * xc
+        + am1[:].reshape(1, ny) * pltpu.roll(xc, 1, 1)
     )
     out_ref[:, :] = out
+
+
+def _lane_bcast(c: jnp.ndarray) -> jnp.ndarray:
+    """(n,) -> (n, 128): tile-sliced coefficient vectors ride as
+    lane-broadcast 2-D arrays (Mosaic alignment)."""
+    return jnp.broadcast_to(c[:, None], (c.shape[0], 128))
+
+
+def _tiles_3d(gs, itemsize):
+    nx, ny, nz = gs
+    tx = _pick_tile(nx, 8)
+    max_ty = max(8, (_VMEM_BUDGET // max(1, (tx + 2) * nz * itemsize) // 8) * 8)
+    ty = _pick_tile(ny, max_ty, step=8)
+    return tx, ty
+
+
+def pallas_supported(shape: tuple[int, ...]) -> bool:
+    """Whether the fused kernel supports this grid shape."""
+    if len(shape) == 3:
+        nx, ny, nz = shape
+        if ny % 8 != 0:
+            return False
+        tx, ty = _tiles_3d(shape, 4)
+        return tx > 0 and ty >= 8
+    if len(shape) == 2:
+        nx, ny = shape
+        return nx % 8 == 0 and _pick_tile(nx, 256, step=8) >= 8
+    return False
 
 
 def pallas_axis_stencil(coeffs, x: jnp.ndarray, interpret: bool = False):
     """Fused per-axis stencil apply via Pallas (TPU hot path).
 
-    Drop-in equivalent of ``ops.stencil.apply_axis_stencil`` for 2-D/3-D
-    grids. ``x`` has shape ``(vdim, *nx)``; the kernel runs per component.
+    Drop-in equivalent of ``ops.stencil.apply_axis_stencil`` for supported
+    2-D/3-D grids (see ``pallas_supported``). ``x``: ``(vdim, *nx)``.
     """
     ndim = x.ndim - 1
-    assert ndim in (2, 3), "pallas stencil: 2-D/3-D grids only"
-    grid_shape = x.shape[1:]
-    nx = grid_shape[0]
-    tile = _pick_tile(nx)
-
-    flat = []
-    for j, (ap, ac, am) in enumerate(coeffs):
-        if j == 0:
-            # Axis-0 vectors are tile-sliced by BlockSpec; Mosaic cannot
-            # prove alignment of dynamic rank-1 loads, so ship them as
-            # (nx, 128) lane-broadcast 2-D arrays (tiny).
-            flat += [
-                jnp.broadcast_to(c[:, None], (nx, 128)) for c in (ap, ac, am)
-            ]
-        else:
-            flat += [ap, ac, am]
-
-    # All coefficient vectors ride along whole (tiny; rank-1 VMEM blocks
-    # must be full arrays on TPU); the kernel slices axis-0 vectors.
-    def full_spec(n):
-        return pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM)
-
-    def c0_spec():
-        return pl.BlockSpec(
-            (tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
-        )
+    gs = x.shape[1:]
+    assert pallas_supported(gs), f"pallas stencil: unsupported shape {gs}"
+    itemsize = np.dtype(x.dtype).itemsize
 
     if ndim == 3:
-        kern = partial(_stencil3d_kernel, tile=tile, nx=nx)
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
-        in_specs += [c0_spec(), c0_spec(), c0_spec()]
-        in_specs += [full_spec(grid_shape[1])] * 3
-        in_specs += [full_spec(grid_shape[2])] * 3
-        out_spec = pl.BlockSpec(
-            (tile,) + grid_shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        )
-        scratch = [
-            pltpu.VMEM((tile + 2,) + grid_shape[1:], x.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+        nx, ny, nz = gs
+        tx, ty = _tiles_3d(gs, itemsize)
+
+        flat = [
+            _lane_bcast(coeffs[0][0]), _lane_bcast(coeffs[0][1]),
+            _lane_bcast(coeffs[0][2]),
+            _lane_bcast(coeffs[1][0]), _lane_bcast(coeffs[1][1]),
+            _lane_bcast(coeffs[1][2]),
+            coeffs[2][0], coeffs[2][1], coeffs[2][2],
         ]
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (tx, ty, nz), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        in_specs += [
+            pl.BlockSpec((tx, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        ] * 3
+        in_specs += [
+            pl.BlockSpec((ty, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+        ] * 3
+        in_specs += [
+            pl.BlockSpec((nz,), lambda i, j: (0,), memory_space=pltpu.VMEM)
+        ] * 3
+        out_spec = pl.BlockSpec(
+            (tx, ty, nz), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        )
+        call = pl.pallas_call(
+            partial(_stencil3d_kernel, tx=tx, ty=ty, nx=nx, ny=ny),
+            grid=(nx // tx, ny // ty),
+            out_shape=jax.ShapeDtypeStruct(gs, x.dtype),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((1, ty, nz), x.dtype),
+                pltpu.VMEM((1, ty, nz), x.dtype),
+                pltpu.VMEM((tx, 8, nz), x.dtype),
+                pltpu.VMEM((tx, 8, nz), x.dtype),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            interpret=interpret,
+        )
+
+        def run(comp):
+            return call(comp, comp, *flat)
+
     else:
-        kern = partial(_stencil2d_kernel, tile=tile, nx=nx)
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
-        in_specs += [c0_spec(), c0_spec(), c0_spec()]
-        in_specs += [full_spec(grid_shape[1])] * 3
-        out_spec = pl.BlockSpec(
-            (tile,) + grid_shape[1:], lambda i: (i, 0), memory_space=pltpu.VMEM
-        )
-        scratch = [
-            pltpu.VMEM((tile + 2,) + grid_shape[1:], x.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+        nx, ny = gs
+        max_tx = max(8, (_VMEM_BUDGET // max(1, ny * itemsize) // 8) * 8)
+        tx = _pick_tile(nx, min(256, max_tx), step=8)
+        flat = [
+            _lane_bcast(coeffs[0][0]), _lane_bcast(coeffs[0][1]),
+            _lane_bcast(coeffs[0][2]),
+            coeffs[1][0], coeffs[1][1], coeffs[1][2],
         ]
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((tx, ny), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        in_specs += [
+            pl.BlockSpec((tx, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ] * 3
+        in_specs += [
+            pl.BlockSpec((ny,), lambda i: (0,), memory_space=pltpu.VMEM)
+        ] * 3
+        out_spec = pl.BlockSpec(
+            (tx, ny), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        call = pl.pallas_call(
+            partial(_stencil2d_kernel, tx=tx, nx=nx),
+            grid=(nx // tx,),
+            out_shape=jax.ShapeDtypeStruct(gs, x.dtype),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((8, ny), x.dtype),
+                pltpu.VMEM((8, ny), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )
 
-    call = pl.pallas_call(
-        kern,
-        grid=(nx // tile,),
-        out_shape=jax.ShapeDtypeStruct(grid_shape, x.dtype),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )
+        def run(comp):
+            return call(comp, comp, *flat)
 
-    outs = [call(x[d], *flat) for d in range(x.shape[0])]
+    outs = [run(x[d]) for d in range(x.shape[0])]
     return jnp.stack(outs)

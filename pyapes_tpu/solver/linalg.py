@@ -315,12 +315,34 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     # path; the jnp roll-sum is the portable fallback (and the only option
     # under a domain decomposition, where XLA partitions the rolls).
     kernel = config.get("kernel", "auto")
-    use_pallas = kernel == "pallas" or (
+    if kernel in ("pallas", "auto"):
+        from pyapes_tpu.ops.pallas_stencil import pallas_supported
+
+        shape_ok = pallas_supported(x0.shape[1:])
+    else:
+        shape_ok = False
+    use_pallas = (kernel == "pallas" and shape_ok) or (
         kernel == "auto"
+        and shape_ok
         and decomp is None
         and jax.default_backend() == "tpu"
-        and mesh.dim in (2, 3)
     )
+
+    # Multigrid-preconditioned CG: the reference has no preconditioner;
+    # for Poisson-class problems this cuts O(N) CG iterations to O(10).
+    precond_kind = config.get("precond")
+    mg_spec = None
+    if precond_kind == "mg":
+        if method != "cg":
+            raise ValueError("precond='mg' requires method='cg'")
+        from pyapes_tpu.solver.multigrid import MGSpec
+
+        mg_spec = MGSpec(
+            x0.shape[1:],
+            [float(l) for l in np.asarray(mesh._lx_np)],
+            paxes=paxes or (),
+            dtype=x0.dtype,
+        )
 
     key = (
         method,
@@ -335,6 +357,8 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         paxes,
         decomp,
         use_pallas,
+        mg_spec,
+        config.get("nullspace"),
     )
 
     if key not in _SOLVER_CACHE:
@@ -360,7 +384,11 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         else:
             Aop = _make_Aop(term_descs)
         if method == "cg":
-            fn = _build_cg(Aop, apply_bcs, M, tol, max_it, criterion)
+            precond = mg_spec.preconditioner() if mg_spec is not None else None
+            fn = _build_cg(
+                Aop, apply_bcs, M, tol, max_it, criterion, precond,
+                project_mean=bool(config.get("nullspace") == "mean"),
+            )
         else:
             fn = _build_bicgstab(Aop, apply_bcs, M, tol, max_it, criterion)
         _SOLVER_CACHE[key] = jax.jit(fn)
@@ -382,38 +410,61 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     return {"itr": itr, "tol": tol_final, "converge": converge}
 
 
-def _build_cg(Aop, apply_bcs, M, tolerance, max_it, criterion):
-    """Conjugate gradient as a ``lax.while_loop`` (reference ``linalg.py:74-159``)."""
+def _build_cg(
+    Aop, apply_bcs, M, tolerance, max_it, criterion, precond=None,
+    project_mean=False,
+):
+    """(Preconditioned) conjugate gradient as a ``lax.while_loop``
+    (reference ``linalg.py:74-159``; the reference has no preconditioning).
+
+    With ``precond`` (e.g. the multigrid V-cycle, ``solver/multigrid.py``)
+    this is standard PCG: search directions come from ``z = P(r)``.
+
+    ``project_mean`` solves on the zero-mean quotient space — required for
+    singular all-Neumann (pressure) Poisson systems, where the constant
+    null-space component otherwise grows without bound.
+    """
 
     def cg_fn(x0, rhs, tparams):
         M_ = M.build()
+
+        def demean(v):
+            if not project_mean:
+                return v
+            return v - (_vsum(v * M_) / jnp.sum(M_)) * M_
+
         x = apply_bcs(x0)
-        r = (rhs - Aop(x, tparams)) * M_
-        d = r
+        r = demean((rhs - Aop(x, tparams)) * M_)
+        z = precond(r) * M_ if precond is not None else r
+        d = z
+        rz = _vsum(r * z)
         r0n = jnp.maximum(jnp.max(_l2_per_dim(r)), jnp.finfo(x.dtype).tiny)
 
         def cond(s):
-            x, r, d, tol, itr = s
+            x, r, d, rz, tol, itr = s
             return jnp.logical_and(tol > tolerance, itr < max_it)
 
         def body(s):
-            x, r, d, tol, itr = s
+            x, r, d, rz, tol, itr = s
             Ad = Aop(d, tparams) * M_
-            rr = _vsum(r * r)
-            alpha = _nan0(rr / _vsum(d * Ad))
+            alpha = _nan0(rz / _vsum(d * Ad))
             x_new = apply_bcs(x + alpha * d)
-            r_new = r - alpha * Ad
+            if project_mean:
+                x_new = x_new - _vsum(x_new * M_) / jnp.sum(M_)
+            r_new = demean(r - alpha * Ad)
             if criterion == "delta":
                 tol_new = jnp.max(_l2_per_dim(x_new - x))
             else:
                 tol_new = jnp.max(_l2_per_dim(r_new)) / r0n
-            beta = _nan0(_vsum(r_new * r_new) / rr)
-            d_new = r_new + beta * d
-            return (x_new, r_new, d_new, tol_new, itr + 1)
+            z_new = precond(r_new) * M_ if precond is not None else r_new
+            rz_new = _vsum(r_new * z_new)
+            beta = _nan0(rz_new / rz)
+            d_new = z_new + beta * d
+            return (x_new, r_new, d_new, rz_new, tol_new, itr + 1)
 
         tol0 = jnp.asarray(1.0, dtype=x.dtype)
-        state = (x, r, d, tol0, jnp.asarray(0, dtype=jnp.int32))
-        x, r, d, tol, itr = jax.lax.while_loop(cond, body, state)
+        state = (x, r, d, rz, tol0, jnp.asarray(0, dtype=jnp.int32))
+        x, r, d, rz, tol, itr = jax.lax.while_loop(cond, body, state)
         return x, itr, tol
 
     return cg_fn

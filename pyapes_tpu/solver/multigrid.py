@@ -1,0 +1,153 @@
+"""Geometric multigrid V-cycle preconditioner for the Krylov solvers.
+
+The reference has no preconditioning at all (plain CG/BiCGSTAB,
+``linalg.py:74-279``); unpreconditioned CG on an N^3 Poisson problem needs
+O(N) iterations. A geometric V-cycle brings this to O(10) PCG iterations —
+the single biggest lever on the 512^3 north-star benchmark.
+
+Design (all jnp; runs on CPU and TPU, compiled into the same
+``lax.while_loop`` as the Krylov iteration):
+
+  * Level hierarchy by ~2x node coarsening; level operator is the plain
+    central Laplacian at that level's spacing, restricted to the active
+    (interior / torus) nodes. Boundary-adjacent coefficient surgery is
+    deliberately dropped — the preconditioner only needs the right
+    spectrum, and the mismatch is a single row per face.
+  * Damped Jacobi smoothing (omega = 2/3), symmetric pre/post counts so
+    the cycle is (approximately) SPD, as PCG requires.
+  * Transfers via ``jax.image.resize`` (linear): handles arbitrary node
+    counts, keeps everything fused under jit.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyapes_tpu.mesh.tools import interior_mask_device
+
+
+def _level_shapes(shape, min_size=4, max_levels=8):
+    shapes = [tuple(shape)]
+    while len(shapes) < max_levels:
+        nxt = tuple(max(3, (s + 1) // 2) for s in shapes[-1])
+        if nxt == shapes[-1] or min(nxt) < min_size:
+            break
+        shapes.append(nxt)
+    return shapes
+
+
+class MGSpec:
+    """Static recipe for a multigrid preconditioner.
+
+    Args:
+        shape: active grid shape (after periodic de-duplication).
+        lengths: physical domain length per axis.
+        paxes: periodic axes (wrap stencils, full mask).
+        dtype: compute dtype.
+    """
+
+    def __init__(
+        self,
+        shape,
+        lengths,
+        paxes=(),
+        dtype=jnp.float32,
+        n_pre: int = 2,
+        n_post: int = 2,
+        n_coarse: int = 24,
+        omega: float = 2.0 / 3.0,
+    ):
+        self.shape = tuple(shape)
+        self.lengths = tuple(float(l) for l in lengths)
+        self.paxes = tuple(paxes or ())
+        self.dtype = dtype
+        self.n_pre = n_pre
+        self.n_post = n_post
+        self.n_coarse = n_coarse
+        self.omega = omega
+        self.shapes = _level_shapes(self.shape)
+
+    # hashable (used in the compiled-solver cache key)
+    def __hash__(self):
+        return hash(
+            (self.shape, self.lengths, self.paxes, str(self.dtype),
+             self.n_pre, self.n_post, self.n_coarse, self.omega)
+        )
+
+    def __eq__(self, other):
+        return isinstance(other, MGSpec) and hash(self) == hash(other)
+
+    # -- per-level helpers (all traced) ---------------------------------
+    def _inv_dx2(self, shape):
+        out = []
+        for j, n in enumerate(shape):
+            # periodic axes span [0, L) with n cells; others [0, L] with
+            # n - 1 cells.
+            cells = n if j in self.paxes else (n - 1)
+            dx = self.lengths[j] / cells
+            out.append(1.0 / (dx * dx))
+        return out
+
+    def _mask(self, shape):
+        slicer = tuple(
+            slice(None) if j in self.paxes else slice(1, -1)
+            for j in range(len(shape))
+        )
+        return interior_mask_device(shape, slicer, self.dtype)
+
+    def _apply_A(self, x, shape):
+        """Plain central Laplacian at this level (per-axis wrap via roll —
+        exact on periodic axes, masked on the others)."""
+        inv = self._inv_dx2(shape)
+        out = jnp.zeros_like(x)
+        for j in range(len(shape)):
+            axis = 1 + j
+            out = out + inv[j] * (
+                jnp.roll(x, -1, axis) + jnp.roll(x, 1, axis) - 2.0 * x
+            )
+        return out
+
+    def _diag(self, shape):
+        return -2.0 * sum(self._inv_dx2(shape))
+
+    def _smooth(self, x, b, shape, mask, n_iter):
+        om_over_diag = self.omega / self._diag(shape)
+
+        def body(_, x):
+            r = (b - self._apply_A(x, shape)) * mask
+            return x + om_over_diag * r
+
+        return jax.lax.fori_loop(0, n_iter, body, x)
+
+    def _resize(self, x, shape):
+        return jax.image.resize(
+            x, (x.shape[0],) + tuple(shape), method="linear"
+        )
+
+    def _vcycle(self, b, level):
+        shape = self.shapes[level]
+        mask = self._mask(shape)
+        b = b * mask
+        if level == len(self.shapes) - 1:
+            x = jnp.zeros_like(b)
+            return self._smooth(x, b, shape, mask, self.n_coarse)
+
+        x = jnp.zeros_like(b)
+        x = self._smooth(x, b, shape, mask, self.n_pre)
+        r = (b - self._apply_A(x, shape)) * mask
+        r_c = self._resize(r, self.shapes[level + 1])
+        e_c = self._vcycle(r_c, level + 1)
+        x = x + self._resize(e_c, shape) * mask
+        x = self._smooth(x, b, shape, mask, self.n_post)
+        return x
+
+    def preconditioner(self):
+        """Returns a pure ``z = P(r)`` function (traced into the PCG loop)."""
+
+        def precond(r):
+            return self._vcycle(r, 0)
+
+        return precond

@@ -1,0 +1,123 @@
+"""Model-family templates: end-to-end physics checks."""
+from math import exp, pi
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from pyapes_tpu.geometry import Box, Cylinder
+from pyapes_tpu.mesh import Mesh
+from pyapes_tpu.models import (
+    AdvectionDiffusion,
+    Burgers1D,
+    LidDrivenCavity,
+    PoissonSolver,
+    RFPEvolution,
+)
+from pyapes_tpu.testing.burgers import burger_exact_nd
+from pyapes_tpu.testing.poisson import (
+    poisson_bcs,
+    poisson_exact_nd,
+    poisson_rhs_nd,
+)
+from pyapes_tpu.variables import Field
+
+
+def test_poisson_model() -> None:
+    mesh = Mesh(Box[0:1, 0:1], None, [65, 65])
+    model = PoissonSolver(mesh, poisson_bcs(2), config={"precond": "mg"})
+    var = model.solve(poisson_rhs_nd(mesh, model.var))
+    assert model.report["converge"]
+    assert_allclose(
+        np.asarray(var()[0]), np.asarray(poisson_exact_nd(mesh)),
+        rtol=0.1, atol=0.01,
+    )
+
+
+def test_advection_diffusion_model() -> None:
+    from pyapes_tpu.variables.bcs import homogeneous_bcs
+
+    mesh = Mesh(Box[0:1], None, [0.02])
+    model = AdvectionDiffusion(
+        mesh, homogeneous_bcs(1, 0.0, "dirichlet"),
+        velocity=1.0, epsilon=0.5, limiter="none", init_val=0.5,
+    )
+    model.solve_steady(rhs=1.0)
+    eps = 0.5
+    X = mesh.X
+    sol_ex = X - (jnp.exp(-(1 - X) / eps) - exp(-1 / eps)) / (1 - exp(-1 / eps))
+    assert_allclose(np.asarray(model.var()[0]), np.asarray(sol_ex),
+                    rtol=0.1, atol=0.01)
+
+    # Transient: march to steady state, must approach the steady solution.
+    model2 = AdvectionDiffusion(
+        mesh, homogeneous_bcs(1, 0.0, "dirichlet"),
+        velocity=1.0, epsilon=0.5, limiter="none", init_val=0.0,
+    )
+    for _ in range(200):
+        model2.step(0.05, rhs=1.0)
+    assert_allclose(
+        np.asarray(model2.var()[0]), np.asarray(model.var()[0]), atol=1e-3
+    )
+
+
+def test_burgers_model() -> None:
+    mesh = Mesh(Box[0 : 2 * pi], None, [101])
+    model = Burgers1D(mesh, nu=0.1)
+    for _ in range(10):
+        model.step(0.01)
+    sol_ex = burger_exact_nd(mesh, 0.1, model.var.t)
+    err = np.asarray(model.var()[0] - sol_ex)
+    rel_l2 = np.linalg.norm(err) / np.linalg.norm(np.asarray(sol_ex))
+    assert rel_l2 < 0.05
+
+
+def test_lid_driven_cavity() -> None:
+    """Re=100 cavity: qualitative Ghia et al. (1982) structure — the
+    centerline u-velocity dips negative below the lid vortex."""
+    mesh = Mesh(Box[0:1, 0:1], None, [33, 33])
+    model = LidDrivenCavity(mesh, nu=0.01, lid_velocity=1.0)
+    model.run(dt=0.02, n_steps=150)
+
+    u = np.asarray(model.u()[0])
+    v = np.asarray(model.v()[0])
+    mid = u.shape[0] // 2
+
+    # lid BC enforced
+    assert_allclose(u[:, -1][1:-1], 1.0, atol=1e-12)
+    assert_allclose(u[:, 0], 0.0, atol=1e-12)
+    # primary vortex: u on vertical centerline goes negative in the lower
+    # half (Ghia Re=100 converged min ~ -0.21; coarse/early: < -0.05)
+    assert u[mid, :].min() < -0.05, u[mid, :].min()
+    # v on horizontal centerline antisymmetric-ish: positive near left,
+    # negative near right wall
+    assert v[:, mid].max() > 0.02
+    assert v[:, mid].min() < -0.02
+    # projection keeps the bulk divergence small (the lid corners are a
+    # genuine velocity-BC singularity; exclude two layers)
+    div = np.asarray(model.divergence())[2:-2, 2:-2]
+    assert np.abs(div).max() < 0.3, np.abs(div).max()
+
+
+def test_rfp_evolution_conserves_density() -> None:
+    """Conservative RFP stepping preserves the velocity-space density
+    integral (zero-flux boundaries)."""
+    mesh = Mesh(Cylinder[0:3, -3:3], None, [48, 64])
+    R, Z = np.asarray(mesh.R), np.asarray(mesh.Z)
+    vth = 0.8
+    f0 = np.exp(-(R**2 + Z**2) / (2 * vth**2))
+    # Isotropic-ish potentials (qualitatively Maxwellian-like)
+    H = -np.sqrt(R**2 + Z**2 + 0.5)
+    G = np.sqrt(R**2 + Z**2 + 0.5)
+
+    f = Field("pdf", 1, mesh, {"domain": None, "obstacle": None})
+    f.set_var_tensor(jnp.asarray(f0))
+    den0 = float(f.volume_integral()[0])
+
+    model = RFPEvolution(mesh, H, G)
+    f = model.run(f, dt=1e-4, n_steps=50)
+
+    den1 = float(f.volume_integral()[0])
+    assert abs(den1 - den0) / den0 < 5e-3, (den0, den1)
+    assert np.all(np.isfinite(np.asarray(f())))

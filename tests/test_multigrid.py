@@ -1,0 +1,79 @@
+"""Multigrid-preconditioned CG tests (no reference counterpart — the
+reference has no preconditioning, ``linalg.py``)."""
+import jax.numpy as jnp
+import numpy as np
+from numpy.testing import assert_allclose
+
+from pyapes_tpu.geometry import Box
+from pyapes_tpu.mesh import Mesh
+from pyapes_tpu.solver.fdm import FDM
+from pyapes_tpu.solver.ops import Solver
+from pyapes_tpu.variables import Field
+from pyapes_tpu.variables.bcs import homogeneous_bcs, mixed_bcs
+
+
+def _solve(precond, n=65, dims=2, bcs=None, tol=1e-8):
+    box = Box[tuple(slice(0, 1) for _ in range(dims))]
+    mesh = Mesh(box, None, [n] * dims)
+    bcs = bcs or homogeneous_bcs(dims, 0.0, "dirichlet")
+    var = Field("p", 1, mesh, {"domain": bcs, "obstacle": None}, init_val=0.0)
+    rng = np.random.default_rng(1)
+    rhs = jnp.asarray(rng.standard_normal((1,) + (n,) * dims))
+    cfg = {
+        "method": "cg",
+        "tol": tol,
+        "max_it": 3000,
+        "report": False,
+        "criterion": "residual",
+    }
+    if precond:
+        cfg["precond"] = "mg"
+    solver = Solver({"fdm": cfg})
+    fdm = FDM()
+    solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+    solver.solve()
+    return np.asarray(var()[0]), solver.report
+
+
+def test_mgcg_matches_cg_2d() -> None:
+    ref, rep0 = _solve(False)
+    out, rep1 = _solve(True)
+    assert rep1["converge"]
+    # Order-of-magnitude iteration reduction.
+    assert rep1["itr"] < rep0["itr"] / 5, (rep1["itr"], rep0["itr"])
+    assert_allclose(out, ref, atol=1e-6)
+
+
+def test_mgcg_3d() -> None:
+    ref, rep0 = _solve(False, n=33, dims=3)
+    out, rep1 = _solve(True, n=33, dims=3)
+    assert rep1["converge"]
+    assert rep1["itr"] < rep0["itr"] / 4
+    assert_allclose(out, ref, atol=1e-6)
+
+
+def test_mgcg_mixed_bcs() -> None:
+    """Neumann/Dirichlet mix: the preconditioner drops the surgery rows but
+    must still accelerate and converge to the same solution."""
+    bcs = mixed_bcs(
+        [0.0, 0.0, 0.0, 0.0],
+        ["neumann", "dirichlet", "neumann", "dirichlet"],
+    )
+    ref, rep0 = _solve(False, bcs=bcs)
+    out, rep1 = _solve(True, bcs=bcs)
+    assert rep1["converge"]
+    assert rep1["itr"] < rep0["itr"] / 3
+    assert_allclose(out, ref, atol=1e-6)
+
+
+def test_mgcg_periodic() -> None:
+    """Periodic torus axes compose with MG transfers."""
+    bcs = mixed_bcs(
+        [None, None, 0.0, 0.0],
+        ["periodic", "periodic", "dirichlet", "dirichlet"],
+    )
+    ref, rep0 = _solve(False, bcs=bcs)
+    out, rep1 = _solve(True, bcs=bcs)
+    assert rep1["converge"]
+    assert rep1["itr"] < rep0["itr"] / 3
+    assert_allclose(out, ref, atol=1e-6)
