@@ -48,17 +48,17 @@ def solve_poisson(n: int, tol: float, max_it: int):
         jax.random.PRNGKey(0), (1, n, n, n), dtype=var().dtype
     )
 
-    solver = Solver(
-        {
-            "fdm": {
-                "method": "cg",
-                "tol": tol,
-                "max_it": max_it,
-                "report": False,
-                "criterion": "residual",
-            }
-        }
-    )
+    cfg = {
+        "method": "cg",
+        "tol": tol,
+        "max_it": max_it,
+        "report": False,
+        "criterion": "residual",
+    }
+    precond = os.environ.get("PYAPES_BENCH_PRECOND", "mg")
+    if precond and precond != "none":
+        cfg["precond"] = precond
+    solver = Solver({"fdm": cfg})
     fdm = FDM()
 
     # Warm-up/compile on the same shapes.

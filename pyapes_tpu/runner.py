@@ -1,0 +1,114 @@
+"""Simulation runner / CLI.
+
+The reference's ``runner.py`` is an empty 2-line stub (``runner.py:1-2``);
+this one actually runs the model templates from the command line:
+
+    python -m pyapes_tpu.runner poisson --n 129 --dim 2
+    python -m pyapes_tpu.runner cavity --n 65 --re 100 --steps 500
+    python -m pyapes_tpu.runner burgers --steps 100
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _run_poisson(args) -> dict:
+    from pyapes_tpu.geometry import Box
+    from pyapes_tpu.mesh import Mesh
+    from pyapes_tpu.models import PoissonSolver
+    from pyapes_tpu.testing.poisson import poisson_bcs, poisson_rhs_nd
+
+    box = Box[tuple(slice(0, 1) for _ in range(args.dim))]
+    mesh = Mesh(box, None, [args.n] * args.dim, dtype=args.dtype)
+    cfg = {"tol": args.tol, "max_it": args.max_it}
+    if args.mg:
+        cfg["precond"] = "mg"
+    model = PoissonSolver(mesh, poisson_bcs(args.dim), config=cfg)
+    tic = time.perf_counter()
+    model.solve(poisson_rhs_nd(mesh, model.var))
+    wall = time.perf_counter() - tic
+    return {"report": dict(model.report), "wall_s": wall, "n": args.n}
+
+
+def _run_cavity(args) -> dict:
+    from pyapes_tpu.geometry import Box
+    from pyapes_tpu.mesh import Mesh
+    from pyapes_tpu.models import LidDrivenCavity
+
+    mesh = Mesh(Box[0:1, 0:1], None, [args.n, args.n], dtype=args.dtype)
+    nu = 1.0 / args.re
+    model = LidDrivenCavity(mesh, nu=nu, lid_velocity=1.0)
+    tic = time.perf_counter()
+    model.run(dt=args.dt, n_steps=args.steps)
+    wall = time.perf_counter() - tic
+    import numpy as np
+
+    u = np.asarray(model.u()[0])
+    return {
+        "wall_s": wall,
+        "steps": args.steps,
+        "u_centerline_min": float(u[u.shape[0] // 2, :].min()),
+        "t": model.t,
+    }
+
+
+def _run_burgers(args) -> dict:
+    from math import pi
+
+    from pyapes_tpu.geometry import Box
+    from pyapes_tpu.mesh import Mesh
+    from pyapes_tpu.models import Burgers1D
+
+    mesh = Mesh(Box[0 : 2 * pi], None, [args.n], dtype=args.dtype)
+    model = Burgers1D(mesh, nu=0.1)
+    tic = time.perf_counter()
+    for _ in range(args.steps):
+        model.step(args.dt)
+    wall = time.perf_counter() - tic
+    return {"wall_s": wall, "steps": args.steps, "t": model.var.t}
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="pyapes_tpu.runner")
+    sub = p.add_subparsers(dest="case", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--n", type=int, default=65)
+    common.add_argument("--dtype", default="single")
+    common.add_argument("--tol", type=float, default=1e-6)
+    common.add_argument("--max-it", type=int, default=2000)
+    common.add_argument(
+        "--platform", default=None, help="force jax platform (cpu/tpu)"
+    )
+
+    sp = sub.add_parser("poisson", parents=[common])
+    sp.add_argument("--dim", type=int, default=2, choices=[1, 2, 3])
+    sp.add_argument("--mg", action="store_true", help="multigrid PCG")
+
+    sc = sub.add_parser("cavity", parents=[common])
+    sc.add_argument("--re", type=float, default=100.0)
+    sc.add_argument("--dt", type=float, default=0.01)
+    sc.add_argument("--steps", type=int, default=500)
+
+    sb = sub.add_parser("burgers", parents=[common])
+    sb.add_argument("--dt", type=float, default=0.01)
+    sb.add_argument("--steps", type=int, default=100)
+
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    if args.case == "poisson":
+        out = _run_poisson(args)
+    elif args.case == "cavity":
+        out = _run_cavity(args)
+    else:
+        out = _run_burgers(args)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

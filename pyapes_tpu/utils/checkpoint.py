@@ -1,0 +1,96 @@
+"""Checkpoint / resume for Field state.
+
+The reference has none — "Also need load data from file" is an open TODO
+(``fields.py:61``). State is the Field payload (+ old value and time
+stamp), i.e. a simple pytree; two backends:
+
+  * ``save`` / ``load``: single-file ``.npz`` + JSON metadata — portable,
+    dependency-free.
+  * ``save_orbax`` / ``load_orbax``: orbax-checkpoint for async,
+    multi-host-safe checkpointing of sharded arrays.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyapes_tpu.variables import Field
+
+_META = "__pyapes_meta__"
+
+
+def save(path: str, fields: dict[str, Field] | list[Field]) -> None:
+    """Save Fields to ``<path>.npz`` (values, old values, time state)."""
+    if isinstance(fields, list):
+        fields = {f.name: f for f in fields}
+    arrays = {}
+    meta = {}
+    for name, f in fields.items():
+        arrays[f"{name}__VAR"] = np.asarray(f())
+        arrays[f"{name}__VARo"] = np.asarray(f.VARo)
+        meta[name] = {
+            "dim": f.dim,
+            "t": float(f._t),
+            "dt": None if f._dt is None else float(f._dt),
+        }
+    arrays[_META] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    ).copy()
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    np.savez(path, **arrays)
+
+
+def load(path: str, fields: dict[str, Field] | list[Field]) -> None:
+    """Restore Field payloads in place from ``save`` output."""
+    if isinstance(fields, list):
+        fields = {f.name: f for f in fields}
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path)
+    meta = json.loads(bytes(data[_META]).decode())
+    for name, f in fields.items():
+        if name not in meta:
+            raise KeyError(f"checkpoint: field {name} not found in {path}")
+        f.VAR = jnp.asarray(data[f"{name}__VAR"], dtype=f().dtype)
+        f.VARo = jnp.asarray(data[f"{name}__VARo"], dtype=f().dtype)
+        f._t = meta[name]["t"]
+        f._dt = meta[name]["dt"]
+
+
+def save_orbax(path: str, fields: dict[str, Field] | list[Field]) -> None:
+    """Orbax backend (async-capable, sharding-aware)."""
+    import orbax.checkpoint as ocp
+
+    if isinstance(fields, list):
+        fields = {f.name: f for f in fields}
+    tree = {
+        name: {"VAR": f(), "VARo": f.VARo, "t": f._t, "dt": f._dt or 0.0}
+        for name, f in fields.items()
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(path: str, fields: dict[str, Field] | list[Field]) -> None:
+    import orbax.checkpoint as ocp
+
+    if isinstance(fields, list):
+        fields = {f.name: f for f in fields}
+    template = {
+        name: {"VAR": f(), "VARo": f.VARo, "t": 0.0, "dt": 0.0}
+        for name, f in fields.items()
+    }
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(os.path.abspath(path), target=template)
+    for name, f in fields.items():
+        f.VAR = tree[name]["VAR"]
+        f.VARo = tree[name]["VARo"]
+        f._t = float(tree[name]["t"])
+        dt = float(tree[name]["dt"])
+        f._dt = dt if dt != 0.0 else None

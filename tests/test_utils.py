@@ -1,0 +1,67 @@
+"""Checkpoint / profiling / runner tests."""
+import json
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+from numpy.testing import assert_allclose
+
+from pyapes_tpu.geometry import Box
+from pyapes_tpu.mesh import Mesh
+from pyapes_tpu.utils import checkpoint
+from pyapes_tpu.variables import Field
+
+
+def test_checkpoint_roundtrip(tmp_path) -> None:
+    mesh = Mesh(Box[0:1, 0:1], None, [9, 9])
+    var = Field("u", 1, mesh, None, init_val="random")
+    var.set_time(0.01, 0.5)
+    var.save_old()
+    var.VAR = var() * 2.0
+
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, [var])
+
+    var2 = Field("u", 1, mesh, None, init_val=0.0)
+    checkpoint.load(path, [var2])
+
+    assert_allclose(np.asarray(var2()), np.asarray(var()))
+    assert_allclose(np.asarray(var2.VARo), np.asarray(var.VARo))
+    assert var2._t == 0.5
+    assert var2._dt == 0.01
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path) -> None:
+    mesh = Mesh(Box[0:1], None, [9])
+    var = Field("u", 1, mesh, None, init_val="random")
+    var.set_time(0.1, 1.5)
+    var.save_old()
+
+    path = str(tmp_path / "orbax_ckpt")
+    checkpoint.save_orbax(path, [var])
+
+    var2 = Field("u", 1, mesh, None, init_val=0.0)
+    checkpoint.load_orbax(path, [var2])
+    assert_allclose(np.asarray(var2()), np.asarray(var()))
+    assert var2._t == 1.5
+
+
+def test_runner_poisson_cli() -> None:
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "pyapes_tpu.runner",
+            "poisson", "--n", "33", "--dim", "2", "--dtype", "double",
+            "--platform", "cpu",
+        ],
+        capture_output=True,
+        text=True,
+        env={
+            **__import__("os").environ,
+            "JAX_PLATFORMS": "cpu",
+        },
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["report"]["converge"]
