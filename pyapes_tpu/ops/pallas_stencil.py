@@ -202,7 +202,11 @@ def _tiles_3d(gs, itemsize):
 
 
 def pallas_supported(shape: tuple[int, ...]) -> bool:
-    """Whether the fused kernel supports this grid shape."""
+    """Whether the fused kernel supports this grid shape (ghost DMAs slice
+    HBM memrefs, so the lane dim must be a 128 multiple and sliced sublane
+    dims 8-aligned)."""
+    if shape[-1] % 128 != 0:
+        return False
     if len(shape) == 3:
         nx, ny, nz = shape
         if ny % 8 != 0:

@@ -34,29 +34,28 @@ def _bshape(ndim: int, axis: int) -> list[int]:
     return shape
 
 
-def apply_axis_stencil(
-    coeffs: Sequence[tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
-    x: jnp.ndarray,
-) -> jnp.ndarray:
-    """Apply a per-axis (ap, ac, am) stencil, summed over axes.
+def apply_axis_stencil(coeffs: Sequence[tuple], x: jnp.ndarray) -> jnp.ndarray:
+    """Apply a per-axis coefficient-vector stencil, summed over axes.
 
     Equivalent to the reference roll-sum ``_A_coeff_var_sum``
-    (``fdc.py:171-200``) restricted to the +-1 offsets (the reference's
-    App/Amm banks are always zero for the implemented schemes).
+    (``fdc.py:171-200``). Each axis entry is either a 3-tuple
+    ``(ap, ac, am)`` (offsets +1, 0, -1) or a 5-tuple
+    ``(app, ap, ac, am, amm)`` (offsets +2..-2; used by the QUICK scheme).
 
     Args:
         coeffs: per mesh axis, 1-D coefficient vectors (len ``nx[axis]``).
         x: field values, shape ``(vdim, *nx)``.
     """
     out = jnp.zeros_like(x)
-    for j, (ap, ac, am) in enumerate(coeffs):
+    for j, cs in enumerate(coeffs):
         shape = _bshape(x.ndim, j)
-        out = (
-            out
-            + ap.reshape(shape) * jnp.roll(x, -1, 1 + j)
-            + ac.reshape(shape) * x
-            + am.reshape(shape) * jnp.roll(x, 1, 1 + j)
-        )
+        if len(cs) == 3:
+            offsets = (-1, 0, 1)
+        else:
+            offsets = (-2, -1, 0, 1, 2)
+        for c, off in zip(cs, offsets):
+            shifted = jnp.roll(x, off, 1 + j) if off else x
+            out = out + c.reshape(shape) * shifted
     return out
 
 
@@ -177,6 +176,10 @@ def div_axis_coeffs(
       the 1/dx scaling and zeroes the center coefficient — its own pinning
       test (``tests/test_fdm.py:239``) fails against it. We implement the
       scheme the test intends.
+    * ``limiter="quick"``: 3rd-order upwind-biased QUICK (the reference's
+      advertised-but-unimplemented scheme, ``fdc.py:659-660``); returns
+      5-vectors ``(app, ap, ac, am, amm)``; boundary-adjacent rows fall
+      back to first-order upwind (the +-2 reach would cross the face).
     """
     dtype = dtype or mesh.dtype.float
     rz = mesh.coord_sys == "rz"
@@ -196,16 +199,38 @@ def div_axis_coeffs(
                     ac = gamma * np.nan_to_num(
                         2.0 * dxj / r, nan=0.0, posinf=0.0, neginf=0.0
                     )
-        elif limiter == "upwind":
-            ap = 2.0 * g_min * np.ones(n)
-            ac = 2.0 * (g_max - g_min) * np.ones(n)
-            am = -2.0 * g_max * np.ones(n)
+        elif limiter in ("upwind", "quick"):
+            up_ap = 2.0 * g_min * np.ones(n)
+            up_ac = 2.0 * (g_max - g_min) * np.ones(n)
+            up_am = -2.0 * g_max * np.ones(n)
+            rz_term = np.zeros(n)
             if rz and j == 0:
                 r = np.asarray(mesh._x_np[0])
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    ac = ac + 2.0 * gamma * np.nan_to_num(
+                    rz_term = 2.0 * gamma * np.nan_to_num(
                         dxj / r, nan=0.0, posinf=0.0, neginf=0.0
                     )
+            if limiter == "upwind":
+                ap, ac, am = up_ap, up_ac + rz_term, up_am
+                app = amm = None
+            else:
+                # QUICK face interpolation, advective form (pre 1/(2 dx)
+                # scaling, hence the x2 factors):
+                #   gamma>0: (3 p+ + 3 p0 - 7 p- + p--)/8 / dx
+                #   gamma<0: (-p++ + 7 p+ - 3 p0 - 3 p-)/8 / dx
+                app = (-g_min / 4.0) * np.ones(n)
+                ap = ((3 * g_max + 7 * g_min) / 4.0) * np.ones(n)
+                ac = (3 * (g_max - g_min) / 4.0) * np.ones(n) + rz_term
+                am = (-(7 * g_max + 3 * g_min) / 4.0) * np.ones(n)
+                amm = (g_max / 4.0) * np.ones(n)
+                # Boundary-adjacent rows: first-order upwind fallback (the
+                # +-2 reach would cross the boundary face).
+                for idx in (1, -2):
+                    ap[idx] = up_ap[idx]
+                    ac[idx] = up_ac[idx] + rz_term[idx]
+                    am[idx] = up_am[idx]
+                    app[idx] = 0.0
+                    amm[idx] = 0.0
         else:
             raise NotImplementedError(f"div: limiter {limiter} not supported")
         for bc in _aligned_bcs(bcs, j):
@@ -217,13 +242,21 @@ def div_axis_coeffs(
                 else:
                     ap[-2] = 0.0
         scale = 2.0 * dxj
-        out.append(
-            (
-                jnp.asarray(ap / scale, dtype=dtype),
-                jnp.asarray(ac / scale, dtype=dtype),
-                jnp.asarray(am / scale, dtype=dtype),
+        if limiter == "quick":
+            out.append(
+                tuple(
+                    jnp.asarray(c / scale, dtype=dtype)
+                    for c in (app, ap, ac, am, amm)
+                )
             )
-        )
+        else:
+            out.append(
+                (
+                    jnp.asarray(ap / scale, dtype=dtype),
+                    jnp.asarray(ac / scale, dtype=dtype),
+                    jnp.asarray(am / scale, dtype=dtype),
+                )
+            )
     return tuple(out)
 
 
@@ -269,6 +302,7 @@ def apply_div_field(
         i = j if vdim > 1 else 0
         a = adv[i] if adv.shape[0] > 1 else adv[0]
         xi = x[i]
+        app = amm = None
         if limiter == "none":
             if form == "conservative":
                 # Flux form d(gamma phi)/dx: neighbor gammas multiply the
@@ -283,12 +317,31 @@ def apply_div_field(
                 ap = apb * a
                 am = amb * a
             ac = acb * a
-        else:
+        elif limiter == "upwind":
             g_min = jnp.minimum(a, 0.0)
             g_max = jnp.maximum(a, 0.0)
             ap = 2.0 * inv_2dx * g_min
             ac = 2.0 * inv_2dx * (g_max - g_min) + acb * a
             am = -2.0 * inv_2dx * g_max
+        else:  # quick
+            g_min = jnp.minimum(a, 0.0)
+            g_max = jnp.maximum(a, 0.0)
+            s = 2.0 * inv_2dx  # == 1/dx
+            app = -s * g_min / 8.0
+            ap = s * (3 * g_max + 7 * g_min) / 8.0
+            ac = s * 3 * (g_max - g_min) / 8.0 + acb * a
+            am = -s * (7 * g_max + 3 * g_min) / 8.0
+            amm = s * g_max / 8.0
+            # boundary-adjacent rows: first-order upwind fallback
+            for idx in (1, -2):
+                sel = _row_sel(j, idx)
+                ap = ap.at[sel].set((2.0 * inv_2dx * g_min)[sel])
+                ac = ac.at[sel].set(
+                    (2.0 * inv_2dx * (g_max - g_min) + acb * a)[sel]
+                )
+                am = am.at[sel].set((-2.0 * inv_2dx * g_max)[sel])
+                app = app.at[sel].set(0.0)
+                amm = amm.at[sel].set(0.0)
         lo_kind, up_kind = surgery[j]
         # Boundary-node elimination rule (see ``_eliminate_boundary_node``),
         # applied on the fly with the spatially-varying coefficients.
@@ -308,9 +361,14 @@ def apply_div_field(
             ap = ap.at[sel].set(0.0)
         elif up_kind == "periodic":
             ap = ap.at[_row_sel(j, -2)].set(0.0)
-        out = out.at[0].add(
-            ap * jnp.roll(xi, -1, j) + ac * xi + am * jnp.roll(xi, 1, j)
-        )
+        term = ap * jnp.roll(xi, -1, j) + ac * xi + am * jnp.roll(xi, 1, j)
+        if app is not None:
+            term = (
+                term
+                + app * jnp.roll(xi, -2, j)
+                + amm * jnp.roll(xi, 2, j)
+            )
+        out = out.at[0].add(term)
     return out
 
 

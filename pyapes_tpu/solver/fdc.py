@@ -491,7 +491,13 @@ class Div(Discretizer):
                 )
             Ap, Ac, Am = _adv_upwind(adv, var_i, [Ap, Ac, Am])
         elif limiter == "quick":
-            raise NotImplementedError("FDC Div: quick scheme is not implemented yet.")
+            if isinstance(adv, Hess):
+                raise NotImplementedError(
+                    "FDC: QUICK limiter is not implemented for Hessian advection."
+                )
+            App, Ap, Ac, Am, Amm = _adv_quick(
+                adv, var_i, [App, Ap, Ac, Am, Amm]
+            )
         else:
             raise RuntimeError(f"FDC Div: {limiter=} is an unknown limiter type.")
 
@@ -507,7 +513,9 @@ class Div(Discretizer):
             if limiter == "none":
                 for i in range(var_i.dim):
                     rhs_adj = _grad_rhs_adjust(var_i, rhs_adj, i, (adv,))
-            elif limiter == "upwind":
+            elif limiter in ("upwind", "quick"):
+                # QUICK falls back to upwind at boundary-adjacent rows, so
+                # its RHS adjustment is the upwind one.
                 gamma_min, gamma_max = _gamma_from_adv(adv, var_i)
                 for i in range(var_i.dim):
                     rhs_adj = _grad_rhs_adjust(
@@ -598,6 +606,70 @@ def _adv_upwind(adv, var: Field, A_ops) -> list[list[jnp.ndarray]]:
         )
 
     return [Ap, Ac, Am]
+
+
+def _adv_quick(adv, var: Field, A_ops_all) -> list[list[jnp.ndarray]]:
+    """3rd-order upwind-biased QUICK advection coefficients (the reference
+    advertises it but raises NotImplementedError, ``fdc.py:659-660``).
+
+    Face interpolation (advective form, per unit 1/dx):
+      gamma>0: (3 p+ + 3 p0 - 7 p- + p--)/8
+      gamma<0: (-p++ + 7 p+ - 3 p0 - 3 p-)/8
+    Boundary-adjacent rows fall back to first-order upwind (the +-2 reach
+    would cross the face). App/Amm are stored post-scaled (only the +-1
+    banks go through ``_grad_central_adjust``'s 1/(2 dx) division).
+    """
+    n2d = n2d_coord(var.mesh.coord_sys)
+    App, Ap, Ac, Am, Amm = A_ops_all
+    zeros = jnp.zeros_like(var()[0])
+    dx = var.mesh.dx_np
+
+    for i in range(var.dim):
+        advection = zeros
+        for j in range(var.mesh.dim):
+            if isinstance(adv, Jac):
+                advection = adv[n2d[j if var.dim == 1 else i]]
+            else:
+                advection = adv[i]
+            g_min = jnp.minimum(advection, zeros)
+            g_max = jnp.maximum(advection, zeros)
+
+            ac_base = Ac[j][i]  # rz geometric term (zeros in xyz)
+            ap_q = (3 * g_max + 7 * g_min) / 4.0
+            ac_q = 3 * (g_max - g_min) / 4.0 + ac_base * advection
+            am_q = -(7 * g_max + 3 * g_min) / 4.0
+            app_q = -g_min / (8.0 * dx[j])
+            amm_q = g_max / (8.0 * dx[j])
+
+            ap_u = 2.0 * g_min
+            ac_u = 2.0 * (g_max - g_min) + ac_base * advection
+            am_u = -2.0 * g_max
+
+            for idx in (1, -2):
+                sel = _row_sel(j, idx)
+                ap_q = ap_q.at[sel].set(ap_u[sel])
+                ac_q = ac_q.at[sel].set(ac_u[sel])
+                am_q = am_q.at[sel].set(am_u[sel])
+                app_q = app_q.at[sel].set(0.0)
+                amm_q = amm_q.at[sel].set(0.0)
+
+            Ap[j] = Ap[j].at[i].set(ap_q)
+            Ac[j] = Ac[j].at[i].set(ac_q)
+            Am[j] = Am[j].at[i].set(am_q)
+            App[j] = App[j].at[i].set(app_q)
+            Amm[j] = Amm[j].at[i].set(amm_q)
+
+        gamma_min_f = jnp.broadcast_to(
+            2.0 * jnp.minimum(advection, zeros), var().shape
+        )
+        gamma_max_f = jnp.broadcast_to(
+            2.0 * jnp.maximum(advection, zeros), var().shape
+        )
+        Ap, Ac, Am = _grad_central_adjust(
+            var, [Ap, Ac, Am], i, (gamma_min_f, gamma_max_f)
+        )
+
+    return [App, Ap, Ac, Am, Amm]
 
 
 def _div_var_j_to_tensor(var_j, var_i: Field) -> jnp.ndarray:

@@ -98,7 +98,11 @@ def _make_Aop(term_descs, stencil_fn=apply_axis_stencil) -> Callable:
         for desc, tp in zip(term_descs, tparams):
             kind, _, sign, limiter, surgery, has_param, form = desc
             if kind == "axis":
-                r = stencil_fn(tp["axis"], x)
+                if any(len(cs) != 3 for cs in tp["axis"]):
+                    # 5-point (QUICK) vectors: jnp path only.
+                    r = apply_axis_stencil(tp["axis"], x)
+                else:
+                    r = stencil_fn(tp["axis"], x)
                 if has_param:
                     r = r * tp["param"]
             elif kind == "div_field":
@@ -182,23 +186,20 @@ def _reduce_periodic(terms, term_descs, tparams, x0, rhs, bcs, mesh):
         return a[red]
 
     def fix_vec(vecs, j):
-        """Reduce a per-axis coefficient tuple: drop the duplicate entry on
-        periodic axes and undo the seam surgery (coefficients are constant
-        along a periodic axis, so fill with the mid value)."""
+        """Reduce a per-axis coefficient tuple (3- or 5-vector): drop the
+        duplicate entry on periodic axes and undo the seam surgery
+        (coefficients are constant along a periodic axis, so fill with the
+        mid value)."""
         out = []
-        for ax, (ap, ac, am) in enumerate(vecs):
+        for ax, cs in enumerate(vecs):
             if ax in paxes:
-                n = ap.shape[0] - 1
+                n = cs[0].shape[0] - 1
                 mid = n // 2
                 out.append(
-                    (
-                        jnp.full((n,), ap[mid], dtype=ap.dtype),
-                        jnp.full((n,), ac[mid], dtype=ac.dtype),
-                        jnp.full((n,), am[mid], dtype=am.dtype),
-                    )
+                    tuple(jnp.full((n,), c[mid], dtype=c.dtype) for c in cs)
                 )
             else:
-                out.append((ap, ac, am))
+                out.append(tuple(cs))
         return tuple(out)
 
     new_tparams = []
@@ -342,6 +343,9 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             [float(l) for l in np.asarray(mesh._lx_np)],
             paxes=paxes or (),
             dtype=x0.dtype,
+            use_pallas=(
+                decomp is None and jax.default_backend() == "tpu"
+            ),
         )
 
     key = (

@@ -59,6 +59,7 @@ class MGSpec:
         n_post: int = 2,
         n_coarse: int = 24,
         omega: float = 2.0 / 3.0,
+        use_pallas: bool = False,
     ):
         self.shape = tuple(shape)
         self.lengths = tuple(float(l) for l in lengths)
@@ -68,13 +69,15 @@ class MGSpec:
         self.n_post = n_post
         self.n_coarse = n_coarse
         self.omega = omega
+        self.use_pallas = use_pallas
         self.shapes = _level_shapes(self.shape)
 
     # hashable (used in the compiled-solver cache key)
     def __hash__(self):
         return hash(
             (self.shape, self.lengths, self.paxes, str(self.dtype),
-             self.n_pre, self.n_post, self.n_coarse, self.omega)
+             self.n_pre, self.n_post, self.n_coarse, self.omega,
+             self.use_pallas)
         )
 
     def __eq__(self, other):
@@ -100,8 +103,25 @@ class MGSpec:
 
     def _apply_A(self, x, shape):
         """Plain central Laplacian at this level (per-axis wrap via roll —
-        exact on periodic axes, masked on the others)."""
+        exact on periodic axes, masked on the others). Uses the fused
+        Pallas kernel on supported shapes when enabled."""
         inv = self._inv_dx2(shape)
+        if self.use_pallas:
+            from pyapes_tpu.ops.pallas_stencil import (
+                pallas_axis_stencil,
+                pallas_supported,
+            )
+
+            if pallas_supported(tuple(shape)):
+                coeffs = tuple(
+                    (
+                        jnp.full((n,), inv[j], dtype=x.dtype),
+                        jnp.full((n,), -2.0 * inv[j], dtype=x.dtype),
+                        jnp.full((n,), inv[j], dtype=x.dtype),
+                    )
+                    for j, n in enumerate(shape)
+                )
+                return pallas_axis_stencil(coeffs, x)
         out = jnp.zeros_like(x)
         for j in range(len(shape)):
             axis = 1 + j

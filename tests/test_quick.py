@@ -1,0 +1,105 @@
+"""QUICK (3rd-order upwind-biased) divergence scheme tests.
+
+The reference advertises QUICK but raises NotImplementedError
+(``fdc.py:659-660``); this build implements it on the 5-offset bank/vector
+layout the reference reserved for it (``fdc.py:171-186``).
+"""
+from math import pi
+
+import jax.numpy as jnp
+import numpy as np
+from numpy.testing import assert_allclose
+
+from pyapes_tpu.geometry import Box
+from pyapes_tpu.mesh import Mesh
+from pyapes_tpu.models import Burgers1D
+from pyapes_tpu.solver.fdc import FDC
+from pyapes_tpu.solver.fdm import FDM
+from pyapes_tpu.solver.ops import Solver
+from pyapes_tpu.testing.burgers import burger_exact_nd
+from pyapes_tpu.variables import Field
+
+
+def _quick_1d(v: np.ndarray, gamma: float, dx: float) -> np.ndarray:
+    """Hand-built QUICK advective derivative, gamma > 0."""
+    assert gamma > 0
+    return (
+        gamma
+        * (
+            3 * np.roll(v, -1)
+            + 3 * v
+            - 7 * np.roll(v, 1)
+            + np.roll(v, 2)
+        )
+        / (8 * dx)
+    )
+
+
+def test_quick_interior_const_gamma() -> None:
+    """Implicit div QUICK vs the hand-built 5-point formula (interior)."""
+    mesh = Mesh(Box[0:1], None, [0.05])
+    var = Field("t", 1, mesh, None)
+    var.set_var_tensor(jnp.sin(2 * pi * mesh.X) + 0.3 * mesh.X**2)
+
+    solver = Solver(None)
+    fdm = FDM({"div": {"limiter": "quick", "edge": False}})
+    solver.set_eq(fdm.div(5.0, var) == 0.0)
+
+    v = np.asarray(var()[0])
+    dx = float(mesh.dx_np[0])
+    expected = _quick_1d(v, 5.0, dx)
+
+    out = np.asarray(solver.Aop(var)[0])
+    assert_allclose(out[2:-2], expected[2:-2], atol=1e-12)
+
+
+def test_quick_exactness_on_quadratic() -> None:
+    """QUICK is exact for quadratics (3rd-order): gamma d(x^2)/dx = 2 gamma x."""
+    mesh = Mesh(Box[0:1], None, [0.05])
+    var = Field("t", 1, mesh, None)
+    var.set_var_tensor(mesh.X**2)
+
+    solver = Solver(None)
+    fdm = FDM({"div": {"limiter": "quick", "edge": False}})
+    solver.set_eq(fdm.div(2.0, var) == 0.0)
+
+    out = np.asarray(solver.Aop(var)[0])
+    X = np.asarray(mesh.X)
+    assert_allclose(out[2:-2], 4.0 * X[2:-2], atol=1e-10)
+
+
+def test_quick_fdc_explicit() -> None:
+    """Explicit FDC div with QUICK banks matches the implicit operator."""
+    mesh = Mesh(Box[0:1], None, [0.05])
+    var = Field("t", 1, mesh, None)
+    var.set_var_tensor(jnp.sin(2 * pi * mesh.X))
+
+    fdc = FDC({"div": {"limiter": "quick", "edge": False}})
+    out = np.asarray(fdc.div(3.0, var)[0])
+
+    v = np.asarray(var()[0])
+    dx = float(mesh.dx_np[0])
+    expected = _quick_1d(v, 3.0, dx)
+    assert_allclose(out[2:-2], expected[2:-2], atol=1e-12)
+
+
+def test_quick_burgers() -> None:
+    """Transient Burgers with the QUICK scheme (field advection) stays
+    stable and at least as accurate (L2) as the central scheme."""
+    mesh = Mesh(Box[0 : 2 * pi], None, [101])
+
+    def run(limiter):
+        model = Burgers1D(mesh, nu=0.1)
+        model.fdm = FDM(
+            {"div": {"limiter": limiter, "edge": False, "form": "advective"}}
+        )
+        for _ in range(10):
+            model.step(0.01)
+        ex = np.asarray(burger_exact_nd(mesh, 0.1, model.var.t))
+        err = np.asarray(model.var()[0]) - ex
+        return np.linalg.norm(err) / np.linalg.norm(ex)
+
+    err_quick = run("quick")
+    err_central = run("none")
+    assert np.isfinite(err_quick)
+    assert err_quick < max(2.0 * err_central, 0.05), (err_quick, err_central)
