@@ -356,3 +356,31 @@ def test_burger_1d_transient() -> None:
         rel_l2 = np.linalg.norm(err) / np.linalg.norm(np.asarray(sol_ex))
         assert rel_l2 < 0.05, f"relative L2 error too large: {rel_l2}"
         assert np.abs(err).max() < 1.2
+
+
+def test_heat_conduction_golden_regression() -> None:
+    """Golden-file regression (SURVEY §4 pattern; analogous to the
+    reference's ``tests/data/laplace_equation`` CSV): the 11x11 mixed-BC
+    Laplace solution must match the pinned snapshot bit-for-bit-ish."""
+    import os
+
+    mesh = Mesh(Box[0:1, 0:1], None, [11, 11])
+    f_bc = mixed_bcs(
+        [0.0, 0.0, 0.0, 1.0],
+        ["neumann", "dirichlet", "neumann", "dirichlet"],
+    )
+    var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None}, init_val=0.0)
+    solver = Solver(
+        {"fdm": {"method": "bicgstab", "tol": 1e-10, "max_it": 2000,
+                 "report": False}}
+    )
+    fdm = FDM()
+    solver.set_eq(fdm.laplacian(var) == 0.0)
+    solver.solve()
+
+    golden = np.loadtxt(
+        os.path.join(os.path.dirname(__file__), "data",
+                     "laplace_mixed_11x11.csv"),
+        delimiter=",",
+    )
+    _close(var()[0], golden, rtol=1e-8, atol=1e-8)

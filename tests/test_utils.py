@@ -65,3 +65,21 @@ def test_runner_poisson_cli() -> None:
     assert out.returncode == 0, out.stderr[-800:]
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["report"]["converge"]
+
+
+def test_debug_validate_field() -> None:
+    import pytest as _pytest
+
+    from pyapes_tpu.utils.debug import divergence_guard, validate_field
+
+    mesh = Mesh(Box[0:1], None, [9])
+    var = Field("u", 1, mesh, None, init_val=1.0)
+    validate_field(var)  # finite: ok
+
+    var.VAR = var() * jnp.nan
+    with _pytest.raises(FloatingPointError):
+        validate_field(var)
+
+    divergence_guard({"itr": 3, "tol": 1e-7, "converge": True})
+    with _pytest.raises(RuntimeError):
+        divergence_guard({"itr": 3, "tol": float("inf"), "converge": False})
