@@ -319,3 +319,146 @@ def pallas_axis_stencil(coeffs, x: jnp.ndarray, interpret: bool = False):
 
     outs = [run(x[d]) for d in range(x.shape[0])]
     return jnp.stack(outs)
+
+
+# ---------------------------------------------------------------------------
+# Fused Jacobi smoother / residual kernel for the multigrid V-cycle
+# (scalar per-axis Laplacian coefficients; see solver/multigrid.py).
+# Computes out = alpha * x + beta * mask * (b - A x) in ONE pass:
+#   alpha=1, beta=omega/diag  -> damped-Jacobi smooth step
+#   alpha=0, beta=1           -> masked residual
+# ---------------------------------------------------------------------------
+
+
+def _jacobi3d_kernel(
+    x_any,
+    body,
+    b_blk,
+    out_ref,
+    xg_lo, xg_hi, yg_lo, yg_hi,
+    sems,
+    *,
+    tx: int,
+    ty: int,
+    nx: int,
+    ny: int,
+    inv_dx2: tuple,
+    alpha: float,
+    beta: float,
+    mask_axes: tuple,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    sx = i * tx
+    sy = pl.multiple_of(j * ty, 8)
+
+    gy_lo = _mod(sy - 1, ny)
+    gy_hi = _mod(sy + ty, ny)
+    gy_lo_blk = pl.multiple_of((gy_lo // 8) * 8, 8)
+    gy_hi_blk = pl.multiple_of((gy_hi // 8) * 8, 8)
+
+    copies = [
+        pltpu.make_async_copy(
+            x_any.at[pl.ds(_mod(sx - 1, nx), 1), pl.ds(sy, ty)],
+            xg_lo, sems.at[0],
+        ),
+        pltpu.make_async_copy(
+            x_any.at[pl.ds(_mod(sx + tx, nx), 1), pl.ds(sy, ty)],
+            xg_hi, sems.at[1],
+        ),
+        pltpu.make_async_copy(
+            x_any.at[pl.ds(sx, tx), pl.ds(gy_lo_blk, 8)], yg_lo, sems.at[2]
+        ),
+        pltpu.make_async_copy(
+            x_any.at[pl.ds(sx, tx), pl.ds(gy_hi_blk, 8)], yg_hi, sems.at[3]
+        ),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    xc = body[:, :, :]
+    nz = xc.shape[2]
+
+    xids = jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0)
+    xm = jnp.where(xids == 0, xg_lo[:, :, :], pltpu.roll(xc, 1, 0))
+    xp = jnp.where(xids == tx - 1, xg_hi[:, :, :], pltpu.roll(xc, tx - 1, 0))
+
+    g_lo = _select_row(yg_lo[:, :, :], gy_lo - gy_lo_blk, 1)
+    g_hi = _select_row(yg_hi[:, :, :], gy_hi - gy_hi_blk, 1)
+    yids = jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1)
+    ym = jnp.where(yids == 0, g_lo, pltpu.roll(xc, 1, 1))
+    yp = jnp.where(yids == ty - 1, g_hi, pltpu.roll(xc, ty - 1, 1))
+
+    ax = inv_dx2[0] * (xp + xm - 2.0 * xc)
+    ax += inv_dx2[1] * (yp + ym - 2.0 * xc)
+    ax += inv_dx2[2] * (
+        pltpu.roll(xc, nz - 1, 2) + pltpu.roll(xc, 1, 2) - 2.0 * xc
+    )
+
+    upd = b_blk[:, :, :] - ax
+    # interior mask: zero global-boundary rows on masked axes
+    if 0 in mask_axes:
+        gx = xids + sx
+        upd = jnp.where((gx == 0) | (gx == nx - 1), 0.0, upd)
+    if 1 in mask_axes:
+        gy = yids + sy
+        upd = jnp.where((gy == 0) | (gy == ny - 1), 0.0, upd)
+    if 2 in mask_axes:
+        zids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nz), 2)
+        upd = jnp.where((zids == 0) | (zids == nz - 1), 0.0, upd)
+
+    out_ref[:, :, :] = alpha * xc + beta * upd
+
+
+def pallas_jacobi3d(
+    x: jnp.ndarray,
+    b: jnp.ndarray,
+    inv_dx2: tuple,
+    alpha: float,
+    beta: float,
+    mask_axes: tuple,
+    interpret: bool = False,
+):
+    """Fused ``alpha x + beta mask (b - A x)`` for the 3-D scalar-coefficient
+    Laplacian. ``x``/``b``: ``(vdim, *nx)``."""
+    gs = x.shape[1:]
+    assert len(gs) == 3 and pallas_supported(gs)
+    itemsize = np.dtype(x.dtype).itemsize
+    nx, ny, nz = gs
+    tx, ty = _tiles_3d(gs, itemsize)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec((tx, ty, nz), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tx, ty, nz), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec(
+        (tx, ty, nz), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    call = pl.pallas_call(
+        partial(
+            _jacobi3d_kernel,
+            tx=tx, ty=ty, nx=nx, ny=ny,
+            inv_dx2=tuple(float(v) for v in inv_dx2),
+            alpha=float(alpha), beta=float(beta),
+            mask_axes=tuple(mask_axes),
+        ),
+        grid=(nx // tx, ny // ty),
+        out_shape=jax.ShapeDtypeStruct(gs, x.dtype),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((1, ty, nz), x.dtype),
+            pltpu.VMEM((1, ty, nz), x.dtype),
+            pltpu.VMEM((tx, 8, nz), x.dtype),
+            pltpu.VMEM((tx, 8, nz), x.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )
+    outs = [call(x[d], x[d], b[d]) for d in range(x.shape[0])]
+    return jnp.stack(outs)

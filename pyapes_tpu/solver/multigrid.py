@@ -133,14 +133,42 @@ class MGSpec:
     def _diag(self, shape):
         return -2.0 * sum(self._inv_dx2(shape))
 
+    def _fused(self, x, b, shape, alpha, beta):
+        """Fused ``alpha x + beta mask (b - A x)`` via the Pallas Jacobi
+        kernel when supported; None otherwise."""
+        if not self.use_pallas or len(shape) != 3:
+            return None
+        from pyapes_tpu.ops.pallas_stencil import (
+            pallas_jacobi3d,
+            pallas_supported,
+        )
+
+        if not pallas_supported(tuple(shape)):
+            return None
+        mask_axes = tuple(
+            j for j in range(len(shape)) if j not in self.paxes
+        )
+        return pallas_jacobi3d(
+            x, b, tuple(self._inv_dx2(shape)), alpha, beta, mask_axes
+        )
+
     def _smooth(self, x, b, shape, mask, n_iter):
         om_over_diag = self.omega / self._diag(shape)
 
         def body(_, x):
+            fused = self._fused(x, b, shape, 1.0, om_over_diag)
+            if fused is not None:
+                return fused
             r = (b - self._apply_A(x, shape)) * mask
             return x + om_over_diag * r
 
         return jax.lax.fori_loop(0, n_iter, body, x)
+
+    def _residual(self, x, b, shape, mask):
+        fused = self._fused(x, b, shape, 0.0, 1.0)
+        if fused is not None:
+            return fused
+        return (b - self._apply_A(x, shape)) * mask
 
     def _resize(self, x, shape):
         return jax.image.resize(
@@ -157,7 +185,7 @@ class MGSpec:
 
         x = jnp.zeros_like(b)
         x = self._smooth(x, b, shape, mask, self.n_pre)
-        r = (b - self._apply_A(x, shape)) * mask
+        r = self._residual(x, b, shape, mask)
         r_c = self._resize(r, self.shapes[level + 1])
         e_c = self._vcycle(r_c, level + 1)
         x = x + self._resize(e_c, shape) * mask
