@@ -11,3 +11,28 @@ coordinates, Fokker-Planck operators), redesigned TPU-first:
     ``ppermute`` halo exchange over ICI
 """
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (avoid importing jax at package import).
+    if name in ("Box", "Cylinder"):
+        from pyapes_tpu import geometry
+
+        return getattr(geometry, name)
+    if name == "Mesh":
+        from pyapes_tpu.mesh import Mesh
+
+        return Mesh
+    if name == "Field":
+        from pyapes_tpu.variables import Field
+
+        return Field
+    if name in ("FDM", "FDC", "Solver"):
+        from pyapes_tpu import solver
+
+        return getattr(solver, name)
+    if name == "DomainDecomposition":
+        from pyapes_tpu.parallel import DomainDecomposition
+
+        return DomainDecomposition
+    raise AttributeError(name)
