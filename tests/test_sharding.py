@@ -118,3 +118,35 @@ def test_sharded_3d_poisson() -> None:
     ref = run(None)
     out = run(DomainDecomposition((2, 2, 2)))
     assert_allclose(out, ref, atol=1e-10)
+
+
+@needs_8
+def test_sharded_mgcg_matches_single_device() -> None:
+    """MG-PCG composes with the domain decomposition (GSPMD partitions the
+    V-cycle transfers too)."""
+
+    def run(decomp):
+        mesh = Mesh(Box[0:1, 0:1], None, [64, 64])
+        from pyapes_tpu.variables.bcs import homogeneous_bcs
+
+        var = Field(
+            "p", 1, mesh,
+            {"domain": homogeneous_bcs(2, 0.0, "dirichlet"), "obstacle": None},
+            init_val=0.0,
+        )
+        rng = np.random.default_rng(0)
+        rhs = jnp.asarray(rng.standard_normal((1, 64, 64)))
+        cfg = {"method": "cg", "tol": 1e-8, "max_it": 500, "report": False,
+               "criterion": "residual", "precond": "mg"}
+        if decomp is not None:
+            cfg["decomp"] = decomp
+        solver = Solver({"fdm": cfg})
+        fdm = FDM()
+        solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+        solver.solve()
+        return np.asarray(var()[0]), solver.report
+
+    ref, rep0 = run(None)
+    out, rep1 = run(DomainDecomposition((2, 4)))
+    assert rep1["converge"] and rep1["itr"] == rep0["itr"]
+    assert_allclose(out, ref, atol=1e-12)
