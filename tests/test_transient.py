@@ -1,0 +1,95 @@
+"""Transient (Ddt) and vector-field solver coverage."""
+from math import pi
+
+import jax.numpy as jnp
+import numpy as np
+from numpy.testing import assert_allclose
+
+from pyapes_tpu.geometry import Box
+from pyapes_tpu.mesh import Mesh
+from pyapes_tpu.solver.fdm import FDM
+from pyapes_tpu.solver.ops import Solver
+from pyapes_tpu.variables import Field
+from pyapes_tpu.variables.bcs import homogeneous_bcs
+
+
+def test_heat_equation_2d_analytic_decay() -> None:
+    """u_t = alpha lap(u); the sin x sin y mode decays as
+    exp(-2 alpha pi^2 t) — pins backward-Euler Ddt + Laplacian in time."""
+    mesh = Mesh(Box[0:1, 0:1], None, [41, 41])
+    alpha = 0.1
+
+    var = Field(
+        "T", 1, mesh,
+        {"domain": homogeneous_bcs(2, 0.0, "dirichlet"), "obstacle": None},
+    )
+    u0 = jnp.sin(pi * mesh.X) * jnp.sin(pi * mesh.Y)
+    var.set_var_tensor(u0[None])
+
+    solver = Solver(
+        {"fdm": {"method": "cg", "tol": 1e-10, "max_it": 2000,
+                 "report": False, "criterion": "residual"}}
+    )
+    fdm = FDM()
+
+    dt = 0.002
+    n_steps = 50
+    var.set_time(dt, 0.0)
+    for _ in range(n_steps):
+        var.save_old()
+        solver.set_eq(fdm.ddt(var) - fdm.laplacian(alpha, var) == 0.0)
+        solver.solve()
+        var.update_time()
+
+    t = var.t
+    # Discrete decay rate differs from the PDE's by O(dx^2) + O(dt);
+    # compare against the backward-Euler amplification of the DISCRETE
+    # eigenvalue to pin the time integrator tightly.
+    dx = float(mesh.dx_np[0])
+    # discrete eigenvalue of the 5-point Laplacian for the (1,1) mode
+    lam_h = alpha * (2 - 2 * np.cos(pi * dx)) / dx**2 * 2
+    amp = (1.0 / (1.0 + dt * lam_h)) ** n_steps
+    expected = amp * np.asarray(u0)
+
+    assert_allclose(np.asarray(var()[0]), expected, atol=2e-4)
+    # and loosely against the continuous solution
+    cont = np.exp(-2 * alpha * pi**2 * t) * np.asarray(u0)
+    assert_allclose(np.asarray(var()[0]), cont, atol=0.02)
+
+
+def test_vector_field_solve() -> None:
+    """A dim=2 Field solves like two independent scalar problems."""
+    mesh = Mesh(Box[0:1, 0:1], None, [33, 33])
+    bcs = homogeneous_bcs(2, 0.0, "dirichlet")
+
+    rng = np.random.default_rng(3)
+    rhs0 = rng.standard_normal((33, 33))
+    rhs1 = rng.standard_normal((33, 33))
+
+    # vector solve
+    vec = Field("uv", 2, mesh, {"domain": bcs, "obstacle": None}, init_val=0.0)
+    solver = Solver(
+        {"fdm": {"method": "cg", "tol": 1e-10, "max_it": 3000,
+                 "report": False, "criterion": "residual"}}
+    )
+    fdm = FDM()
+    solver.set_eq(
+        fdm.laplacian(1.0, vec) == jnp.asarray(np.stack([rhs0, rhs1]))
+    )
+    solver.solve()
+
+    # component solves
+    outs = []
+    for rhs in (rhs0, rhs1):
+        sc = Field("u", 1, mesh, {"domain": bcs, "obstacle": None},
+                   init_val=0.0)
+        s = Solver(
+            {"fdm": {"method": "cg", "tol": 1e-10, "max_it": 3000,
+                     "report": False, "criterion": "residual"}}
+        )
+        s.set_eq(fdm.laplacian(1.0, sc) == jnp.asarray(rhs[None]))
+        s.solve()
+        outs.append(np.asarray(sc()[0]))
+
+    assert_allclose(np.asarray(vec()[0]), outs[0], atol=1e-7)
+    assert_allclose(np.asarray(vec()[1]), outs[1], atol=1e-7)
