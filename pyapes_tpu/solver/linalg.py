@@ -334,8 +334,6 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     precond_kind = config.get("precond")
     mg_spec = None
     if precond_kind == "mg":
-        if method != "cg":
-            raise ValueError("precond='mg' requires method='cg'")
         from pyapes_tpu.solver.multigrid import MGSpec
 
         mg_spec = MGSpec(
@@ -394,7 +392,10 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 project_mean=bool(config.get("nullspace") == "mean"),
             )
         else:
-            fn = _build_bicgstab(Aop, apply_bcs, M, tol, max_it, criterion)
+            precond = mg_spec.preconditioner() if mg_spec is not None else None
+            fn = _build_bicgstab(
+                Aop, apply_bcs, M, tol, max_it, criterion, precond
+            )
         _SOLVER_CACHE[key] = jax.jit(fn)
 
     x_final, itr, tol_final = _SOLVER_CACHE[key](x0, rhs_r, tparams)
@@ -474,10 +475,16 @@ def _build_cg(
     return cg_fn
 
 
-def _build_bicgstab(Aop, apply_bcs, M, tolerance, max_it, criterion):
+def _build_bicgstab(
+    Aop, apply_bcs, M, tolerance, max_it, criterion, precond=None
+):
     """BiCGSTAB as a ``lax.while_loop`` (reference ``linalg.py:162-279``,
     after pykrylov). The reference's mid-loop early exit
-    (``linalg.py:235-240``) becomes a ``lax.cond`` branch."""
+    (``linalg.py:235-240``) becomes a ``lax.cond`` branch.
+
+    With ``precond`` this is right-preconditioned BiCGSTAB: search vectors
+    pass through ``P`` before the operator (useful for advection-dominated
+    nonsymmetric systems, where CG does not apply)."""
 
     def bicg_fn(x0, rhs, tparams):
         M_ = M.build()
@@ -508,7 +515,8 @@ def _build_bicgstab(Aop, apply_bcs, M, tolerance, max_it, criterion):
             beta = _nan0(s["rho_next"] / s["rho"] * s["alpha"] / s["omega"])
             rho = s["rho_next"]
             p = s["r"] + beta * (s["p"] - s["omega"] * s["v"])
-            v = Aop(p, tparams) * M_
+            p_hat = precond(p) * M_ if precond is not None else p
+            v = Aop(p_hat, tparams) * M_
             itr = s["itr"] + 1
             alpha = _nan0(rho / _vsum(r0 * v))
             s_vec = s["r"] - alpha * v
@@ -516,7 +524,7 @@ def _build_bicgstab(Aop, apply_bcs, M, tolerance, max_it, criterion):
             early = tol1 <= tolerance
 
             def do_early(_):
-                x_new = apply_bcs(s["x"] + alpha * p)
+                x_new = apply_bcs(s["x"] + alpha * p_hat)
                 return {
                     "x": x_new,
                     "r": s_vec,
@@ -532,10 +540,11 @@ def _build_bicgstab(Aop, apply_bcs, M, tolerance, max_it, criterion):
                 }
 
             def do_full(_):
-                t = Aop(s_vec, tparams) * M_
+                s_hat = precond(s_vec) * M_ if precond is not None else s_vec
+                t = Aop(s_hat, tparams) * M_
                 omega = _nan0(_vsum(t * s_vec) / _vsum(t * t))
                 rho_next = -omega * _vsum(r0 * t)
-                x_new = apply_bcs(s["x"] + alpha * p + omega * s_vec)
+                x_new = apply_bcs(s["x"] + alpha * p_hat + omega * s_hat)
                 r_new = s_vec - omega * t
                 tol2 = tol_of(r_new)
                 return {

@@ -77,3 +77,33 @@ def test_mgcg_periodic() -> None:
     assert rep1["converge"]
     assert rep1["itr"] < rep0["itr"] / 3
     assert_allclose(out, ref, atol=1e-6)
+
+
+def test_mg_bicgstab_advection_diffusion() -> None:
+    """Right-preconditioned BiCGSTAB accelerates a nonsymmetric
+    advection-diffusion system (CG does not apply there)."""
+    mesh = Mesh(Box[0:1, 0:1], None, [65, 65])
+    bcs = homogeneous_bcs(2, 0.0, "dirichlet")
+    rng = np.random.default_rng(2)
+    rhs = jnp.asarray(rng.standard_normal((1, 65, 65)))
+
+    def run(precond):
+        var = Field("p", 1, mesh, {"domain": bcs, "obstacle": None},
+                    init_val=0.0)
+        cfg = {"method": "bicgstab", "tol": 1e-8, "max_it": 3000,
+               "report": False}
+        if precond:
+            cfg["precond"] = "mg"
+        solver = Solver({"fdm": cfg})
+        fdm = FDM({"div": {"limiter": "upwind", "edge": False}})
+        solver.set_eq(
+            fdm.div(1.0, var) - fdm.laplacian(0.05, var) == rhs
+        )
+        solver.solve()
+        return np.asarray(var()[0]), solver.report
+
+    ref, rep0 = run(False)
+    out, rep1 = run(True)
+    assert rep1["converge"]
+    assert rep1["itr"] < rep0["itr"], (rep1["itr"], rep0["itr"])
+    assert_allclose(out, ref, atol=1e-5)
