@@ -2,7 +2,6 @@
 (cf. reference demos/advection_diffusion)."""
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 from pyapes_tpu.mesh import Mesh
 from pyapes_tpu.solver.fdm import FDM

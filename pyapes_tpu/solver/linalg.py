@@ -21,18 +21,15 @@ Convergence criteria:
 """
 from __future__ import annotations
 
-import warnings
 from typing import Callable, TypedDict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pyapes_tpu.mesh.tools import (
-    boundary_slicer,
-    interior_mask,
-    interior_mask_device,
-)
+from pyapes_tpu.mesh.tools import boundary_slicer, interior_mask_device
+from pyapes_tpu.ops.stencil import apply_axis_stencil, apply_div_field
+from pyapes_tpu.variables.bcs import apply_bcs_fn
 
 
 class _MaskSpec:
@@ -44,8 +41,6 @@ class _MaskSpec:
 
     def build(self):
         return interior_mask_device(self.nx, self.slicer, self.dtype)
-from pyapes_tpu.ops.stencil import apply_axis_stencil, apply_div_field
-from pyapes_tpu.variables.bcs import apply_bcs_fn
 
 
 class ReportType(TypedDict):

@@ -20,7 +20,6 @@ Design (all jnp; runs on CPU and TPU, compiled into the same
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,6 @@ is scattered asserts and nan guards).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.experimental import checkify
 
