@@ -479,7 +479,13 @@ def _build_bicgstab(
 
     With ``precond`` this is right-preconditioned BiCGSTAB: search vectors
     pass through ``P`` before the operator (useful for advection-dominated
-    nonsymmetric systems, where CG does not apply)."""
+    nonsymmetric systems, where CG does not apply).
+
+    Robustness beyond the reference: BiCGSTAB breaks down once the
+    residual reaches its attainable accuracy (rho -> 0, then the iterates
+    explode); the loop detects residual blow-up past the best tol seen and
+    exits, returning the BEST iterate rather than the last.
+    """
 
     def bicg_fn(x0, rhs, tparams):
         M_ = M.build()
@@ -518,9 +524,15 @@ def _build_bicgstab(
             tol1 = tol_of(s_vec)
             early = tol1 <= tolerance
 
+            def track_best(st):
+                better = st["tol"] < st["best_tol"]
+                st["best_x"] = jnp.where(better, st["x"], st["best_x"])
+                st["best_tol"] = jnp.minimum(st["tol"], st["best_tol"])
+                return st
+
             def do_early(_):
                 x_new = apply_bcs(s["x"] + alpha * p_hat)
-                return {
+                return track_best({
                     "x": x_new,
                     "r": s_vec,
                     "p": p,
@@ -532,7 +544,9 @@ def _build_bicgstab(
                     "tol": tol1,
                     "itr": itr,
                     "finished": jnp.asarray(True),
-                }
+                    "best_x": s["best_x"],
+                    "best_tol": s["best_tol"],
+                })
 
             def do_full(_):
                 s_hat = precond(s_vec) * M_ if precond is not None else s_vec
@@ -542,7 +556,12 @@ def _build_bicgstab(
                 x_new = apply_bcs(s["x"] + alpha * p_hat + omega * s_hat)
                 r_new = s_vec - omega * t
                 tol2 = tol_of(r_new)
-                return {
+                # Stagnation == attainable accuracy passed; once BiCGSTAB
+                # breaks down the residual explodes fast, so a growth of
+                # 1e3x over the best tol seen is a reliable exit signal
+                # (the best iterate is returned).
+                breakdown = tol2 > 1e3 * jnp.minimum(s["best_tol"], tol2)
+                return track_best({
                     "x": x_new,
                     "r": r_new,
                     "p": p,
@@ -553,8 +572,10 @@ def _build_bicgstab(
                     "omega": omega,
                     "tol": tol2,
                     "itr": itr,
-                    "finished": tol2 <= tolerance,
-                }
+                    "finished": (tol2 <= tolerance) | breakdown,
+                    "best_x": s["best_x"],
+                    "best_tol": s["best_tol"],
+                })
 
             return jax.lax.cond(early, do_early, do_full, None)
 
@@ -570,9 +591,15 @@ def _build_bicgstab(
             "tol": tol0.astype(x.dtype),
             "itr": jnp.asarray(0, dtype=jnp.int32),
             "finished": jnp.asarray(False),
+            "best_x": x,
+            "best_tol": jnp.asarray(jnp.inf, dtype=x.dtype),
         }
         out = jax.lax.while_loop(cond, body, state)
-        return out["x"], out["itr"], out["tol"]
+        # Return the best iterate seen (last == best in healthy runs).
+        use_best = out["best_tol"] < out["tol"]
+        x_out = jnp.where(use_best, out["best_x"], out["x"])
+        tol_out = jnp.minimum(out["best_tol"], out["tol"])
+        return x_out, out["itr"], tol_out
 
     return bicg_fn
 

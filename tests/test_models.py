@@ -121,3 +121,50 @@ def test_rfp_evolution_conserves_density() -> None:
     den1 = float(f.volume_integral()[0])
     assert abs(den1 - den0) / den0 < 5e-3, (den0, den1)
     assert np.all(np.isfinite(np.asarray(f())))
+
+
+def test_advection_diffusion_2d_transient_upwind() -> None:
+    """BASELINE config 2: 2-D advection-diffusion with upwind Div + Ddt.
+    A Gaussian blob advects at the prescribed velocity (center-of-mass
+    drift == c*t) while diffusing, on a periodic-x domain."""
+    from pyapes_tpu.variables.bcs import mixed_bcs
+    from pyapes_tpu.solver.fdm import FDM
+    from pyapes_tpu.solver.ops import Solver
+
+    mesh = Mesh(Box[0:1, 0:1], None, [65, 65])
+    f_bc = mixed_bcs(
+        [None, None, 0.0, 0.0],
+        ["periodic", "periodic", "dirichlet", "dirichlet"],
+    )
+    var = Field("phi", 1, mesh, {"domain": f_bc, "obstacle": None})
+    X, Y = np.asarray(mesh.X), np.asarray(mesh.Y)
+    blob = np.exp(-((X - 0.3) ** 2 + (Y - 0.5) ** 2) / 0.005)
+    var.set_var_tensor(jnp.asarray(blob[None]))
+
+    c = 1.0
+    eps = 1e-3
+    solver = Solver(
+        {"fdm": {"method": "bicgstab", "tol": 1e-9, "max_it": 2000,
+                 "report": False}}
+    )
+    fdm = FDM({"div": {"limiter": "upwind", "edge": False}})
+
+    dt = 0.01
+    n_steps = 20
+    var.set_time(dt, 0.0)
+    for _ in range(n_steps):
+        var.save_old()
+        solver.set_eq(
+            fdm.ddt(var) + fdm.div(c, var) - fdm.laplacian(eps, var) == 0.0
+        )
+        solver.solve()
+        var.update_time()
+
+    v = np.asarray(var()[0])
+    assert np.all(np.isfinite(v))
+    # center of mass along x (periodic: blob far from seam after t=0.2)
+    com_x = (v * X).sum() / v.sum()
+    assert abs(com_x - (0.3 + c * var.t)) < 0.02, com_x
+    # upwind+BE is diffusive: peak decays but mass stays positive
+    assert v.max() < blob.max()
+    assert v.min() > -1e-8

@@ -16,6 +16,7 @@ from pyapes_tpu.parallel import DomainDecomposition
 from pyapes_tpu.parallel.halo import make_sharded_stencil
 from pyapes_tpu.solver.fdm import FDM
 from pyapes_tpu.solver.ops import Solver
+from pyapes_tpu.variables.bcs import mixed_bcs
 from pyapes_tpu.testing.poisson import (
     poisson_bcs,
     poisson_exact_nd,
@@ -150,3 +151,47 @@ def test_sharded_mgcg_matches_single_device() -> None:
     out, rep1 = run(DomainDecomposition((2, 4)))
     assert rep1["converge"] and rep1["itr"] == rep0["itr"]
     assert_allclose(out, ref, atol=1e-12)
+
+
+@needs_8
+def test_sharded_3d_mixed_neumann_periodic_symmetry() -> None:
+    """BASELINE config 3: 3-D Poisson with mixed Neumann/Periodic/Symmetry
+    BCs sharded across the device mesh (halo exchange over all axes)."""
+
+    def run(decomp):
+        mesh = Mesh(Box[0:1, 0:1, 0:1], None, [17, 16, 16])
+        f_bc = mixed_bcs(
+            [0.5, 0.0, None, None, None, None],
+            ["neumann", "dirichlet", "periodic", "periodic",
+             "symmetry", "symmetry"],
+        )
+        var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None},
+                    init_val=0.0)
+        rng = np.random.default_rng(7)
+        r = rng.standard_normal((1, 17, 16, 16))
+        r -= r.mean()
+        rhs = jnp.asarray(r)
+        cfg = {"method": "bicgstab", "tol": 1e-9, "max_it": 3000,
+               "report": False}
+        if decomp is not None:
+            cfg["decomp"] = decomp
+        solver = Solver({"fdm": cfg})
+        fdm = FDM()
+        solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+        solver.solve()
+        return np.asarray(var()[0]), solver.report
+
+    ref, rep0 = run(None)
+    assert rep0["converge"]
+    # x: 17 nodes unsharded; y periodic 16->15 torus... (y sharding must
+    # divide the reduced size; keep y unsharded), z symmetry 16 over 2.
+    out, rep1 = run(DomainDecomposition((1, 1, 2)))
+    assert rep1["converge"]
+    assert_allclose(out, ref, atol=1e-8)
+
+    v = ref
+    # symmetry faces: boundary row equals its neighbor
+    assert_allclose(v[:, :, 0], v[:, :, 1], atol=1e-12)
+    assert_allclose(v[:, :, -1], v[:, :, -2], atol=1e-12)
+    # periodic seam
+    assert_allclose(v[:, 0, :], v[:, -1, :], atol=1e-12)
