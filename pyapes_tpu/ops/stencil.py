@@ -394,3 +394,71 @@ def estimate_stencil_bytes(nx: tuple[int, ...], dtype_bytes: int = 4) -> int:
     """Bytes moved by one fused stencil apply (read x + write out)."""
     n = math.prod(nx)
     return 2 * n * dtype_bytes
+
+
+def apply_conv_field(
+    x: jnp.ndarray,
+    adv: jnp.ndarray,
+    base_coeffs: tuple,
+    limiter: str,
+    surgery: tuple,
+) -> jnp.ndarray:
+    """Convection ``u_j d(phi_i)/dx_j`` for vector fields (advective form,
+    advection indexed per MESH AXIS), applied per component.
+
+    The reference's Div cannot express this operator (it sums axis/component
+    diagonal pairs into a scalar, ``fdc.py:93-102``); it is required for
+    implicit Navier-Stokes momentum and vector Burgers systems.
+
+    Args:
+        x: target values ``(vdim, *nx)``.
+        adv: advecting velocity ``(mesh.dim, *nx)`` (component per axis).
+        base_coeffs: per-axis geometry-only vectors from
+            ``div_axis_coeffs(..., gamma=1.0, limiter="none")``.
+        limiter: "none" | "upwind".
+        surgery: ``div_surgery_info`` output.
+    """
+    ndim_mesh = x.ndim - 1
+    assert adv.shape[0] == ndim_mesh, "conv: adv needs one component per axis"
+    out = jnp.zeros_like(x)
+    for j in range(ndim_mesh):
+        ap0, ac0, am0 = base_coeffs[j]
+        shape = _bshape(x.ndim, j)[1:]
+        apb = ap0.reshape(shape)
+        acb = ac0.reshape(shape)
+        amb = am0.reshape(shape)
+        inv_2dx = jnp.abs(apb)
+        a = adv[j]
+        if limiter == "none":
+            ap = apb * a
+            ac = acb * a
+            am = amb * a
+        else:
+            g_min = jnp.minimum(a, 0.0)
+            g_max = jnp.maximum(a, 0.0)
+            ap = 2.0 * inv_2dx * g_min
+            ac = 2.0 * inv_2dx * (g_max - g_min) + acb * a
+            am = -2.0 * inv_2dx * g_max
+        lo_kind, up_kind = surgery[j]
+        if lo_kind == "neumann":
+            sel = _row_sel(j, 1)
+            c0 = am[sel]
+            ac = ac.at[sel].add((4.0 / 3.0) * c0)
+            ap = ap.at[sel].add(-(1.0 / 3.0) * c0)
+            am = am.at[sel].set(0.0)
+        elif lo_kind == "periodic":
+            am = am.at[_row_sel(j, 1)].set(0.0)
+        if up_kind == "neumann":
+            sel = _row_sel(j, -2)
+            c0 = ap[sel]
+            ac = ac.at[sel].add((4.0 / 3.0) * c0)
+            am = am.at[sel].add(-(1.0 / 3.0) * c0)
+            ap = ap.at[sel].set(0.0)
+        elif up_kind == "periodic":
+            ap = ap.at[_row_sel(j, -2)].set(0.0)
+        out = out + (
+            ap[None] * jnp.roll(x, -1, 1 + j)
+            + ac[None] * x
+            + am[None] * jnp.roll(x, 1, 1 + j)
+        )
+    return out

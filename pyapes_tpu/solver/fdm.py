@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from pyapes_tpu.ops.stencil import (
     apply_axis_stencil,
+    apply_conv_field,
     apply_div_field,
     div_axis_coeffs,
     div_surgery_info,
@@ -290,6 +291,71 @@ class Div(Operators):
         )
 
 
+class Conv(Operators):
+    r"""Implicit convection :math:`u_j \partial \phi_i / \partial x_j` for
+    vector targets — the physical momentum-advection operator.
+
+    New in this framework: the reference's Div sums axis/component diagonal
+    pairs into a scalar (``fdc.py:93-102``) and cannot express
+    :math:`(u \cdot \nabla)\phi` for systems. The advecting field supplies
+    one component per MESH AXIS and is frozen at equation-build time
+    (Picard linearization; refresh via solver ``picard`` sweeps).
+    """
+
+    def __call__(self, u, var: Field) -> "Conv":
+        assert isinstance(var, Field), "FDM Conv: var must be a Field!"
+        adv = u() if isinstance(u, Field) else jnp.asarray(u)
+        assert adv.shape[0] == var.mesh.dim, (
+            "FDM Conv: advecting field needs one component per mesh axis"
+        )
+
+        config = self.config or {"div": {"limiter": "none", "edge": False}}
+        limiter = config.get("div", {}).get("limiter", "none")
+        if limiter == "quick":
+            limiter = "upwind"  # QUICK conv not implemented; fall back
+
+        mesh = var.mesh
+        base = div_axis_coeffs(mesh, None, 1.0, "none")
+        surgery = div_surgery_info(var.bcs, mesh.dim)
+
+        self._var = var
+        self._ops = {
+            0: {
+                "name": self.__class__.__name__,
+                "Aop": self.Aop,
+                "target": var,
+                "param": (u, config),
+                "sign": 1.0,
+                "other": {"base": base, "surgery": surgery,
+                          "form": "advective"},
+                "axis_coeffs": None,
+                "A_coeffs": None,
+                "adv": adv,
+                "limiter": limiter,
+                "dt": None,
+                # Neumann RHS adjustment: boundary-adjacent rows use the
+                # advective-form elimination constant (zero unless the
+                # target has Neumann faces with nonzero values).
+                "adjust_rhs": None,
+            }
+        }
+        return self
+
+    @property
+    def var(self) -> Field:
+        return self._var
+
+    @staticmethod
+    def Aop(rec: OPStype, x: jnp.ndarray) -> jnp.ndarray:
+        return apply_conv_field(
+            x,
+            rec["adv"],
+            rec["other"]["base"],
+            rec["limiter"],
+            rec["other"]["surgery"],
+        )
+
+
 class Ddt(Operators):
     r"""Backward (implicit) Euler time derivative: contributes ``x / dt`` to
     the linear operator and ``var_old / dt`` to the RHS.
@@ -342,7 +408,9 @@ class FDM:
         self.laplacian = Laplacian()
         self.grad = Grad()
         self.div = Div()
+        self.conv = Conv()
         self.ddt = Ddt()
         self.config = config
         if config is not None:
             self.div.update_config(config)
+            self.conv.update_config(config)

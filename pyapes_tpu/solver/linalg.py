@@ -28,7 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyapes_tpu.mesh.tools import boundary_slicer, interior_mask_device
-from pyapes_tpu.ops.stencil import apply_axis_stencil, apply_div_field
+from pyapes_tpu.ops.stencil import (
+    apply_axis_stencil,
+    apply_conv_field,
+    apply_div_field,
+)
 from pyapes_tpu.variables.bcs import apply_bcs_fn
 
 
@@ -60,18 +64,21 @@ def _term_descriptor(rec) -> tuple:
     name = rec["name"].lower()
     if name == "ddt":
         kind = "ddt"
+    elif name == "conv":
+        kind = "conv_field"
     elif rec.get("adv") is not None:
         kind = "div_field"
     else:
         kind = "axis"
+    has_field = kind in ("div_field", "conv_field")
     return (
         kind,
         name,
         float(rec["sign"]),
         rec.get("limiter"),
-        rec["other"]["surgery"] if (kind == "div_field") else None,
+        rec["other"]["surgery"] if has_field else None,
         rec["param"][0] is not None if name in ("laplacian", "grad") else False,
-        rec["other"]["form"] if (kind == "div_field") else None,
+        rec["other"]["form"] if has_field else None,
     )
 
 
@@ -79,7 +86,7 @@ def _term_params(rec, desc) -> dict:
     kind = desc[0]
     if kind == "ddt":
         return {"inv_dt": jnp.asarray(1.0 / rec["dt"])}
-    if kind == "div_field":
+    if kind in ("div_field", "conv_field"):
         return {"adv": rec["adv"], "base": rec["other"]["base"]}
     p = {"axis": rec["axis_coeffs"]}
     if desc[5]:
@@ -104,6 +111,8 @@ def _make_Aop(term_descs, stencil_fn=apply_axis_stencil) -> Callable:
                 r = apply_div_field(
                     x, tp["adv"], tp["base"], limiter, surgery, form
                 )
+            elif kind == "conv_field":
+                r = apply_conv_field(x, tp["adv"], tp["base"], limiter, surgery)
             else:  # ddt
                 r = x * tp["inv_dt"]
             out = out + sign * r
@@ -203,7 +212,7 @@ def _reduce_periodic(terms, term_descs, tparams, x0, rhs, bcs, mesh):
         tp = dict(tp)
         if kind == "axis":
             tp["axis"] = fix_vec(tp["axis"], None)
-        elif kind == "div_field":
+        elif kind in ("div_field", "conv_field"):
             tp["adv"] = reduce_full(tp["adv"])
             tp["base"] = fix_vec(tp["base"], None)
         new_tparams.append(tp)
@@ -268,7 +277,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                     ("none", "none") if j in paxes else desc[4][j]
                     for j in range(len(desc[4]))
                 )
-                if desc[0] == "div_field"
+                if desc[0] in ("div_field", "conv_field")
                 else desc[4],
             )
             + desc[5:]

@@ -93,3 +93,72 @@ def test_vector_field_solve() -> None:
 
     assert_allclose(np.asarray(vec()[0]), outs[0], atol=1e-7)
     assert_allclose(np.asarray(vec()[1]), outs[1], atol=1e-7)
+
+
+def test_conv_operator_matches_manual() -> None:
+    """fdm.conv(u, phi) == u_j d(phi_i)/dx_j (central, interior)."""
+    from pyapes_tpu.solver.ops import Solver
+
+    mesh = Mesh(Box[0:1, 0:1], None, [17, 17])
+    X, Y = np.asarray(mesh.X), np.asarray(mesh.Y)
+
+    u = Field("u", 2, mesh, None)
+    u.set_var_tensor(jnp.asarray(np.stack([Y, -X])))  # rotation field
+    phi = Field("phi", 2, mesh, None)
+    phi.set_var_tensor(
+        jnp.asarray(np.stack([X**2 + Y, X * Y]))
+    )
+
+    solver = Solver(None)
+    fdm = FDM()
+    solver.set_eq(fdm.conv(u, phi) == 0.0)
+    out = np.asarray(solver.Aop(phi))
+
+    dx = float(mesh.dx_np[0])
+
+    def ddx(f, axis):
+        return (np.roll(f, -1, axis) - np.roll(f, 1, axis)) / (2 * dx)
+
+    for i, f in enumerate([X**2 + Y, X * Y]):
+        expected = Y * ddx(f, 0) + (-X) * ddx(f, 1)
+        np.testing.assert_allclose(
+            out[i][1:-1, 1:-1], expected[1:-1, 1:-1], atol=1e-12
+        )
+
+
+def test_vector_burgers_2d() -> None:
+    """BASELINE config 4 (2-D Burgers): the vector system
+    u_t + (u.grad)u = nu lap(u) with conv + ddt stays stable and decays."""
+    from pyapes_tpu.solver.ops import Solver
+
+    mesh = Mesh(Box[0:1, 0:1], None, [33, 33])
+    bcs = homogeneous_bcs(2, 0.0, "dirichlet")
+    u = Field("u", 2, mesh, {"domain": bcs, "obstacle": None})
+    X, Y = np.asarray(mesh.X), np.asarray(mesh.Y)
+    u0 = np.stack([
+        np.sin(np.pi * X) * np.sin(np.pi * Y),
+        np.sin(2 * np.pi * X) * np.sin(np.pi * Y) * 0.5,
+    ])
+    u.set_var_tensor(jnp.asarray(u0))
+
+    nu = 0.05
+    solver = Solver(
+        {"fdm": {"method": "bicgstab", "tol": 1e-9, "max_it": 2000,
+                 "report": False, "picard": 2}}
+    )
+    fdm = FDM({"div": {"limiter": "upwind", "edge": False}})
+
+    dt = 0.01
+    u.set_time(dt, 0.0)
+    e_prev = float(jnp.sum(u() ** 2))
+    for _ in range(10):
+        u.save_old()
+        solver.set_eq(
+            fdm.ddt(u) + fdm.conv(u, u) - fdm.laplacian(nu, u) == 0.0
+        )
+        solver.solve()
+        u.update_time()
+        e = float(jnp.sum(u() ** 2))
+        assert np.isfinite(e)
+        assert e < e_prev  # viscous decay, no blow-up
+        e_prev = e
