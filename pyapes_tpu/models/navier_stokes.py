@@ -53,11 +53,12 @@ class LidDrivenCavity:
     """
 
     def __init__(self, mesh: Mesh, nu: float = 0.01, lid_velocity: float = 1.0,
-                 config=None):
+                 config=None, implicit_advection: bool = False):
         assert mesh.dim == 2 and mesh.coord_sys == "xyz"
         self.mesh = mesh
         self.nu = nu
         self.lid = lid_velocity
+        self.implicit_advection = implicit_advection
 
         d = {"bc_type": "dirichlet", "bc_val": 0.0}
         u_bc = BoxBoundary(
@@ -106,22 +107,42 @@ class LidDrivenCavity:
         dx = float(mesh.dx_np[0])
         dy = float(mesh.dx_np[1])
 
-        # 1. momentum: implicit diffusion, explicit advection
+        # 1. momentum: implicit diffusion; advection either explicit
+        # (reference-style splitting) or implicit via fdm.conv (Picard-
+        # linearized, no advective CFL limit).
         for var in (self.u, self.v):
             if var._dt is None:
                 var.set_time(dt, self.t)
             var.save_old()
-        rhs_u = (-self._advect(self.u()[0]))[None]
-        rhs_v = (-self._advect(self.v()[0]))[None]
-
-        self.mom_solver.set_eq(
-            self.fdm.ddt(self.u) - self.fdm.laplacian(self.nu, self.u) == rhs_u
-        )
-        self.mom_solver.solve()
-        self.mom_solver.set_eq(
-            self.fdm.ddt(self.v) - self.fdm.laplacian(self.nu, self.v) == rhs_v
-        )
-        self.mom_solver.solve()
+        if self.implicit_advection:
+            uvec = jnp.concatenate([self.u(), self.v()], axis=0)
+            self.mom_solver.set_eq(
+                self.fdm.ddt(self.u)
+                + self.fdm.conv(uvec, self.u)
+                - self.fdm.laplacian(self.nu, self.u)
+                == jnp.zeros_like(self.u())
+            )
+            self.mom_solver.solve()
+            self.mom_solver.set_eq(
+                self.fdm.ddt(self.v)
+                + self.fdm.conv(uvec, self.v)
+                - self.fdm.laplacian(self.nu, self.v)
+                == jnp.zeros_like(self.v())
+            )
+            self.mom_solver.solve()
+        else:
+            rhs_u = (-self._advect(self.u()[0]))[None]
+            rhs_v = (-self._advect(self.v()[0]))[None]
+            self.mom_solver.set_eq(
+                self.fdm.ddt(self.u) - self.fdm.laplacian(self.nu, self.u)
+                == rhs_u
+            )
+            self.mom_solver.solve()
+            self.mom_solver.set_eq(
+                self.fdm.ddt(self.v) - self.fdm.laplacian(self.nu, self.v)
+                == rhs_v
+            )
+            self.mom_solver.solve()
 
         self.u.apply_bcs()
         self.v.apply_bcs()

@@ -168,3 +168,17 @@ def test_advection_diffusion_2d_transient_upwind() -> None:
     # upwind+BE is diffusive: peak decays but mass stays positive
     assert v.max() < blob.max()
     assert v.min() > -1e-8
+
+
+def test_lid_driven_cavity_implicit_advection() -> None:
+    """Implicit-convection momentum step: larger dt stays stable and
+    reaches the same vortex structure."""
+    mesh = Mesh(Box[0:1, 0:1], None, [33, 33])
+    model = LidDrivenCavity(mesh, nu=0.01, lid_velocity=1.0,
+                            implicit_advection=True)
+    model.run(dt=0.05, n_steps=60)  # dt ~2.5x the explicit-CFL-safe value
+
+    u = np.asarray(model.u()[0])
+    assert np.all(np.isfinite(u))
+    mid = u.shape[0] // 2
+    assert u[mid, :].min() < -0.05, u[mid, :].min()

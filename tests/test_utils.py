@@ -83,3 +83,31 @@ def test_debug_validate_field() -> None:
     divergence_guard({"itr": 3, "tol": 1e-7, "converge": True})
     with _pytest.raises(RuntimeError):
         divergence_guard({"itr": 3, "tol": float("inf"), "converge": False})
+
+
+def test_checkpoint_resume_transient(tmp_path) -> None:
+    """Resume from a checkpoint reproduces the uninterrupted run exactly."""
+    from math import pi
+
+    from pyapes_tpu.models import Burgers1D
+
+    mesh = Mesh(Box[0 : 2 * pi], None, [65])
+
+    # Uninterrupted: 10 steps
+    m1 = Burgers1D(mesh, nu=0.1)
+    for _ in range(10):
+        m1.step(0.01)
+
+    # Interrupted at 5, checkpointed, resumed in a fresh model
+    m2 = Burgers1D(mesh, nu=0.1)
+    for _ in range(5):
+        m2.step(0.01)
+    checkpoint.save(str(tmp_path / "burgers"), [m2.var])
+
+    m3 = Burgers1D(mesh, nu=0.1)
+    checkpoint.load(str(tmp_path / "burgers"), [m3.var])
+    assert m3.var.t == m2.var.t
+    for _ in range(5):
+        m3.step(0.01)
+
+    assert_allclose(np.asarray(m3.var()), np.asarray(m1.var()), atol=1e-12)
