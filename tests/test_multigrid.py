@@ -107,3 +107,46 @@ def test_mg_bicgstab_advection_diffusion() -> None:
     assert rep1["converge"]
     assert rep1["itr"] < rep0["itr"], (rep1["itr"], rep0["itr"])
     assert_allclose(out, ref, atol=1e-5)
+
+
+def test_mg_bicgstab_rz() -> None:
+    """The (Cartesian) V-cycle preconditions the nonsymmetric rz Laplacian
+    too: ~10x fewer BiCGSTAB iterations, same solution."""
+    from math import cos, exp
+
+    from pyapes_tpu.geometry import Cylinder
+    from pyapes_tpu.variables.bcs import CylinderBoundary
+
+    def run(precond):
+        mesh = Mesh(Cylinder[0:1, 0:1], None, [65, 65])
+        f_bc = CylinderBoundary(
+            rl={"bc_type": "neumann", "bc_val": 0.0},
+            ru={"bc_type": "dirichlet",
+                "bc_val": lambda g, m, v, o: jnp.exp(-g[1]) * cos(1)},
+            zl={"bc_type": "dirichlet",
+                "bc_val": lambda g, m, v, o: jnp.cos(g[0])},
+            zu={"bc_type": "dirichlet",
+                "bc_val": lambda g, m, v, o: jnp.cos(g[0]) * exp(-1)},
+        )
+        var = Field("U", 1, mesh, {"domain": f_bc(), "obstacle": None},
+                    init_val=0.0)
+        rhs = jnp.zeros_like(var())
+        rv = -jnp.sin(mesh.X) / (mesh.X * jnp.exp(mesh.Z))
+        rv = jnp.where(mesh.X == 0.0, -1.0 / jnp.exp(mesh.Z), rv)
+        rhs = rhs.at[0].set(rv)
+        cfg = {"method": "bicgstab", "tol": 1e-8, "max_it": 5000,
+               "report": False}
+        if precond:
+            cfg["precond"] = "mg"
+        solver = Solver({"fdm": cfg})
+        fdm = FDM()
+        solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+        rep = solver.solve()
+        sol_ex = jnp.exp(-mesh.Z) * jnp.cos(mesh.X)
+        return rep, float(jnp.abs(var()[0] - sol_ex).max())
+
+    rep0, err0 = run(False)
+    rep1, err1 = run(True)
+    assert rep1["converge"]
+    assert rep1["itr"] < rep0["itr"] / 4
+    assert err1 < 1e-4
