@@ -348,6 +348,8 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             use_pallas=(
                 decomp is None and jax.default_backend() == "tpu"
             ),
+            rz=(mesh.coord_sys == "rz"),
+            r_lower=float(mesh._lower_np[0]),
         )
 
     key = (

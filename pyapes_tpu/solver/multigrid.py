@@ -59,6 +59,8 @@ class MGSpec:
         n_coarse: int = 24,
         omega: float = 2.0 / 3.0,
         use_pallas: bool = False,
+        rz: bool = False,
+        r_lower: float = 0.0,
     ):
         self.shape = tuple(shape)
         self.lengths = tuple(float(l) for l in lengths)
@@ -69,6 +71,8 @@ class MGSpec:
         self.n_coarse = n_coarse
         self.omega = omega
         self.use_pallas = use_pallas
+        self.rz = rz
+        self.r_lower = float(r_lower)
         self.shapes = _level_shapes(self.shape)
 
     # hashable (used in the compiled-solver cache key)
@@ -76,7 +80,7 @@ class MGSpec:
         return hash(
             (self.shape, self.lengths, self.paxes, str(self.dtype),
              self.n_pre, self.n_post, self.n_coarse, self.omega,
-             self.use_pallas)
+             self.use_pallas, self.rz, self.r_lower)
         )
 
     def __eq__(self, other):
@@ -100,11 +104,37 @@ class MGSpec:
         )
         return interior_mask_device(shape, slicer, self.dtype)
 
-    def _apply_A(self, x, shape):
-        """Plain central Laplacian at this level (per-axis wrap via roll —
-        exact on periodic axes, masked on the others). Uses the fused
-        Pallas kernel on supported shapes when enabled."""
+    def _rz_axis_coeffs(self, shape):
+        """Axis-0 (radial) level coefficients with the 1/r geometric terms,
+        rediscretized at each level (mirrors ``laplacian_axis_coeffs``)."""
         inv = self._inv_dx2(shape)
+        n0 = shape[0]
+        dr = 1.0 / np.sqrt(inv[0])
+        r = self.r_lower + dr * jnp.arange(n0, dtype=self.dtype)
+        s = jnp.nan_to_num(dr / (2.0 * r), nan=0.0, posinf=0.0, neginf=0.0)
+        ap = (1.0 + s) * inv[0]
+        ac = -2.0 * jnp.ones(n0, dtype=self.dtype) * inv[0]
+        am = (1.0 - s) * inv[0]
+        coeffs = [(ap.astype(self.dtype), ac, am.astype(self.dtype))]
+        for j in range(1, len(shape)):
+            coeffs.append(
+                (
+                    jnp.full((shape[j],), inv[j], dtype=self.dtype),
+                    jnp.full((shape[j],), -2.0 * inv[j], dtype=self.dtype),
+                    jnp.full((shape[j],), inv[j], dtype=self.dtype),
+                )
+            )
+        return tuple(coeffs)
+
+    def _apply_A(self, x, shape):
+        """Central Laplacian at this level (per-axis wrap via roll — exact
+        on periodic axes, masked on the others); rz levels carry the 1/r
+        terms. Uses the fused Pallas kernel on supported shapes."""
+        inv = self._inv_dx2(shape)
+        if self.rz:
+            from pyapes_tpu.ops.stencil import apply_axis_stencil
+
+            return apply_axis_stencil(self._rz_axis_coeffs(shape), x)
         if self.use_pallas:
             from pyapes_tpu.ops.pallas_stencil import (
                 pallas_axis_stencil,
@@ -135,7 +165,7 @@ class MGSpec:
     def _fused(self, x, b, shape, alpha, beta):
         """Fused ``alpha x + beta mask (b - A x)`` via the Pallas Jacobi
         kernel when supported; None otherwise."""
-        if not self.use_pallas or len(shape) != 3:
+        if not self.use_pallas or len(shape) != 3 or self.rz:
             return None
         from pyapes_tpu.ops.pallas_stencil import (
             pallas_jacobi3d,
