@@ -764,37 +764,51 @@ class FDC:
             getattr(self, c).set_config(self.config)
 
 
+def _grad_edge_1axis(v: jnp.ndarray, dx, axis: int) -> jnp.ndarray:
+    """Central difference with 2nd-order one-sided edges along one axis of
+    a (*nx)-shaped array (the BC-free edge-mode gradient the reference
+    builds via full coefficient banks, ``fdc.py:479-502`` + ``260-288``;
+    identical values, no bank materialization)."""
+    d = (jnp.roll(v, -1, axis) - jnp.roll(v, 1, axis)) / (2.0 * dx)
+    lo = (-1.5 * v[_row_sel(axis, 0)] + 2.0 * v[_row_sel(axis, 1)]
+          - 0.5 * v[_row_sel(axis, 2)]) / dx
+    hi = (1.5 * v[_row_sel(axis, -1)] - 2.0 * v[_row_sel(axis, -2)]
+          + 0.5 * v[_row_sel(axis, -3)]) / dx
+    d = d.at[_row_sel(axis, 0)].set(lo)
+    d = d.at[_row_sel(axis, -1)].set(hi)
+    return d
+
+
 def jacobian(var: Field) -> Jac:
     """Jacobian of a scalar field via edge-mode gradient
-    (reference ``fdc.py:896-914``)."""
+    (reference ``fdc.py:896-914``; bank-free — the reference materializes
+    5 x mesh.dim full-grid coefficient banks per call)."""
     assert var().shape[0] == 1, "Scalar: var must be a scalar field."
     n2d = n2d_coord(var.mesh.coord_sys)
+    v = var()[0]
+    dx = var.mesh.dx
 
-    fdc = FDC({"grad": {"edge": True}})
-    var_dummy = Field("container", 1, var.mesh, None)
-    jac = fdc.grad(var_dummy.set_var_tensor(var[0]))[0]
-
-    data_jac = {n2d[i]: j for i, j in enumerate(jac)}
+    data_jac = {
+        n2d[i]: _grad_edge_1axis(v, dx[i], i) for i in range(var.mesh.dim)
+    }
     return Jac(**data_jac)
 
 
 def hessian(var: Field) -> Hess:
     """Hessian of a scalar field: gradient applied twice, keeping the
-    upper-triangular pairs (reference ``fdc.py:917-944``)."""
+    upper-triangular pairs (reference ``fdc.py:917-944``; bank-free)."""
     indices = tensor_idx(var.mesh.dim)
     n2d = n2d_coord(var.mesh.coord_sys)
+    v = var()[0]
+    dx = var.mesh.dx
+    md = var.mesh.dim
 
-    fdc = FDC({"grad": {"edge": True}})
-    var_dummy = Field("container", 1, var.mesh, None)
-    jac = fdc.grad(var_dummy.set_var_tensor(var[0]))[0]
-
-    jac_f = var_dummy.copy()
-    hess = [fdc.grad(jac_f.set_var_tensor(j))[0] for j in jac]
-
+    jac = [_grad_edge_1axis(v, dx[i], i) for i in range(md)]
     data_hess = {}
-    for i, hi in enumerate(hess):
-        for j, h in enumerate(hi):
+    for i in range(md):
+        for j in range(md):
             if (i, j) in indices:
-                data_hess[n2d[i] + n2d[j]] = h
-
+                data_hess[n2d[i] + n2d[j]] = _grad_edge_1axis(
+                    jac[i], dx[j], j
+                )
     return Hess(**data_hess)
