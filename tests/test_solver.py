@@ -384,3 +384,43 @@ def test_heat_conduction_golden_regression() -> None:
         delimiter=",",
     )
     _close(var()[0], golden, rtol=1e-8, atol=1e-8)
+
+
+def test_compiled_solver_cache_reuse() -> None:
+    """Time-stepping must reuse ONE compiled executable (the cache is keyed
+    by problem structure; a retrace per step would destroy throughput)."""
+    from pyapes_tpu.models import Burgers1D
+    from pyapes_tpu.solver import linalg
+
+    linalg.clear_cache()
+    mesh = Mesh(Box[0 : 2 * pi], None, [65])
+    model = Burgers1D(mesh, nu=0.1)
+    for _ in range(5):
+        model.step(0.01)
+    assert len(linalg._SOLVER_CACHE) == 1, len(linalg._SOLVER_CACHE)
+
+
+def test_negated_equation_sign_aware_neumann() -> None:
+    """-lap(u) == -rhs must give the same solution as lap(u) == rhs with
+    Neumann BCs (the reference adds RHS adjustments unsigned,
+    ``ops.py:65-77``, which would corrupt this case)."""
+    mesh = Mesh(Box[0:1], None, [41])
+    f_bc = mixed_bcs([0.5, 0.0], ["neumann", "dirichlet"])
+    rhs0 = jnp.sin(2 * pi * mesh.X)[None]
+
+    def run(negate):
+        var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None},
+                    init_val=0.0)
+        solver = Solver(
+            {"fdm": {"method": "bicgstab", "tol": 1e-10, "max_it": 3000,
+                     "report": False}}
+        )
+        fdm = FDM()
+        if negate:
+            solver.set_eq(-fdm.laplacian(1.0, var) == -rhs0)
+        else:
+            solver.set_eq(fdm.laplacian(1.0, var) == rhs0)
+        solver.solve()
+        return np.asarray(var()[0])
+
+    assert_allclose(run(True), run(False), atol=1e-8)
