@@ -195,3 +195,19 @@ def test_sharded_3d_mixed_neumann_periodic_symmetry() -> None:
     assert_allclose(v[:, :, -1], v[:, :, -2], atol=1e-12)
     # periodic seam
     assert_allclose(v[:, 0, :], v[:, -1, :], atol=1e-12)
+
+
+@needs_8
+def test_shard_map_stencil_3d() -> None:
+    """Explicit ppermute halo exchange in 3-D over a 2x2x2 device mesh."""
+    mesh = Mesh(Box[0:1, 0:1, 0:1], None, [16, 16, 16])
+    var = Field("t", 1, mesh, None, init_val="random")
+    coeffs = laplacian_axis_coeffs(mesh, [])
+
+    expected = np.asarray(apply_axis_stencil(coeffs, var()))
+
+    dd = DomainDecomposition((2, 2, 2))
+    apply = make_sharded_stencil(dd, coeffs, vdim_ndim=4)
+    x = jax.device_put(var(), dd.sharding(4))
+    out = np.asarray(apply(x))
+    assert_allclose(out, expected, atol=1e-12)
