@@ -38,6 +38,42 @@ class RFPEvolution:
         diffusion = self.rfp.diffusion(self.hessG, f)
         return -friction + diffusion
 
+    def step_implicit(self, f: Field, dt: float, config=None) -> Field:
+        """One backward-Euler step: ``(I/dt + Fr - Di) f_new = f/dt``,
+        solved matrix-free via the ``fdm.custom`` operator hook (the RFP
+        operator is linear in f with frozen potentials). Stable far beyond
+        the explicit dt limit."""
+        from pyapes_tpu.solver.fdm import FDM
+        from pyapes_tpu.solver.ops import Solver
+        from pyapes_tpu.solver.rfp import diffusion_apply, friction_apply
+
+        mesh = self.mesh
+        jacH, hessG = self.jacH, self.hessG
+
+        def rfp_op(x, Hr, Hz, Drr, Drz, Dzz):
+            return (
+                friction_apply(Hr, Hz, x[0], mesh)
+                - diffusion_apply(Drr, Drz, Dzz, x[0], mesh)
+            )[None]
+
+        cfg = {"method": "bicgstab", "tol": 1e-9, "max_it": 2000,
+               "report": False}
+        cfg.update(config or {})
+        solver = Solver({"fdm": cfg})
+        fdm = FDM()
+
+        if f._dt is None:
+            f.set_time(dt, 0.0)
+        f.save_old()
+        params = (jacH.r, jacH.z, hessG.rr, hessG.rz, hessG.zz)
+        solver.set_eq(
+            fdm.ddt(f) + fdm.custom(rfp_op, f, params=params)
+            == jnp.zeros_like(f())
+        )
+        solver.solve()
+        f.update_time(dt)
+        return f
+
     def run(self, f: Field, dt: float, n_steps: int) -> Field:
         """Advance ``n_steps`` with forward Euler inside one lax.scan."""
         jacH, hessG, mesh = self.jacH, self.hessG, self.mesh

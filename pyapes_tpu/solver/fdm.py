@@ -356,6 +356,48 @@ class Conv(Operators):
         )
 
 
+class Custom(Operators):
+    """Arbitrary matrix-free linear operator in the equation DSL.
+
+    ``fdm.custom(fn, var)`` adds the term ``fn(x)`` (a pure jnp function of
+    the solution array, shape-preserving and LINEAR in x) to the implicit
+    operator — e.g. the Rosenbluth-Fokker-Planck collision operator with
+    frozen potentials (``models/rfp_evolution.py``). Extra array arguments
+    can be bound via ``params`` (streamed through the compiled-solver
+    cache, so updating them does not retrace).
+    """
+
+    def __call__(self, fn, var: Field, params=()) -> "Custom":
+        assert isinstance(var, Field), "FDM Custom: var must be a Field!"
+        self._var = var
+        self._ops = {
+            0: {
+                "name": self.__class__.__name__,
+                "Aop": self.Aop,
+                "target": var,
+                "param": (fn,),
+                "sign": 1.0,
+                "other": {"fn": fn},
+                "axis_coeffs": None,
+                "A_coeffs": None,
+                "adv": None,
+                "limiter": None,
+                "dt": None,
+                "custom_params": tuple(jnp.asarray(p) for p in params),
+                "adjust_rhs": None,
+            }
+        }
+        return self
+
+    @property
+    def var(self) -> Field:
+        return self._var
+
+    @staticmethod
+    def Aop(rec: OPStype, x: jnp.ndarray) -> jnp.ndarray:
+        return rec["other"]["fn"](x, *rec.get("custom_params", ()))
+
+
 class Ddt(Operators):
     r"""Backward (implicit) Euler time derivative: contributes ``x / dt`` to
     the linear operator and ``var_old / dt`` to the RHS.
@@ -409,6 +451,7 @@ class FDM:
         self.grad = Grad()
         self.div = Div()
         self.conv = Conv()
+        self.custom = Custom()
         self.ddt = Ddt()
         self.config = config
         if config is not None:

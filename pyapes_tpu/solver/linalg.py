@@ -64,6 +64,8 @@ def _term_descriptor(rec) -> tuple:
     name = rec["name"].lower()
     if name == "ddt":
         kind = "ddt"
+    elif name == "custom":
+        kind = "custom"
     elif name == "conv":
         kind = "conv_field"
     elif rec.get("adv") is not None:
@@ -79,6 +81,7 @@ def _term_descriptor(rec) -> tuple:
         rec["other"]["surgery"] if has_field else None,
         rec["param"][0] is not None if name in ("laplacian", "grad") else False,
         rec["other"]["form"] if has_field else None,
+        rec["other"]["fn"] if kind == "custom" else None,
     )
 
 
@@ -86,6 +89,8 @@ def _term_params(rec, desc) -> dict:
     kind = desc[0]
     if kind == "ddt":
         return {"inv_dt": jnp.asarray(1.0 / rec["dt"])}
+    if kind == "custom":
+        return {"cparams": rec.get("custom_params", ())}
     if kind in ("div_field", "conv_field"):
         return {"adv": rec["adv"], "base": rec["other"]["base"]}
     p = {"axis": rec["axis_coeffs"]}
@@ -98,7 +103,7 @@ def _make_Aop(term_descs, stencil_fn=apply_axis_stencil) -> Callable:
     def Aop(x, tparams):
         out = jnp.zeros_like(x)
         for desc, tp in zip(term_descs, tparams):
-            kind, _, sign, limiter, surgery, has_param, form = desc
+            kind, _, sign, limiter, surgery, has_param, form, cfn = desc
             if kind == "axis":
                 if any(len(cs) != 3 for cs in tp["axis"]):
                     # 5-point (QUICK) vectors: jnp path only.
@@ -113,6 +118,8 @@ def _make_Aop(term_descs, stencil_fn=apply_axis_stencil) -> Callable:
                 )
             elif kind == "conv_field":
                 r = apply_conv_field(x, tp["adv"], tp["base"], limiter, surgery)
+            elif kind == "custom":
+                r = cfn(x, *tp["cparams"])
             else:  # ddt
                 r = x * tp["inv_dt"]
             out = out + sign * r
@@ -180,6 +187,13 @@ def _reduce_periodic(terms, term_descs, tparams, x0, rhs, bcs, mesh):
     paxes = _periodic_axes(bcs, mesh.dim)
     if not paxes:
         return tparams, x0, rhs, list(bcs or []), None
+
+    if any(d[0] == "custom" for d in term_descs):
+        raise NotImplementedError(
+            "custom operators + periodic axes: the torus reduction cannot "
+            "transform an opaque operator; use non-periodic BCs or handle "
+            "wrap inside the custom fn."
+        )
 
     red = tuple(
         slice(None, -1) if (j - 1) in paxes else slice(None)

@@ -27,52 +27,54 @@ class Friction:
             raise NotImplementedError(
                 "FP: Friction is only implemented for rz coordinate system."
             )
+        return friction_apply(jacH.r, jacH.z, var[0], var.mesh)
 
-        Hr = jacH.r
-        Hz = jacH.z
-        pdf = var[0]
-        dx = var.mesh.dx
-        R = var.mesh.R
 
-        Arp = (jnp.roll(Hr, -1, 0) + Hr) / 2.0
-        Arm = (Hr + jnp.roll(Hr, 1, 0)) / 2.0
-        Azp = (jnp.roll(Hz, -1, 1) + Hz) / 2.0
-        Azm = (Hz + jnp.roll(Hz, 1, 1)) / 2.0
+def friction_apply(Hr, Hz, pdf, mesh) -> jnp.ndarray:
+    """Array-level friction operator (pure; usable inside jitted solves
+    via ``fdm.custom``)."""
+    dx = mesh.dx
+    R = mesh.R
 
-        Prp = (jnp.roll(pdf, -1, 0) + pdf) / 2.0
-        Prm = (pdf + jnp.roll(pdf, 1, 0)) / 2.0
-        Pzp = (jnp.roll(pdf, -1, 1) + pdf) / 2.0
-        Pzm = (pdf + jnp.roll(pdf, 1, 1)) / 2.0
+    Arp = (jnp.roll(Hr, -1, 0) + Hr) / 2.0
+    Arm = (Hr + jnp.roll(Hr, 1, 0)) / 2.0
+    Azp = (jnp.roll(Hz, -1, 1) + Hz) / 2.0
+    Azm = (Hz + jnp.roll(Hz, 1, 1)) / 2.0
 
-        r_p = (jnp.roll(R, -1, 0) + R) / 2
-        r_m = (R + jnp.roll(R, 1, 0)) / 2
+    Prp = (jnp.roll(pdf, -1, 0) + pdf) / 2.0
+    Prm = (pdf + jnp.roll(pdf, 1, 0)) / 2.0
+    Pzp = (jnp.roll(pdf, -1, 1) + pdf) / 2.0
+    Pzm = (pdf + jnp.roll(pdf, 1, 1)) / 2.0
 
-        z_flux = (Azp * Pzp - Azm * Pzm) / dx[1]
-        r_flux = jnp.nan_to_num(
-            (r_p * Arp * Prp - r_m * Arm * Prm) / (R * dx[0]),
-            nan=0.0,
-            posinf=0.0,
-            neginf=0.0,
-        )
+    r_p = (jnp.roll(R, -1, 0) + R) / 2
+    r_m = (R + jnp.roll(R, 1, 0)) / 2
 
-        friction = z_flux + (r_p * Arp * Prp - r_m * Arm * Prm) / (R * dx[0])
+    z_flux = (Azp * Pzp - Azm * Pzm) / dx[1]
+    r_flux = jnp.nan_to_num(
+        (r_p * Arp * Prp - r_m * Arm * Prm) / (R * dx[0]),
+        nan=0.0,
+        posinf=0.0,
+        neginf=0.0,
+    )
 
-        # BC: zero normal flux (reference ``rfp.py:52-80``).
-        # r = 0: Arm = 0
-        friction = friction.at[0, :].set(z_flux[0, :])
-        # r = R: Arp = 0
-        friction = friction.at[-1, :].set(
-            z_flux[-1, :] + 2.0 * ((-r_m * Arm * Prm) / (R * dx[0]))[-1, :]
-        )
-        # z = 0
-        friction = friction.at[:, 0].set(
-            2.0 * (Azp * Pzp)[:, 0] / dx[1] + r_flux[:, 0]
-        )
-        # z = Z
-        friction = friction.at[:, -1].set(
-            2.0 * (-Azm * Pzm)[:, -1] / dx[1] + r_flux[:, -1]
-        )
-        return friction
+    friction = z_flux + (r_p * Arp * Prp - r_m * Arm * Prm) / (R * dx[0])
+
+    # BC: zero normal flux (reference ``rfp.py:52-80``).
+    # r = 0: Arm = 0
+    friction = friction.at[0, :].set(z_flux[0, :])
+    # r = R: Arp = 0
+    friction = friction.at[-1, :].set(
+        z_flux[-1, :] + 2.0 * ((-r_m * Arm * Prm) / (R * dx[0]))[-1, :]
+    )
+    # z = 0
+    friction = friction.at[:, 0].set(
+        2.0 * (Azp * Pzp)[:, 0] / dx[1] + r_flux[:, 0]
+    )
+    # z = Z
+    friction = friction.at[:, -1].set(
+        2.0 * (-Azm * Pzm)[:, -1] / dx[1] + r_flux[:, -1]
+    )
+    return friction
 
 
 class Diffusion:
@@ -91,97 +93,97 @@ class Diffusion:
             raise NotImplementedError(
                 "FP: Diffusion is only implemented for rz coordinate system."
             )
+        return diffusion_apply(hessG.rr, hessG.rz, hessG.zz, var[0], var.mesh)
 
-        Drr = hessG.rr
-        Dzz = hessG.zz
-        Drz = hessG.rz
-        pdf = var[0]
-        dx = var.mesh.dx
-        R = var.mesh.grid[0]
 
-        Drr_Pr_rpz = (
-            (jnp.roll(Drr, -1, 0) + Drr)
-            * (jnp.roll(pdf, -1, 0) - pdf)
-            / (2.0 * dx[0])
-        )
-        Drr_Pr_rmz = (
-            (jnp.roll(Drr, 1, 0) + Drr)
-            * (pdf - jnp.roll(pdf, 1, 0))
-            / (2.0 * dx[0])
-        )
-        Dzz_Pz_rzp = (
-            (jnp.roll(Dzz, -1, 1) + Dzz)
-            * (jnp.roll(pdf, -1, 1) - pdf)
-            / (2.0 * dx[1])
-        )
-        Dzz_Pz_rzm = (
-            (jnp.roll(Dzz, 1, 1) + Dzz)
-            * (pdf - jnp.roll(pdf, 1, 1))
-            / (2.0 * dx[1])
-        )
+def diffusion_apply(Drr, Drz, Dzz, pdf, mesh) -> jnp.ndarray:
+    """Array-level anisotropic-diffusion operator (pure)."""
+    dx = mesh.dx
+    R = mesh.grid[0]
 
-        Drz_pp = _c_interp(Drz, 1, 1)
-        Drz_pm = _c_interp(Drz, 1, 0)
-        Drz_mp = _c_interp(Drz, 0, 1)
-        Drz_mm = _c_interp(Drz, 0, 0)
+    Drr_Pr_rpz = (
+        (jnp.roll(Drr, -1, 0) + Drr)
+        * (jnp.roll(pdf, -1, 0) - pdf)
+        / (2.0 * dx[0])
+    )
+    Drr_Pr_rmz = (
+        (jnp.roll(Drr, 1, 0) + Drr)
+        * (pdf - jnp.roll(pdf, 1, 0))
+        / (2.0 * dx[0])
+    )
+    Dzz_Pz_rzp = (
+        (jnp.roll(Dzz, -1, 1) + Dzz)
+        * (jnp.roll(pdf, -1, 1) - pdf)
+        / (2.0 * dx[1])
+    )
+    Dzz_Pz_rzm = (
+        (jnp.roll(Dzz, 1, 1) + Dzz)
+        * (pdf - jnp.roll(pdf, 1, 1))
+        / (2.0 * dx[1])
+    )
 
-        Drz_Pr_rzp = 0.25 * Drz_pp * (
-            _flux(pdf, (1, 0), (0, 0), dx[0]) + _flux(pdf, (1, 1), (0, 1), dx[0])
-        ) + 0.25 * Drz_mp * (
-            _flux(pdf, (0, 0), (-1, 0), dx[0]) + _flux(pdf, (0, 1), (-1, 1), dx[0])
-        )
-        Drz_Pr_rzm = 0.25 * Drz_pm * (
-            _flux(pdf, (1, -1), (0, -1), dx[0]) + _flux(pdf, (1, 0), (0, 0), dx[0])
-        ) + 0.25 * Drz_mm * (
-            _flux(pdf, (0, -1), (-1, -1), dx[0]) + _flux(pdf, (0, 0), (-1, 0), dx[0])
-        )
-        Drz_Pz_rpz = 0.25 * Drz_pp * (
-            _flux(pdf, (0, 1), (0, 0), dx[1]) + _flux(pdf, (1, 1), (1, 0), dx[1])
-        ) + 0.25 * Drz_mp * (
-            _flux(pdf, (0, 0), (0, -1), dx[1]) + _flux(pdf, (1, 0), (1, -1), dx[1])
-        )
-        Drz_Pz_rmz = 0.25 * Drz_pm * (
-            _flux(pdf, (-1, 1), (-1, 0), dx[1]) + _flux(pdf, (0, 1), (0, 0), dx[1])
-        ) + 0.25 * Drz_mm * (
-            _flux(pdf, (-1, 0), (-1, -1), dx[1]) + _flux(pdf, (0, 0), (0, -1), dx[1])
-        )
+    Drz_pp = _c_interp(Drz, 1, 1)
+    Drz_pm = _c_interp(Drz, 1, 0)
+    Drz_mp = _c_interp(Drz, 0, 1)
+    Drz_mm = _c_interp(Drz, 0, 0)
 
-        r_p = (jnp.roll(R, -1, 0) + R) / 2
-        r_m = (R + jnp.roll(R, 1, 0)) / 2
+    Drz_Pr_rzp = 0.25 * Drz_pp * (
+        _flux(pdf, (1, 0), (0, 0), dx[0]) + _flux(pdf, (1, 1), (0, 1), dx[0])
+    ) + 0.25 * Drz_mp * (
+        _flux(pdf, (0, 0), (-1, 0), dx[0]) + _flux(pdf, (0, 1), (-1, 1), dx[0])
+    )
+    Drz_Pr_rzm = 0.25 * Drz_pm * (
+        _flux(pdf, (1, -1), (0, -1), dx[0]) + _flux(pdf, (1, 0), (0, 0), dx[0])
+    ) + 0.25 * Drz_mm * (
+        _flux(pdf, (0, -1), (-1, -1), dx[0]) + _flux(pdf, (0, 0), (-1, 0), dx[0])
+    )
+    Drz_Pz_rpz = 0.25 * Drz_pp * (
+        _flux(pdf, (0, 1), (0, 0), dx[1]) + _flux(pdf, (1, 1), (1, 0), dx[1])
+    ) + 0.25 * Drz_mp * (
+        _flux(pdf, (0, 0), (0, -1), dx[1]) + _flux(pdf, (1, 0), (1, -1), dx[1])
+    )
+    Drz_Pz_rmz = 0.25 * Drz_pm * (
+        _flux(pdf, (-1, 1), (-1, 0), dx[1]) + _flux(pdf, (0, 1), (0, 0), dx[1])
+    ) + 0.25 * Drz_mm * (
+        _flux(pdf, (-1, 0), (-1, -1), dx[1]) + _flux(pdf, (0, 0), (0, -1), dx[1])
+    )
 
-        z_part = (Dzz_Pz_rzp - Dzz_Pz_rzm) / dx[1] + (
-            Drz_Pr_rzp - Drz_Pr_rzm
-        ) / dx[1]
-        r_part_raw = (r_p * Drz_Pz_rpz - r_m * Drz_Pz_rmz) / (R * dx[0]) + (
-            r_p * Drr_Pr_rpz - r_m * Drr_Pr_rmz
-        ) / (R * dx[0])
-        r_part = jnp.nan_to_num(r_part_raw, nan=0.0, posinf=0.0, neginf=0.0)
+    r_p = (jnp.roll(R, -1, 0) + R) / 2
+    r_m = (R + jnp.roll(R, 1, 0)) / 2
 
-        diffusion = z_part + r_part_raw
+    z_part = (Dzz_Pz_rzp - Dzz_Pz_rzm) / dx[1] + (
+        Drz_Pr_rzp - Drz_Pr_rzm
+    ) / dx[1]
+    r_part_raw = (r_p * Drz_Pz_rpz - r_m * Drz_Pz_rmz) / (R * dx[0]) + (
+        r_p * Drr_Pr_rpz - r_m * Drr_Pr_rmz
+    ) / (R * dx[0])
+    r_part = jnp.nan_to_num(r_part_raw, nan=0.0, posinf=0.0, neginf=0.0)
 
-        # Boundary rows (reference ``rfp.py:178-217``).
-        # r = 0
-        diffusion = diffusion.at[0, :].set(
-            (Dzz_Pz_rzp - Dzz_Pz_rzm)[0, :] / dx[1]
-            + 2.0 * (Drz_Pr_rzp - Drz_Pr_rzm)[0, :] / dx[1]
-        )
-        # r = R
-        diffusion = diffusion.at[-1, :].set(
-            z_part[-1, :]
-            + 2.0 * ((-r_m * Drz_Pz_rmz) / (R * dx[0]))[-1, :]
-            + 2.0 * ((-r_m * Drr_Pr_rmz) / (R * dx[0]))[-1, :]
-        )
-        # z = 0
-        diffusion = diffusion.at[:, 0].set(
-            2.0 * ((Dzz_Pz_rzp) / dx[1] + (Drz_Pr_rzp) / dx[1])[:, 0]
-            + r_part[:, 0]
-        )
-        # z = Z
-        diffusion = diffusion.at[:, -1].set(
-            2.0 * ((-Dzz_Pz_rzm) / dx[1] + (-Drz_Pr_rzm) / dx[1])[:, -1]
-            + r_part[:, -1]
-        )
-        return diffusion
+    diffusion = z_part + r_part_raw
+
+    # Boundary rows (reference ``rfp.py:178-217``).
+    # r = 0
+    diffusion = diffusion.at[0, :].set(
+        (Dzz_Pz_rzp - Dzz_Pz_rzm)[0, :] / dx[1]
+        + 2.0 * (Drz_Pr_rzp - Drz_Pr_rzm)[0, :] / dx[1]
+    )
+    # r = R
+    diffusion = diffusion.at[-1, :].set(
+        z_part[-1, :]
+        + 2.0 * ((-r_m * Drz_Pz_rmz) / (R * dx[0]))[-1, :]
+        + 2.0 * ((-r_m * Drr_Pr_rmz) / (R * dx[0]))[-1, :]
+    )
+    # z = 0
+    diffusion = diffusion.at[:, 0].set(
+        2.0 * ((Dzz_Pz_rzp) / dx[1] + (Drz_Pr_rzp) / dx[1])[:, 0]
+        + r_part[:, 0]
+    )
+    # z = Z
+    diffusion = diffusion.at[:, -1].set(
+        2.0 * ((-Dzz_Pz_rzm) / dx[1] + (-Drz_Pr_rzm) / dx[1])[:, -1]
+        + r_part[:, -1]
+    )
+    return diffusion
 
 
 def _flux(var: jnp.ndarray, idx_p, idx_m, dx) -> jnp.ndarray:

@@ -182,3 +182,39 @@ def test_lid_driven_cavity_implicit_advection() -> None:
     assert np.all(np.isfinite(u))
     mid = u.shape[0] // 2
     assert u[mid, :].min() < -0.05, u[mid, :].min()
+
+
+def test_rfp_implicit_step() -> None:
+    """Implicit RFP stepping (fdm.custom matrix-free operator): stable at
+    10x the explicit dt, conserves density, matches the explicit evolution
+    in the small-dt limit."""
+    mesh = Mesh(Cylinder[0:3, -3:3], None, [32, 48])
+    R, Z = np.asarray(mesh.R), np.asarray(mesh.Z)
+    f0 = np.exp(-(R**2 + Z**2) / (2 * 0.8**2))
+    H = -np.sqrt(R**2 + Z**2 + 0.5)
+    G = np.sqrt(R**2 + Z**2 + 0.5)
+
+    model = RFPEvolution(mesh, H, G)
+
+    # explicit reference trajectory
+    fe = Field("pdf", 1, mesh, None)
+    fe.set_var_tensor(jnp.asarray(f0))
+    fe = model.run(fe, dt=2e-4, n_steps=10)
+
+    # implicit with the same resolution in time
+    fi = Field("pdf", 1, mesh, None)
+    fi.set_var_tensor(jnp.asarray(f0))
+    for _ in range(10):
+        fi = model.step_implicit(fi, 2e-4)
+    # forward vs backward Euler differ at O(dt) locally; same trajectory
+    assert_allclose(np.asarray(fi()), np.asarray(fe()), atol=5e-3)
+
+    # implicit at 10x dt: still finite and density-conserving
+    fb = Field("pdf", 1, mesh, None)
+    fb.set_var_tensor(jnp.asarray(f0))
+    den0 = float(fb.volume_integral()[0])
+    for _ in range(5):
+        fb = model.step_implicit(fb, 2e-3)
+    den1 = float(fb.volume_integral()[0])
+    assert np.all(np.isfinite(np.asarray(fb())))
+    assert abs(den1 - den0) / den0 < 1e-2
