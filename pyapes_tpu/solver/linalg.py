@@ -38,13 +38,18 @@ from pyapes_tpu.variables.bcs import apply_bcs_fn
 
 class _MaskSpec:
     """Static recipe for the interior mask, materialized on device inside
-    the traced solver (avoids a full-grid HLO constant)."""
+    the traced solver (avoids a full-grid HLO constant). ``excluded`` is an
+    optional numpy bool mask of additionally-inactive cells (obstacles)."""
 
-    def __init__(self, nx, slicer, dtype):
+    def __init__(self, nx, slicer, dtype, excluded=None):
         self.nx, self.slicer, self.dtype = nx, slicer, dtype
+        self.excluded = excluded
 
     def build(self):
-        return interior_mask_device(self.nx, self.slicer, self.dtype)
+        m = interior_mask_device(self.nx, self.slicer, self.dtype)
+        if self.excluded is not None:
+            m = m * jnp.asarray(~self.excluded, dtype=self.dtype)
+        return m
 
 
 class ReportType(TypedDict):
@@ -397,7 +402,18 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 slicer[j] = slice(None)  # every torus node is active
                 red_nx[j] -= 1
         red_nx_t, slicer_t, xdtype = tuple(red_nx), tuple(slicer), x0.dtype
-        M = _MaskSpec(red_nx_t, slicer_t, xdtype)
+        # Obstacle cells are pinned by their BC and leave the active set.
+        excluded = None
+        for bc in bcs_kept:
+            if getattr(bc, "bc_type", "") == "obstacle_dirichlet":
+                if paxes:
+                    raise NotImplementedError(
+                        "obstacle BCs + periodic axes not supported"
+                    )
+                excluded = (
+                    bc.bc_mask if excluded is None else (excluded | bc.bc_mask)
+                )
+        M = _MaskSpec(red_nx_t, slicer_t, xdtype, excluded)
         apply_bcs = apply_bcs_fn(bcs_kept, grid_r)
         if use_pallas:
             from pyapes_tpu.ops.pallas_stencil import pallas_axis_stencil

@@ -331,7 +331,47 @@ class BC_HN:
         return homogeneous_bcs(dim, bc_val, "neumann")
 
 
-BC_type = Dirichlet | Neumann | Symmetry | Periodic
+class ObstacleDirichlet:
+    """Dirichlet condition on an interior obstacle mask (immersed-boundary
+    style: the masked cells are pinned to the value and excluded from the
+    Krylov solve's active set).
+
+    The reference builds obstacle masks (``mesh/_mesh.py:352-366``) but its
+    BC application raises NotImplementedError (``linalg.py:286-292``); this
+    class makes them usable. General boolean masks are applied with
+    ``jnp.where`` (a static mask constant-folds under jit).
+    """
+
+    def __init__(self, bc_id: str, bc_val, bc_mask, bc_val_opt=None):
+        self.bc_id = bc_id
+        self.bc_val = bc_val
+        self.bc_val_opt = bc_val_opt
+        self.bc_mask = np.asarray(bc_mask, dtype=bool)
+        self.bc_type = "obstacle_dirichlet"
+        self.bc_face = "obstacle"
+        self.bc_face_dim = -1
+        self.bc_n_dir = 0
+        self.bc_treat = False
+
+    @property
+    def type(self) -> str:
+        return self.bc_type
+
+    def apply(self, var: jnp.ndarray, grid, var_dim: int | None = None):
+        mask = jnp.asarray(self.bc_mask)
+        v = self.bc_val
+        if callable(v):
+            val = jnp.asarray(v(grid, self.bc_mask, var, self.bc_val_opt))
+        else:
+            val = jnp.asarray(float(v) if isinstance(v, (int, float)) else v)
+        dims = range(var.shape[0]) if var_dim is None else [var_dim]
+        for d in dims:
+            vd = val[d] if (hasattr(val, "ndim") and val.ndim > len(var.shape) - 1) else val
+            var = var.at[d].set(jnp.where(mask, vd, var[d]))
+        return var
+
+
+BC_type = Dirichlet | Neumann | Symmetry | Periodic | ObstacleDirichlet
 
 BC_FACTORY: dict[str, type] = {
     "dirichlet": Dirichlet,

@@ -327,7 +327,32 @@ class Field:
                 self.mesh.obstacle is not None
                 and self.bc_config["obstacle"] is not None
             ):
-                raise NotImplementedError
+                # Obstacle BCs (beyond the reference, which raises here):
+                # one config dict per obstacle, Dirichlet only, applied to
+                # the union of the obstacle's face masks.
+                from pyapes_tpu.variables.bcs import ObstacleDirichlet
+
+                o_configs = self.bc_config["obstacle"]
+                if isinstance(o_configs, dict):
+                    o_configs = [o_configs] * len(self.mesh.o_mask)
+                for i, oc in enumerate(o_configs):
+                    if oc is None:
+                        continue
+                    assert oc["bc_type"] == "dirichlet", (
+                        "obstacle BCs: only dirichlet is supported"
+                    )
+                    masks = list(self.mesh.o_mask[i].values())
+                    union = masks[0].copy()
+                    for m in masks[1:]:
+                        union |= m
+                    self.bcs.append(
+                        ObstacleDirichlet(
+                            bc_id=f"o{i}",
+                            bc_val=oc["bc_val"],
+                            bc_mask=union,
+                            bc_val_opt=oc.get("bc_val_opt"),
+                        )
+                    )
 
     def apply_bcs(self) -> "Field":
         """Apply all BCs to the current values (pure; returns self with

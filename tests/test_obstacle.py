@@ -1,0 +1,98 @@
+"""Interior-obstacle boundary conditions (beyond the reference: it builds
+obstacle masks, ``mesh/_mesh.py:352-366``, but raises NotImplementedError on
+application, ``linalg.py:286-292``)."""
+import jax.numpy as jnp
+import numpy as np
+from numpy.testing import assert_allclose
+
+from pyapes_tpu.geometry import Box
+from pyapes_tpu.mesh import Mesh
+from pyapes_tpu.solver import FDM, Solver
+from pyapes_tpu.solver import linalg as L
+from pyapes_tpu.variables import Field
+from pyapes_tpu.variables.bcs import homogeneous_bcs
+
+
+def _solve_hot_obstacle(n=33):
+    mesh = Mesh(Box[0:1, 0:1], [Box[0.4:0.6, 0.4:0.6]], [n, n])
+    var = Field(
+        "p", 1, mesh,
+        {
+            "domain": homogeneous_bcs(2, 0.0, "dirichlet"),
+            "obstacle": [{"bc_type": "dirichlet", "bc_val": 1.0}],
+        },
+    )
+    solver = Solver(
+        {"fdm": {"method": "cg", "tol": 1e-12, "max_it": 5000,
+                 "report": False, "criterion": "residual"}}
+    )
+    fdm = FDM()
+    solver.set_eq(fdm.laplacian(1.0, var) == jnp.zeros_like(var()))
+    rep = solver.solve()
+    return mesh, var, solver, rep
+
+
+def test_hot_obstacle_laplace_vs_dense_oracle() -> None:
+    """Laplace with a hot square obstacle: Krylov solution == direct dense
+    solve of the identical discrete system."""
+    n = 33
+    mesh, var, solver, rep = _solve_hot_obstacle(n)
+    assert rep["converge"]
+    v = np.asarray(var()[0])
+
+    shell = np.zeros((n, n), dtype=bool)
+    for m in mesh.o_mask[0].values():
+        shell |= m
+    assert_allclose(v[shell], 1.0, atol=1e-12)
+
+    # maximum principle: harmonic between the boundaries
+    assert v.max() <= 1.0 + 1e-9
+    assert v.min() >= -1e-9
+
+    # dense oracle on the same operator
+    terms = [solver.eqs[k] for k in sorted(solver.eqs)]
+    descs = tuple(L._term_descriptor(r) for r in terms)
+    tparams = tuple(L._term_params(r, d) for r, d in zip(terms, descs))
+    Aop = L._make_Aop(descs)
+    N = n * n
+    A = np.zeros((N, N))
+    for k in range(N):
+        e = np.zeros((1, n, n))
+        e.flat[k] = 1.0
+        A[:, k] = np.asarray(Aop(jnp.asarray(e), tparams)).ravel()
+    Mm = np.zeros((n, n))
+    Mm[1:-1, 1:-1] = 1
+    Mm[shell] = 0
+    active = Mm.ravel().astype(bool)
+    xfix = np.zeros((n, n))
+    xfix[shell] = 1.0
+    b = -(A @ xfix.ravel())
+    xi = np.linalg.solve(A[np.ix_(active, active)], b[active])
+    xfull = xfix.ravel().copy()
+    xfull[active] = xi
+    assert_allclose(v.ravel(), xfull, atol=1e-10)
+
+
+def test_obstacle_with_mg_preconditioner() -> None:
+    """MG-PCG composes with obstacle masks (the preconditioner ignores the
+    obstacle; the masked CG still converges to the same solution)."""
+    n = 33
+    _, var_ref, _, _ = _solve_hot_obstacle(n)
+
+    mesh = Mesh(Box[0:1, 0:1], [Box[0.4:0.6, 0.4:0.6]], [n, n])
+    var = Field(
+        "p", 1, mesh,
+        {
+            "domain": homogeneous_bcs(2, 0.0, "dirichlet"),
+            "obstacle": [{"bc_type": "dirichlet", "bc_val": 1.0}],
+        },
+    )
+    solver = Solver(
+        {"fdm": {"method": "cg", "tol": 1e-12, "max_it": 5000,
+                 "report": False, "criterion": "residual", "precond": "mg"}}
+    )
+    fdm = FDM()
+    solver.set_eq(fdm.laplacian(1.0, var) == jnp.zeros_like(var()))
+    rep = solver.solve()
+    assert rep["converge"]
+    assert_allclose(np.asarray(var()), np.asarray(var_ref()), atol=1e-9)
