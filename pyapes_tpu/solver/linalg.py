@@ -165,7 +165,11 @@ def _bc_signature(bcs) -> tuple:
             vkey = ("list", tuple(val))
         else:
             vkey = ("array", id(val))
-        sig.append((bc.bc_type, bc.bc_face, vkey))
+        mkey = ()
+        if bc.bc_type == "obstacle_dirichlet":
+            # Obstacle masks are part of the operator (active-set mask).
+            mkey = (hash(bc.bc_mask.tobytes()),)
+        sig.append((bc.bc_type, bc.bc_face, vkey) + mkey)
     return tuple(sig)
 
 
@@ -371,6 +375,14 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             r_lower=float(mesh._lower_np[0]),
         )
 
+    # Content-based mesh signature (id() could alias after GC).
+    mesh_sig = (
+        mesh.nx,
+        tuple(float(d) for d in mesh.dx_np),
+        mesh.coord_sys,
+        tuple(float(l) for l in np.asarray(mesh._lower_np)),
+    )
+
     key = (
         method,
         criterion,
@@ -378,7 +390,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         max_it,
         x0.shape,
         str(x0.dtype),
-        id(mesh),
+        mesh_sig,
         _bc_signature(var.bcs),
         term_descs,
         paxes,
