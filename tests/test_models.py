@@ -184,6 +184,30 @@ def test_lid_driven_cavity_implicit_advection() -> None:
     assert u[mid, :].min() < -0.05, u[mid, :].min()
 
 
+@pytest.mark.slow
+def test_lid_driven_cavity_ghia_quantitative() -> None:
+    """Quantitative Ghia et al. (1982) Re=100 benchmark (opt-in, ~3 min).
+
+    65² grid, implicit convection, marched to steady state (t=30).
+    Measured on this code: u_min=-0.1943, v_max=0.1649, v_min=-0.2263;
+    Ghia's 129² converged values are -0.2109 / 0.1753 / -0.2453 — the
+    tolerances below bracket second-order coarse-grid agreement."""
+    mesh = Mesh(Box[0:1, 0:1], None, [65, 65])
+    model = LidDrivenCavity(mesh, nu=0.01, lid_velocity=1.0,
+                            implicit_advection=True)
+    model.run(dt=0.025, n_steps=1200)
+
+    u = np.asarray(model.u()[0])
+    v = np.asarray(model.v()[0])
+    mid = u.shape[0] // 2
+    u_min = u[mid, :].min()
+    v_max = v[:, mid].max()
+    v_min = v[:, mid].min()
+    assert abs(u_min - (-0.2109)) < 0.03, u_min
+    assert abs(v_max - 0.1753) < 0.02, v_max
+    assert abs(v_min - (-0.2453)) < 0.03, v_min
+
+
 def test_rfp_implicit_step() -> None:
     """Implicit RFP stepping (fdm.custom matrix-free operator): stable at
     10x the explicit dt, conserves density, matches the explicit evolution
