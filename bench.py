@@ -58,6 +58,15 @@ def solve_poisson(n: int, tol: float, max_it: int):
     precond = os.environ.get("PYAPES_BENCH_PRECOND", "mg")
     if precond and precond != "none":
         cfg["precond"] = precond
+        # Measured best at 512^3 on v5lite: bf16 V(1,1) cycle with
+        # omega=6/7 damping — 0.458 s / 16 it (vs f32 V(2,2) 0.71 s / 13).
+        # Override with e.g. PYAPES_BENCH_MG_OPTS='{"dtype":"float32"}'.
+        mg_opts = os.environ.get(
+            "PYAPES_BENCH_MG_OPTS",
+            '{"dtype": "bfloat16", "n_pre": 1, "n_post": 1, "omega": 0.857}',
+        )
+        if mg_opts:
+            cfg["mg_opts"] = json.loads(mg_opts)
     solver = Solver({"fdm": cfg})
     fdm = FDM()
 

@@ -28,6 +28,13 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 4 * 1024 * 1024  # per-program tile budget (bytes)
 
 
+def _sublane(dtype) -> int:
+    """Minimum sublane extent for HBM memref slices of this dtype: the TPU
+    tile is (8, 128) for 4-byte types, (16, 128) for 2-byte (bf16), so
+    sliced sublane offsets/extents must be multiples of 32 bytes / itemsize."""
+    return max(8, 32 // np.dtype(dtype).itemsize)
+
+
 def _pick_tile(n: int, max_tile: int, step: int = 1) -> int:
     for t in range(min(max_tile, n), 0, -1):
         if n % t == 0 and t % step == 0:
@@ -40,10 +47,10 @@ def _mod(i, n):
 
 
 def _select_row(block8, off, axis):
-    """Select one row from an 8-row aligned block (in-register; Mosaic
+    """Select one row from a sublane-aligned block (in-register; Mosaic
     cannot slice at dynamic sublane offsets)."""
     shape = [1] * block8.ndim
-    shape[axis] = 8
+    shape[axis] = block8.shape[axis]
     ids = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
     return jnp.sum(
         jnp.where(ids == off, block8, jnp.zeros_like(block8)),
@@ -64,16 +71,17 @@ def _stencil3d_kernel(
     ty: int,
     nx: int,
     ny: int,
+    sub: int = 8,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
     sx = i * tx
-    sy = pl.multiple_of(j * ty, 8)
+    sy = pl.multiple_of(j * ty, sub)
 
     gy_lo = _mod(sy - 1, ny)
     gy_hi = _mod(sy + ty, ny)
-    gy_lo_blk = pl.multiple_of((gy_lo // 8) * 8, 8)
-    gy_hi_blk = pl.multiple_of((gy_hi // 8) * 8, 8)
+    gy_lo_blk = pl.multiple_of((gy_lo // sub) * sub, sub)
+    gy_hi_blk = pl.multiple_of((gy_hi // sub) * sub, sub)
 
     copies = [
         pltpu.make_async_copy(
@@ -85,10 +93,10 @@ def _stencil3d_kernel(
             xg_hi, sems.at[1],
         ),
         pltpu.make_async_copy(
-            x_any.at[pl.ds(sx, tx), pl.ds(gy_lo_blk, 8)], yg_lo, sems.at[2]
+            x_any.at[pl.ds(sx, tx), pl.ds(gy_lo_blk, sub)], yg_lo, sems.at[2]
         ),
         pltpu.make_async_copy(
-            x_any.at[pl.ds(sx, tx), pl.ds(gy_hi_blk, 8)], yg_hi, sems.at[3]
+            x_any.at[pl.ds(sx, tx), pl.ds(gy_hi_blk, sub)], yg_hi, sems.at[3]
         ),
     ]
     for c in copies:
@@ -96,41 +104,47 @@ def _stencil3d_kernel(
     for c in copies:
         c.wait()
 
-    xc = body[:, :, :]
+    # Sub-32-bit inputs (bf16): HBM traffic stays narrow, but in-register
+    # math upcasts to f32 (Mosaic has no 16-bit rotate; and it keeps the
+    # stencil sum accurate).
+    cdt = jnp.promote_types(body.dtype, jnp.float32)
+    xc = body[:, :, :].astype(cdt)
     nz = xc.shape[2]
 
     # x-axis: roll within the slab, boundary rows patched with ghosts.
     xids = jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0)
-    xm = jnp.where(xids == 0, xg_lo[:, :, :], pltpu.roll(xc, 1, 0))
-    xp = jnp.where(xids == tx - 1, xg_hi[:, :, :], pltpu.roll(xc, tx - 1, 0))
-
-    out = (
-        ap0[:, 0:1].reshape(tx, 1, 1) * xp
-        + ac0[:, 0:1].reshape(tx, 1, 1) * xc
-        + am0[:, 0:1].reshape(tx, 1, 1) * xm
+    xm = jnp.where(xids == 0, xg_lo[:, :, :].astype(cdt), pltpu.roll(xc, 1, 0))
+    xp = jnp.where(
+        xids == tx - 1, xg_hi[:, :, :].astype(cdt), pltpu.roll(xc, tx - 1, 0)
     )
 
-    # y-axis: select ghost rows from the 8-wide aligned fetches.
-    g_lo = _select_row(yg_lo[:, :, :], gy_lo - gy_lo_blk, 1)
-    g_hi = _select_row(yg_hi[:, :, :], gy_hi - gy_hi_blk, 1)
+    out = (
+        ap0[:, 0:1].reshape(tx, 1, 1).astype(cdt) * xp
+        + ac0[:, 0:1].reshape(tx, 1, 1).astype(cdt) * xc
+        + am0[:, 0:1].reshape(tx, 1, 1).astype(cdt) * xm
+    )
+
+    # y-axis: select ghost rows from the sublane-aligned fetches.
+    g_lo = _select_row(yg_lo[:, :, :].astype(cdt), gy_lo - gy_lo_blk, 1)
+    g_hi = _select_row(yg_hi[:, :, :].astype(cdt), gy_hi - gy_hi_blk, 1)
     yids = jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1)
     ym = jnp.where(yids == 0, g_lo, pltpu.roll(xc, 1, 1))
     yp = jnp.where(yids == ty - 1, g_hi, pltpu.roll(xc, ty - 1, 1))
 
     out += (
-        ap1[:, 0:1].reshape(1, ty, 1) * yp
-        + ac1[:, 0:1].reshape(1, ty, 1) * xc
-        + am1[:, 0:1].reshape(1, ty, 1) * ym
+        ap1[:, 0:1].reshape(1, ty, 1).astype(cdt) * yp
+        + ac1[:, 0:1].reshape(1, ty, 1).astype(cdt) * xc
+        + am1[:, 0:1].reshape(1, ty, 1).astype(cdt) * ym
     )
 
     # z-axis: full extent in-tile; rolls are exact wraps.
     out += (
-        ap2[:].reshape(1, 1, nz) * pltpu.roll(xc, nz - 1, 2)
-        + ac2[:].reshape(1, 1, nz) * xc
-        + am2[:].reshape(1, 1, nz) * pltpu.roll(xc, 1, 2)
+        ap2[:].reshape(1, 1, nz).astype(cdt) * pltpu.roll(xc, nz - 1, 2)
+        + ac2[:].reshape(1, 1, nz).astype(cdt) * xc
+        + am2[:].reshape(1, 1, nz).astype(cdt) * pltpu.roll(xc, 1, 2)
     )
 
-    out_ref[:, :, :] = out
+    out_ref[:, :, :] = out.astype(out_ref.dtype)
 
 
 def _stencil2d_kernel(
@@ -143,21 +157,22 @@ def _stencil2d_kernel(
     *,
     tx: int,
     nx: int,
+    sub: int = 8,
 ):
     i = pl.program_id(0)
-    sx = pl.multiple_of(i * tx, 8)
+    sx = pl.multiple_of(i * tx, sub)
 
     g_lo = _mod(sx - 1, nx)
     g_hi = _mod(sx + tx, nx)
-    g_lo_blk = pl.multiple_of((g_lo // 8) * 8, 8)
-    g_hi_blk = pl.multiple_of((g_hi // 8) * 8, 8)
+    g_lo_blk = pl.multiple_of((g_lo // sub) * sub, sub)
+    g_hi_blk = pl.multiple_of((g_hi // sub) * sub, sub)
 
     copies = [
         pltpu.make_async_copy(
-            x_any.at[pl.ds(g_lo_blk, 8)], xg_lo, sems.at[0]
+            x_any.at[pl.ds(g_lo_blk, sub)], xg_lo, sems.at[0]
         ),
         pltpu.make_async_copy(
-            x_any.at[pl.ds(g_hi_blk, 8)], xg_hi, sems.at[1]
+            x_any.at[pl.ds(g_hi_blk, sub)], xg_hi, sems.at[1]
         ),
     ]
     for c in copies:
@@ -165,26 +180,27 @@ def _stencil2d_kernel(
     for c in copies:
         c.wait()
 
-    xc = body[:, :]
+    cdt = jnp.promote_types(body.dtype, jnp.float32)
+    xc = body[:, :].astype(cdt)
     ny = xc.shape[1]
 
-    lo = _select_row(xg_lo[:, :], g_lo - g_lo_blk, 0)
-    hi = _select_row(xg_hi[:, :], g_hi - g_hi_blk, 0)
+    lo = _select_row(xg_lo[:, :].astype(cdt), g_lo - g_lo_blk, 0)
+    hi = _select_row(xg_hi[:, :].astype(cdt), g_hi - g_hi_blk, 0)
     xids = jax.lax.broadcasted_iota(jnp.int32, (tx, 1), 0)
     xm = jnp.where(xids == 0, lo, pltpu.roll(xc, 1, 0))
     xp = jnp.where(xids == tx - 1, hi, pltpu.roll(xc, tx - 1, 0))
 
     out = (
-        ap0[:, 0:1].reshape(tx, 1) * xp
-        + ac0[:, 0:1].reshape(tx, 1) * xc
-        + am0[:, 0:1].reshape(tx, 1) * xm
+        ap0[:, 0:1].reshape(tx, 1).astype(cdt) * xp
+        + ac0[:, 0:1].reshape(tx, 1).astype(cdt) * xc
+        + am0[:, 0:1].reshape(tx, 1).astype(cdt) * xm
     )
     out += (
-        ap1[:].reshape(1, ny) * pltpu.roll(xc, ny - 1, 1)
-        + ac1[:].reshape(1, ny) * xc
-        + am1[:].reshape(1, ny) * pltpu.roll(xc, 1, 1)
+        ap1[:].reshape(1, ny).astype(cdt) * pltpu.roll(xc, ny - 1, 1)
+        + ac1[:].reshape(1, ny).astype(cdt) * xc
+        + am1[:].reshape(1, ny).astype(cdt) * pltpu.roll(xc, 1, 1)
     )
-    out_ref[:, :] = out
+    out_ref[:, :] = out.astype(out_ref.dtype)
 
 
 def _lane_bcast(c: jnp.ndarray) -> jnp.ndarray:
@@ -193,29 +209,37 @@ def _lane_bcast(c: jnp.ndarray) -> jnp.ndarray:
     return jnp.broadcast_to(c[:, None], (c.shape[0], 128))
 
 
-def _tiles_3d(gs, itemsize):
+def _tiles_3d(gs, itemsize, sub: int = 8):
     nx, ny, nz = gs
     tx = _pick_tile(nx, 8)
-    max_ty = max(8, (_VMEM_BUDGET // max(1, (tx + 2) * nz * itemsize) // 8) * 8)
-    ty = _pick_tile(ny, max_ty, step=8)
+    max_ty = max(
+        sub,
+        (_VMEM_BUDGET // max(1, (tx + 2) * nz * itemsize) // sub) * sub,
+    )
+    ty = _pick_tile(ny, max_ty, step=sub)
     return tx, ty
 
 
-def pallas_supported(shape: tuple[int, ...]) -> bool:
-    """Whether the fused kernel supports this grid shape (ghost DMAs slice
-    HBM memrefs, so the lane dim must be a 128 multiple and sliced sublane
-    dims 8-aligned)."""
+def pallas_supported(shape: tuple[int, ...], dtype=jnp.float32) -> bool:
+    """Whether the fused kernel supports this grid shape + dtype (ghost
+    DMAs slice HBM memrefs, so the lane dim must be a 128 multiple and
+    sliced sublane dims aligned to the dtype tile: 8 rows for f32, 16 for
+    bf16)."""
+    sub = _sublane(dtype)
+    # In-register math runs in f32 even for bf16 blocks; budget tiles on
+    # the wider temporaries.
+    itemsize = max(4, np.dtype(dtype).itemsize)
     if shape[-1] % 128 != 0:
         return False
     if len(shape) == 3:
         nx, ny, nz = shape
-        if ny % 8 != 0:
+        if ny % sub != 0:
             return False
-        tx, ty = _tiles_3d(shape, 4)
-        return tx > 0 and ty >= 8
+        tx, ty = _tiles_3d(shape, itemsize, sub)
+        return tx > 0 and ty >= sub
     if len(shape) == 2:
         nx, ny = shape
-        return nx % 8 == 0 and _pick_tile(nx, 256, step=8) >= 8
+        return nx % sub == 0 and _pick_tile(nx, 256, step=sub) >= sub
     return False
 
 
@@ -227,8 +251,11 @@ def pallas_axis_stencil(coeffs, x: jnp.ndarray, interpret: bool = False):
     """
     ndim = x.ndim - 1
     gs = x.shape[1:]
-    assert pallas_supported(gs), f"pallas stencil: unsupported shape {gs}"
-    itemsize = np.dtype(x.dtype).itemsize
+    assert pallas_supported(gs, x.dtype), (
+        f"pallas stencil: unsupported shape {gs} / {x.dtype}"
+    )
+    itemsize = max(4, np.dtype(x.dtype).itemsize)
+    sub = _sublane(x.dtype)
 
     if ndim == 3 and not interpret:
         # Double-buffered variant: next tile's ghost DMAs overlap this
@@ -240,7 +267,7 @@ def pallas_axis_stencil(coeffs, x: jnp.ndarray, interpret: bool = False):
 
     if ndim == 3:
         nx, ny, nz = gs
-        tx, ty = _tiles_3d(gs, itemsize)
+        tx, ty = _tiles_3d(gs, itemsize, sub)
 
         flat = [
             _lane_bcast(coeffs[0][0]), _lane_bcast(coeffs[0][1]),
@@ -268,7 +295,7 @@ def pallas_axis_stencil(coeffs, x: jnp.ndarray, interpret: bool = False):
             (tx, ty, nz), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         )
         call = pl.pallas_call(
-            partial(_stencil3d_kernel, tx=tx, ty=ty, nx=nx, ny=ny),
+            partial(_stencil3d_kernel, tx=tx, ty=ty, nx=nx, ny=ny, sub=sub),
             grid=(nx // tx, ny // ty),
             out_shape=jax.ShapeDtypeStruct(gs, x.dtype),
             in_specs=in_specs,
@@ -276,8 +303,8 @@ def pallas_axis_stencil(coeffs, x: jnp.ndarray, interpret: bool = False):
             scratch_shapes=[
                 pltpu.VMEM((1, ty, nz), x.dtype),
                 pltpu.VMEM((1, ty, nz), x.dtype),
-                pltpu.VMEM((tx, 8, nz), x.dtype),
-                pltpu.VMEM((tx, 8, nz), x.dtype),
+                pltpu.VMEM((tx, sub, nz), x.dtype),
+                pltpu.VMEM((tx, sub, nz), x.dtype),
                 pltpu.SemaphoreType.DMA((4,)),
             ],
             interpret=interpret,
@@ -288,8 +315,10 @@ def pallas_axis_stencil(coeffs, x: jnp.ndarray, interpret: bool = False):
 
     else:
         nx, ny = gs
-        max_tx = max(8, (_VMEM_BUDGET // max(1, ny * itemsize) // 8) * 8)
-        tx = _pick_tile(nx, min(256, max_tx), step=8)
+        max_tx = max(
+            sub, (_VMEM_BUDGET // max(1, ny * itemsize) // sub) * sub
+        )
+        tx = _pick_tile(nx, min(256, max_tx), step=sub)
         flat = [
             _lane_bcast(coeffs[0][0]), _lane_bcast(coeffs[0][1]),
             _lane_bcast(coeffs[0][2]),
@@ -309,14 +338,14 @@ def pallas_axis_stencil(coeffs, x: jnp.ndarray, interpret: bool = False):
             (tx, ny), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         call = pl.pallas_call(
-            partial(_stencil2d_kernel, tx=tx, nx=nx),
+            partial(_stencil2d_kernel, tx=tx, nx=nx, sub=sub),
             grid=(nx // tx,),
             out_shape=jax.ShapeDtypeStruct(gs, x.dtype),
             in_specs=in_specs,
             out_specs=out_spec,
             scratch_shapes=[
-                pltpu.VMEM((8, ny), x.dtype),
-                pltpu.VMEM((8, ny), x.dtype),
+                pltpu.VMEM((sub, ny), x.dtype),
+                pltpu.VMEM((sub, ny), x.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
@@ -354,16 +383,17 @@ def _jacobi3d_kernel(
     alpha: float,
     beta: float,
     mask_axes: tuple,
+    sub: int = 8,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
     sx = i * tx
-    sy = pl.multiple_of(j * ty, 8)
+    sy = pl.multiple_of(j * ty, sub)
 
     gy_lo = _mod(sy - 1, ny)
     gy_hi = _mod(sy + ty, ny)
-    gy_lo_blk = pl.multiple_of((gy_lo // 8) * 8, 8)
-    gy_hi_blk = pl.multiple_of((gy_hi // 8) * 8, 8)
+    gy_lo_blk = pl.multiple_of((gy_lo // sub) * sub, sub)
+    gy_hi_blk = pl.multiple_of((gy_hi // sub) * sub, sub)
 
     copies = [
         pltpu.make_async_copy(
@@ -375,10 +405,10 @@ def _jacobi3d_kernel(
             xg_hi, sems.at[1],
         ),
         pltpu.make_async_copy(
-            x_any.at[pl.ds(sx, tx), pl.ds(gy_lo_blk, 8)], yg_lo, sems.at[2]
+            x_any.at[pl.ds(sx, tx), pl.ds(gy_lo_blk, sub)], yg_lo, sems.at[2]
         ),
         pltpu.make_async_copy(
-            x_any.at[pl.ds(sx, tx), pl.ds(gy_hi_blk, 8)], yg_hi, sems.at[3]
+            x_any.at[pl.ds(sx, tx), pl.ds(gy_hi_blk, sub)], yg_hi, sems.at[3]
         ),
     ]
     for c in copies:
@@ -386,15 +416,18 @@ def _jacobi3d_kernel(
     for c in copies:
         c.wait()
 
-    xc = body[:, :, :]
+    cdt = jnp.promote_types(body.dtype, jnp.float32)
+    xc = body[:, :, :].astype(cdt)
     nz = xc.shape[2]
 
     xids = jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0)
-    xm = jnp.where(xids == 0, xg_lo[:, :, :], pltpu.roll(xc, 1, 0))
-    xp = jnp.where(xids == tx - 1, xg_hi[:, :, :], pltpu.roll(xc, tx - 1, 0))
+    xm = jnp.where(xids == 0, xg_lo[:, :, :].astype(cdt), pltpu.roll(xc, 1, 0))
+    xp = jnp.where(
+        xids == tx - 1, xg_hi[:, :, :].astype(cdt), pltpu.roll(xc, tx - 1, 0)
+    )
 
-    g_lo = _select_row(yg_lo[:, :, :], gy_lo - gy_lo_blk, 1)
-    g_hi = _select_row(yg_hi[:, :, :], gy_hi - gy_hi_blk, 1)
+    g_lo = _select_row(yg_lo[:, :, :].astype(cdt), gy_lo - gy_lo_blk, 1)
+    g_hi = _select_row(yg_hi[:, :, :].astype(cdt), gy_hi - gy_hi_blk, 1)
     yids = jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1)
     ym = jnp.where(yids == 0, g_lo, pltpu.roll(xc, 1, 1))
     yp = jnp.where(yids == ty - 1, g_hi, pltpu.roll(xc, ty - 1, 1))
@@ -405,7 +438,7 @@ def _jacobi3d_kernel(
         pltpu.roll(xc, nz - 1, 2) + pltpu.roll(xc, 1, 2) - 2.0 * xc
     )
 
-    upd = b_blk[:, :, :] - ax
+    upd = b_blk[:, :, :].astype(cdt) - ax
     # interior mask: zero global-boundary rows on masked axes
     if 0 in mask_axes:
         gx = xids + sx
@@ -417,7 +450,7 @@ def _jacobi3d_kernel(
         zids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nz), 2)
         upd = jnp.where((zids == 0) | (zids == nz - 1), 0.0, upd)
 
-    out_ref[:, :, :] = alpha * xc + beta * upd
+    out_ref[:, :, :] = (alpha * xc + beta * upd).astype(out_ref.dtype)
 
 
 def pallas_jacobi3d(
@@ -432,14 +465,15 @@ def pallas_jacobi3d(
     """Fused ``alpha x + beta mask (b - A x)`` for the 3-D scalar-coefficient
     Laplacian. ``x``/``b``: ``(vdim, *nx)``."""
     gs = x.shape[1:]
-    assert len(gs) == 3 and pallas_supported(gs)
+    assert len(gs) == 3 and pallas_supported(gs, x.dtype)
     if not interpret:
         from pyapes_tpu.ops.pallas_stencil_db import pallas_jacobi3d_db
 
         return pallas_jacobi3d_db(x, b, inv_dx2, alpha, beta, mask_axes)
-    itemsize = np.dtype(x.dtype).itemsize
+    itemsize = max(4, np.dtype(x.dtype).itemsize)
+    sub = _sublane(x.dtype)
     nx, ny, nz = gs
-    tx, ty = _tiles_3d(gs, itemsize)
+    tx, ty = _tiles_3d(gs, itemsize, sub)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),
@@ -457,7 +491,7 @@ def pallas_jacobi3d(
             tx=tx, ty=ty, nx=nx, ny=ny,
             inv_dx2=tuple(float(v) for v in inv_dx2),
             alpha=float(alpha), beta=float(beta),
-            mask_axes=tuple(mask_axes),
+            mask_axes=tuple(mask_axes), sub=sub,
         ),
         grid=(nx // tx, ny // ty),
         out_shape=jax.ShapeDtypeStruct(gs, x.dtype),
@@ -466,8 +500,8 @@ def pallas_jacobi3d(
         scratch_shapes=[
             pltpu.VMEM((1, ty, nz), x.dtype),
             pltpu.VMEM((1, ty, nz), x.dtype),
-            pltpu.VMEM((tx, 8, nz), x.dtype),
-            pltpu.VMEM((tx, 8, nz), x.dtype),
+            pltpu.VMEM((tx, sub, nz), x.dtype),
+            pltpu.VMEM((tx, sub, nz), x.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,

@@ -21,17 +21,18 @@ from pyapes_tpu.ops.pallas_stencil import (
     _lane_bcast,
     _mod,
     _select_row,
+    _sublane,
     _tiles_3d,
     pallas_supported,
 )
 
 
-def _ghost_copies(x_any, slot, sx, sy, tx, ty, nx, ny, bufs, sems):
+def _ghost_copies(x_any, slot, sx, sy, tx, ty, nx, ny, bufs, sems, sub=8):
     xg_lo, xg_hi, yg_lo, yg_hi = bufs
     gy_lo = _mod(sy - 1, ny)
     gy_hi = _mod(sy + ty, ny)
-    gy_lo_blk = pl.multiple_of((gy_lo // 8) * 8, 8)
-    gy_hi_blk = pl.multiple_of((gy_hi // 8) * 8, 8)
+    gy_lo_blk = pl.multiple_of((gy_lo // sub) * sub, sub)
+    gy_hi_blk = pl.multiple_of((gy_hi // sub) * sub, sub)
     return [
         pltpu.make_async_copy(
             x_any.at[pl.ds(_mod(sx - 1, nx), 1), pl.ds(sy, ty)],
@@ -44,12 +45,12 @@ def _ghost_copies(x_any, slot, sx, sy, tx, ty, nx, ny, bufs, sems):
             sems.at[slot, 1],
         ),
         pltpu.make_async_copy(
-            x_any.at[pl.ds(sx, tx), pl.ds(gy_lo_blk, 8)],
+            x_any.at[pl.ds(sx, tx), pl.ds(gy_lo_blk, sub)],
             yg_lo.at[slot],
             sems.at[slot, 2],
         ),
         pltpu.make_async_copy(
-            x_any.at[pl.ds(sx, tx), pl.ds(gy_hi_blk, 8)],
+            x_any.at[pl.ds(sx, tx), pl.ds(gy_hi_blk, sub)],
             yg_hi.at[slot],
             sems.at[slot, 3],
         ),
@@ -68,6 +69,7 @@ def _stencil3d_db_kernel(
     ty: int,
     nx: int,
     ny: int,
+    sub: int = 8,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -77,14 +79,16 @@ def _stencil3d_db_kernel(
     nslot = jax.lax.rem(g + 1, jnp.int32(2))
 
     sx = i * tx
-    sy = pl.multiple_of(j * ty, 8)
+    sy = pl.multiple_of(j * ty, sub)
 
     bufs = (xg_lo, xg_hi, yg_lo, yg_hi)
 
     # First program: start its own ghosts.
     @pl.when(g == 0)
     def _():
-        for c in _ghost_copies(x_any, slot, sx, sy, tx, ty, nx, ny, bufs, sems):
+        for c in _ghost_copies(
+            x_any, slot, sx, sy, tx, ty, nx, ny, bufs, sems, sub
+        ):
             c.start()
 
     # Start the NEXT program's ghosts (overlaps with this compute).
@@ -95,61 +99,69 @@ def _stencil3d_db_kernel(
     @pl.when(jnp.logical_not(last))
     def _():
         sx2 = i2 * tx
-        sy2 = pl.multiple_of(j2 * ty, 8)
+        sy2 = pl.multiple_of(j2 * ty, sub)
         for c in _ghost_copies(
-            x_any, nslot, sx2, sy2, tx, ty, nx, ny, bufs, sems
+            x_any, nslot, sx2, sy2, tx, ty, nx, ny, bufs, sems, sub
         ):
             c.start()
 
     # Wait for this program's ghosts.
     gy_lo = _mod(sy - 1, ny)
     gy_hi = _mod(sy + ty, ny)
-    gy_lo_blk = pl.multiple_of((gy_lo // 8) * 8, 8)
-    gy_hi_blk = pl.multiple_of((gy_hi // 8) * 8, 8)
-    for c in _ghost_copies(x_any, slot, sx, sy, tx, ty, nx, ny, bufs, sems):
+    gy_lo_blk = pl.multiple_of((gy_lo // sub) * sub, sub)
+    gy_hi_blk = pl.multiple_of((gy_hi // sub) * sub, sub)
+    for c in _ghost_copies(
+        x_any, slot, sx, sy, tx, ty, nx, ny, bufs, sems, sub
+    ):
         c.wait()
 
-    xc = body[:, :, :]
+    # bf16 inputs: narrow HBM traffic, f32 in-register math (see the base
+    # kernel in pallas_stencil.py).
+    cdt = jnp.promote_types(body.dtype, jnp.float32)
+    xc = body[:, :, :].astype(cdt)
     nz = xc.shape[2]
 
     xids = jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0)
-    xm = jnp.where(xids == 0, xg_lo[slot], pltpu.roll(xc, 1, 0))
-    xp = jnp.where(xids == tx - 1, xg_hi[slot], pltpu.roll(xc, tx - 1, 0))
-
-    out = (
-        ap0[:, 0:1].reshape(tx, 1, 1) * xp
-        + ac0[:, 0:1].reshape(tx, 1, 1) * xc
-        + am0[:, 0:1].reshape(tx, 1, 1) * xm
+    xm = jnp.where(xids == 0, xg_lo[slot].astype(cdt), pltpu.roll(xc, 1, 0))
+    xp = jnp.where(
+        xids == tx - 1, xg_hi[slot].astype(cdt), pltpu.roll(xc, tx - 1, 0)
     )
 
-    g_lo = _select_row(yg_lo[slot], gy_lo - gy_lo_blk, 1)
-    g_hi = _select_row(yg_hi[slot], gy_hi - gy_hi_blk, 1)
+    out = (
+        ap0[:, 0:1].reshape(tx, 1, 1).astype(cdt) * xp
+        + ac0[:, 0:1].reshape(tx, 1, 1).astype(cdt) * xc
+        + am0[:, 0:1].reshape(tx, 1, 1).astype(cdt) * xm
+    )
+
+    g_lo = _select_row(yg_lo[slot].astype(cdt), gy_lo - gy_lo_blk, 1)
+    g_hi = _select_row(yg_hi[slot].astype(cdt), gy_hi - gy_hi_blk, 1)
     yids = jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1)
     ym = jnp.where(yids == 0, g_lo, pltpu.roll(xc, 1, 1))
     yp = jnp.where(yids == ty - 1, g_hi, pltpu.roll(xc, ty - 1, 1))
 
     out += (
-        ap1[:, 0:1].reshape(1, ty, 1) * yp
-        + ac1[:, 0:1].reshape(1, ty, 1) * xc
-        + am1[:, 0:1].reshape(1, ty, 1) * ym
+        ap1[:, 0:1].reshape(1, ty, 1).astype(cdt) * yp
+        + ac1[:, 0:1].reshape(1, ty, 1).astype(cdt) * xc
+        + am1[:, 0:1].reshape(1, ty, 1).astype(cdt) * ym
     )
 
     out += (
-        ap2[:].reshape(1, 1, nz) * pltpu.roll(xc, nz - 1, 2)
-        + ac2[:].reshape(1, 1, nz) * xc
-        + am2[:].reshape(1, 1, nz) * pltpu.roll(xc, 1, 2)
+        ap2[:].reshape(1, 1, nz).astype(cdt) * pltpu.roll(xc, nz - 1, 2)
+        + ac2[:].reshape(1, 1, nz).astype(cdt) * xc
+        + am2[:].reshape(1, 1, nz).astype(cdt) * pltpu.roll(xc, 1, 2)
     )
 
-    out_ref[:, :, :] = out
+    out_ref[:, :, :] = out.astype(out_ref.dtype)
 
 
 def pallas_axis_stencil_db(coeffs, x: jnp.ndarray, interpret: bool = False):
     """Double-buffered 3-D fused stencil apply."""
     gs = x.shape[1:]
-    assert len(gs) == 3 and pallas_supported(gs)
-    itemsize = np.dtype(x.dtype).itemsize
+    assert len(gs) == 3 and pallas_supported(gs, x.dtype)
+    itemsize = max(4, np.dtype(x.dtype).itemsize)
+    sub = _sublane(x.dtype)
     nx, ny, nz = gs
-    tx, ty = _tiles_3d(gs, itemsize)
+    tx, ty = _tiles_3d(gs, itemsize, sub)
 
     flat = [
         _lane_bcast(coeffs[0][0]), _lane_bcast(coeffs[0][1]),
@@ -176,7 +188,7 @@ def pallas_axis_stencil_db(coeffs, x: jnp.ndarray, interpret: bool = False):
         (tx, ty, nz), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )
     call = pl.pallas_call(
-        partial(_stencil3d_db_kernel, tx=tx, ty=ty, nx=nx, ny=ny),
+        partial(_stencil3d_db_kernel, tx=tx, ty=ty, nx=nx, ny=ny, sub=sub),
         grid=(nx // tx, ny // ty),
         out_shape=jax.ShapeDtypeStruct(gs, x.dtype),
         in_specs=in_specs,
@@ -184,8 +196,8 @@ def pallas_axis_stencil_db(coeffs, x: jnp.ndarray, interpret: bool = False):
         scratch_shapes=[
             pltpu.VMEM((2, 1, ty, nz), x.dtype),
             pltpu.VMEM((2, 1, ty, nz), x.dtype),
-            pltpu.VMEM((2, tx, 8, nz), x.dtype),
-            pltpu.VMEM((2, tx, 8, nz), x.dtype),
+            pltpu.VMEM((2, tx, sub, nz), x.dtype),
+            pltpu.VMEM((2, tx, sub, nz), x.dtype),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
         interpret=interpret,
@@ -210,6 +222,7 @@ def _jacobi3d_db_kernel(
     alpha: float,
     beta: float,
     mask_axes: tuple,
+    sub: int = 8,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -219,12 +232,14 @@ def _jacobi3d_db_kernel(
     nslot = jax.lax.rem(g + 1, jnp.int32(2))
 
     sx = i * tx
-    sy = pl.multiple_of(j * ty, 8)
+    sy = pl.multiple_of(j * ty, sub)
     bufs = (xg_lo, xg_hi, yg_lo, yg_hi)
 
     @pl.when(g == 0)
     def _():
-        for c in _ghost_copies(x_any, slot, sx, sy, tx, ty, nx, ny, bufs, sems):
+        for c in _ghost_copies(
+            x_any, slot, sx, sy, tx, ty, nx, ny, bufs, sems, sub
+        ):
             c.start()
 
     j2 = jax.lax.rem(j + 1, jnp.int32(nj))
@@ -234,28 +249,33 @@ def _jacobi3d_db_kernel(
     @pl.when(jnp.logical_not(last))
     def _():
         sx2 = i2 * tx
-        sy2 = pl.multiple_of(j2 * ty, 8)
+        sy2 = pl.multiple_of(j2 * ty, sub)
         for c in _ghost_copies(
-            x_any, nslot, sx2, sy2, tx, ty, nx, ny, bufs, sems
+            x_any, nslot, sx2, sy2, tx, ty, nx, ny, bufs, sems, sub
         ):
             c.start()
 
     gy_lo = _mod(sy - 1, ny)
     gy_hi = _mod(sy + ty, ny)
-    gy_lo_blk = pl.multiple_of((gy_lo // 8) * 8, 8)
-    gy_hi_blk = pl.multiple_of((gy_hi // 8) * 8, 8)
-    for c in _ghost_copies(x_any, slot, sx, sy, tx, ty, nx, ny, bufs, sems):
+    gy_lo_blk = pl.multiple_of((gy_lo // sub) * sub, sub)
+    gy_hi_blk = pl.multiple_of((gy_hi // sub) * sub, sub)
+    for c in _ghost_copies(
+        x_any, slot, sx, sy, tx, ty, nx, ny, bufs, sems, sub
+    ):
         c.wait()
 
-    xc = body[:, :, :]
+    cdt = jnp.promote_types(body.dtype, jnp.float32)
+    xc = body[:, :, :].astype(cdt)
     nz = xc.shape[2]
 
     xids = jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0)
-    xm = jnp.where(xids == 0, xg_lo[slot], pltpu.roll(xc, 1, 0))
-    xp = jnp.where(xids == tx - 1, xg_hi[slot], pltpu.roll(xc, tx - 1, 0))
+    xm = jnp.where(xids == 0, xg_lo[slot].astype(cdt), pltpu.roll(xc, 1, 0))
+    xp = jnp.where(
+        xids == tx - 1, xg_hi[slot].astype(cdt), pltpu.roll(xc, tx - 1, 0)
+    )
 
-    g_lo = _select_row(yg_lo[slot], gy_lo - gy_lo_blk, 1)
-    g_hi = _select_row(yg_hi[slot], gy_hi - gy_hi_blk, 1)
+    g_lo = _select_row(yg_lo[slot].astype(cdt), gy_lo - gy_lo_blk, 1)
+    g_hi = _select_row(yg_hi[slot].astype(cdt), gy_hi - gy_hi_blk, 1)
     yids = jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1)
     ym = jnp.where(yids == 0, g_lo, pltpu.roll(xc, 1, 1))
     yp = jnp.where(yids == ty - 1, g_hi, pltpu.roll(xc, ty - 1, 1))
@@ -266,7 +286,7 @@ def _jacobi3d_db_kernel(
         pltpu.roll(xc, nz - 1, 2) + pltpu.roll(xc, 1, 2) - 2.0 * xc
     )
 
-    upd = b_blk[:, :, :] - ax
+    upd = b_blk[:, :, :].astype(cdt) - ax
     if 0 in mask_axes:
         gx = xids + sx
         upd = jnp.where((gx == 0) | (gx == nx - 1), 0.0, upd)
@@ -277,7 +297,7 @@ def _jacobi3d_db_kernel(
         zids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nz), 2)
         upd = jnp.where((zids == 0) | (zids == nz - 1), 0.0, upd)
 
-    out_ref[:, :, :] = alpha * xc + beta * upd
+    out_ref[:, :, :] = (alpha * xc + beta * upd).astype(out_ref.dtype)
 
 
 def pallas_jacobi3d_db(
@@ -285,12 +305,13 @@ def pallas_jacobi3d_db(
 ):
     """Double-buffered fused Jacobi smoother / masked residual."""
     gs = x.shape[1:]
-    assert len(gs) == 3 and pallas_supported(gs)
-    itemsize = np.dtype(x.dtype).itemsize
+    assert len(gs) == 3 and pallas_supported(gs, x.dtype)
+    itemsize = max(4, np.dtype(x.dtype).itemsize)
+    sub = _sublane(x.dtype)
     nx, ny, nz = gs
     # Two pipelined body blocks (x and b) + doubled ghost buffers: halve
     # the tile budget vs the plain stencil to stay inside VMEM.
-    tx, ty = _tiles_3d(gs, itemsize * 2)
+    tx, ty = _tiles_3d(gs, itemsize * 2, sub)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),
@@ -308,7 +329,7 @@ def pallas_jacobi3d_db(
             tx=tx, ty=ty, nx=nx, ny=ny,
             inv_dx2=tuple(float(v) for v in inv_dx2),
             alpha=float(alpha), beta=float(beta),
-            mask_axes=tuple(mask_axes),
+            mask_axes=tuple(mask_axes), sub=sub,
         ),
         grid=(nx // tx, ny // ty),
         out_shape=jax.ShapeDtypeStruct(gs, x.dtype),
@@ -317,8 +338,8 @@ def pallas_jacobi3d_db(
         scratch_shapes=[
             pltpu.VMEM((2, 1, ty, nz), x.dtype),
             pltpu.VMEM((2, 1, ty, nz), x.dtype),
-            pltpu.VMEM((2, tx, 8, nz), x.dtype),
-            pltpu.VMEM((2, tx, 8, nz), x.dtype),
+            pltpu.VMEM((2, tx, sub, nz), x.dtype),
+            pltpu.VMEM((2, tx, sub, nz), x.dtype),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
         interpret=interpret,

@@ -166,7 +166,7 @@ def _bc_signature(bcs) -> tuple:
         else:
             vkey = ("array", id(val))
         mkey = ()
-        if bc.bc_type == "obstacle_dirichlet":
+        if bc.bc_type in ("obstacle_dirichlet", "obstacle_neumann"):
             # Obstacle masks are part of the operator (active-set mask).
             mkey = (hash(bc.bc_mask.tobytes()),)
         sig.append((bc.bc_type, bc.bc_face, vkey) + mkey)
@@ -346,7 +346,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     if kernel in ("pallas", "auto"):
         from pyapes_tpu.ops.pallas_stencil import pallas_supported
 
-        shape_ok = pallas_supported(x0.shape[1:])
+        shape_ok = pallas_supported(x0.shape[1:], x0.dtype)
     else:
         shape_ok = False
     use_pallas = (kernel == "pallas" and shape_ok) or (
@@ -363,6 +363,12 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     if precond_kind == "mg":
         from pyapes_tpu.solver.multigrid import MGSpec
 
+        # Optional tuning knobs: {"n_pre", "n_post", "n_coarse", "omega",
+        # "dtype"} — e.g. {"dtype": "bfloat16"} runs the V-cycle in bf16
+        # (half the preconditioner bandwidth; outer Krylov stays full
+        # precision).
+        mg_opts = dict(config.get("mg_opts") or {})
+        cycle_dtype = mg_opts.pop("dtype", None)
         mg_spec = MGSpec(
             x0.shape[1:],
             [float(l) for l in np.asarray(mesh._lx_np)],
@@ -373,6 +379,8 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             ),
             rz=(mesh.coord_sys == "rz"),
             r_lower=float(mesh._lower_np[0]),
+            cycle_dtype=cycle_dtype,
+            **mg_opts,
         )
 
     # Content-based mesh signature (id() could alias after GC).
@@ -414,10 +422,13 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 slicer[j] = slice(None)  # every torus node is active
                 red_nx[j] -= 1
         red_nx_t, slicer_t, xdtype = tuple(red_nx), tuple(slicer), x0.dtype
-        # Obstacle cells are pinned by their BC and leave the active set.
+        # Obstacle cells are pinned (Dirichlet) or dependent (Neumann
+        # neighbor copies) and leave the active set.
         excluded = None
         for bc in bcs_kept:
-            if getattr(bc, "bc_type", "") == "obstacle_dirichlet":
+            if getattr(bc, "bc_type", "") in (
+                "obstacle_dirichlet", "obstacle_neumann"
+            ):
                 if paxes:
                     raise NotImplementedError(
                         "obstacle BCs + periodic axes not supported"
@@ -433,6 +444,21 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             Aop = _make_Aop(term_descs, pallas_axis_stencil)
         else:
             Aop = _make_Aop(term_descs)
+        # Neumann-obstacle shells are linear functions of their fluid
+        # neighbors; fold the (idempotent, zero-flux) copy into the
+        # operator so search-direction products see the same reduced
+        # system as the residual map.
+        obn = tuple(
+            bc for bc in bcs_kept
+            if getattr(bc, "bc_type", "") == "obstacle_neumann"
+        )
+        if obn:
+            base_Aop = Aop
+
+            def Aop(v, tp, _A=base_Aop, _obn=obn):
+                for bc in _obn:
+                    v = bc.apply(v, None)
+                return _A(v, tp)
         if method == "cg":
             precond = mg_spec.preconditioner() if mg_spec is not None else None
             fn = _build_cg(

@@ -12,7 +12,7 @@ from pyapes_tpu.variables import Field
 from pyapes_tpu.variables.bcs import homogeneous_bcs, mixed_bcs
 
 
-def _solve(precond, n=65, dims=2, bcs=None, tol=1e-8):
+def _solve(precond, n=65, dims=2, bcs=None, tol=1e-8, mg_opts=None):
     box = Box[tuple(slice(0, 1) for _ in range(dims))]
     mesh = Mesh(box, None, [n] * dims)
     bcs = bcs or homogeneous_bcs(dims, 0.0, "dirichlet")
@@ -28,6 +28,8 @@ def _solve(precond, n=65, dims=2, bcs=None, tol=1e-8):
     }
     if precond:
         cfg["precond"] = "mg"
+        if mg_opts:
+            cfg["mg_opts"] = mg_opts
     solver = Solver({"fdm": cfg})
     fdm = FDM()
     solver.set_eq(fdm.laplacian(1.0, var) == rhs)
@@ -63,6 +65,33 @@ def test_mgcg_mixed_bcs() -> None:
     out, rep1 = _solve(True, bcs=bcs)
     assert rep1["converge"]
     assert rep1["itr"] < rep0["itr"] / 3
+    assert_allclose(out, ref, atol=1e-6)
+
+
+def test_mgcg_bf16_cycle() -> None:
+    """Mixed-precision preconditioning: the V-cycle runs in bf16 (half the
+    preconditioner bandwidth on TPU) while the outer CG stays full
+    precision — same solution to the same tolerance, still a large
+    iteration reduction over plain CG."""
+    ref, rep0 = _solve(False)
+    out, rep1 = _solve(True, mg_opts={"dtype": "bfloat16"})
+    assert rep1["converge"]
+    assert rep1["itr"] < rep0["itr"] / 4, (rep1["itr"], rep0["itr"])
+    assert_allclose(out, ref, atol=1e-6)
+
+    # 3-D path too (exercises the resize/mask dtype plumbing)
+    ref3, _ = _solve(False, n=33, dims=3)
+    out3, rep3 = _solve(True, n=33, dims=3, mg_opts={"dtype": "bfloat16"})
+    assert rep3["converge"]
+    assert_allclose(out3, ref3, atol=1e-6)
+
+
+def test_mgcg_cycle_shape_opts() -> None:
+    """n_pre/n_post/n_coarse knobs reach MGSpec (V(1,1) still accelerates)."""
+    ref, rep0 = _solve(False)
+    out, rep1 = _solve(True, mg_opts={"n_pre": 1, "n_post": 1})
+    assert rep1["converge"]
+    assert rep1["itr"] < rep0["itr"] / 4
     assert_allclose(out, ref, atol=1e-6)
 
 

@@ -1,0 +1,110 @@
+"""Pallas kernel tests (interpret mode on CPU; the same kernels compile
+via Mosaic on TPU — shape/alignment gating in ``pallas_supported``).
+
+The oracle is the jnp roll-sum stencil (``ops/stencil.py``)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from pyapes_tpu.ops.pallas_stencil import (
+    _sublane,
+    pallas_axis_stencil,
+    pallas_jacobi3d,
+    pallas_supported,
+)
+from pyapes_tpu.ops.pallas_stencil_db import (
+    pallas_axis_stencil_db,
+    pallas_jacobi3d_db,
+)
+from pyapes_tpu.ops.stencil import apply_axis_stencil
+
+
+def _coeffs(shape, dtype):
+    rng = np.random.default_rng(3)
+    out = []
+    for n in shape:
+        out.append(tuple(
+            jnp.asarray(rng.standard_normal(n), dtype=dtype)
+            for _ in range(3)
+        ))
+    return tuple(out)
+
+
+def _x(shape, dtype):
+    rng = np.random.default_rng(7)
+    return jnp.asarray(rng.standard_normal((1,) + shape), dtype=dtype)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("shape", [(8, 16, 128), (16, 32, 128)])
+def test_stencil3d_interpret(dtype, shape) -> None:
+    assert pallas_supported(shape, dtype)
+    x = _x(shape, dtype)
+    coeffs = _coeffs(shape, dtype)
+    ref = apply_axis_stencil(coeffs, x.astype(jnp.float32))
+    tol = 1e-6 if dtype == jnp.float32 else 0.1
+    out = pallas_axis_stencil(coeffs, x, interpret=True)
+    assert out.dtype == dtype
+    assert_allclose(np.asarray(out, np.float64), np.asarray(ref),
+                    rtol=tol, atol=tol)
+    out_db = pallas_axis_stencil_db(coeffs, x, interpret=True)
+    assert_allclose(np.asarray(out_db, np.float64), np.asarray(ref),
+                    rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_stencil2d_interpret(dtype) -> None:
+    shape = (16, 128)
+    assert pallas_supported(shape, dtype)
+    x = _x(shape, dtype)
+    coeffs = _coeffs(shape, dtype)
+    ref = apply_axis_stencil(coeffs, x.astype(jnp.float32))
+    tol = 1e-6 if dtype == jnp.float32 else 0.1
+    out = pallas_axis_stencil(coeffs, x, interpret=True)
+    assert_allclose(np.asarray(out, np.float64), np.asarray(ref),
+                    rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_jacobi3d_interpret(dtype) -> None:
+    shape = (8, 16, 128)
+    x = _x(shape, dtype)
+    b = _x(shape, dtype) + 1.0
+    inv_dx2 = (4.0, 2.0, 1.0)
+    alpha, beta = 1.0, 0.1
+    mask_axes = (0, 1, 2)
+
+    xf = x.astype(jnp.float32)
+    lap = jnp.zeros_like(xf)
+    for j, iv in enumerate(inv_dx2):
+        lap = lap + iv * (
+            jnp.roll(xf, -1, 1 + j) + jnp.roll(xf, 1, 1 + j) - 2.0 * xf
+        )
+    upd = b.astype(jnp.float32) - lap
+    mask = np.ones(shape, dtype=np.float32)
+    for j in mask_axes:
+        sl = [slice(None)] * 3
+        for edge in (0, -1):
+            sl[j] = edge
+            mask[tuple(sl)] = 0.0
+    ref = alpha * xf + beta * jnp.asarray(mask)[None] * upd
+
+    tol = 1e-6 if dtype == jnp.float32 else 0.1
+    out = pallas_jacobi3d(x, b, inv_dx2, alpha, beta, mask_axes,
+                          interpret=True)
+    assert_allclose(np.asarray(out, np.float64), np.asarray(ref),
+                    rtol=tol, atol=tol)
+    out_db = pallas_jacobi3d_db(x, b, inv_dx2, alpha, beta, mask_axes,
+                                interpret=True)
+    assert_allclose(np.asarray(out_db, np.float64), np.asarray(ref),
+                    rtol=tol, atol=tol)
+
+
+def test_sublane_alignment_table() -> None:
+    assert _sublane(jnp.float32) == 8
+    assert _sublane(jnp.bfloat16) == 16
+    # bf16 needs 16-row alignment: a 3-D ny=8 grid is f32-only
+    assert pallas_supported((8, 8, 128), jnp.float32)
+    assert not pallas_supported((8, 8, 128), jnp.bfloat16)
+    assert pallas_supported((8, 16, 128), jnp.bfloat16)
