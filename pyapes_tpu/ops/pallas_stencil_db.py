@@ -57,14 +57,12 @@ def _ghost_copies(x_any, slot, sx, sy, tx, ty, nx, ny, bufs, sems, sub=8):
     ]
 
 
-def _stencil3d_db_kernel(
+def _stencil3d_db_compute(
     x_any,
     body,
     ap0, ac0, am0, ap1, ac1, am1, ap2, ac2, am2,
-    out_ref,
     xg_lo, xg_hi, yg_lo, yg_hi,
     sems,
-    *,
     tx: int,
     ty: int,
     nx: int,
@@ -150,8 +148,42 @@ def _stencil3d_db_kernel(
         + ac2[:].reshape(1, 1, nz).astype(cdt) * xc
         + am2[:].reshape(1, 1, nz).astype(cdt) * pltpu.roll(xc, 1, 2)
     )
+    return xc, out
 
+
+def _stencil3d_db_kernel(
+    x_any, body,
+    ap0, ac0, am0, ap1, ac1, am1, ap2, ac2, am2,
+    out_ref,
+    xg_lo, xg_hi, yg_lo, yg_hi, sems,
+    *, tx: int, ty: int, nx: int, ny: int, sub: int = 8,
+):
+    _, out = _stencil3d_db_compute(
+        x_any, body, ap0, ac0, am0, ap1, ac1, am1, ap2, ac2, am2,
+        xg_lo, xg_hi, yg_lo, yg_hi, sems, tx, ty, nx, ny, sub,
+    )
     out_ref[:, :, :] = out.astype(out_ref.dtype)
+
+
+def _stencil3d_dot_db_kernel(
+    x_any, body,
+    ap0, ac0, am0, ap1, ac1, am1, ap2, ac2, am2,
+    out_ref, dot_ref,
+    xg_lo, xg_hi, yg_lo, yg_hi, sems,
+    *, tx: int, ty: int, nx: int, ny: int, sub: int = 8,
+):
+    """Stencil apply + per-program partial dot ``sum(x * (A x))`` — fuses
+    the CG ``dot(d, A d)`` into the operator kernel (both tiles are already
+    in registers; saves a full re-read of two 512^3 arrays per iteration)."""
+    xc, out = _stencil3d_db_compute(
+        x_any, body, ap0, ac0, am0, ap1, ac1, am1, ap2, ac2, am2,
+        xg_lo, xg_hi, yg_lo, yg_hi, sems, tx, ty, nx, ny, sub,
+    )
+    out_ref[:, :, :] = out.astype(out_ref.dtype)
+    # dot_ref is the FULL (gi, gj) partials array in SMEM (constant index
+    # map -> it stays resident across the sequential grid); each program
+    # writes its own slot.
+    dot_ref[pl.program_id(0), pl.program_id(1)] = jnp.sum(xc * out)
 
 
 def pallas_axis_stencil_db(coeffs, x: jnp.ndarray, interpret: bool = False):
@@ -204,6 +236,77 @@ def pallas_axis_stencil_db(coeffs, x: jnp.ndarray, interpret: bool = False):
     )
     outs = [call(x[d], x[d], *flat) for d in range(x.shape[0])]
     return jnp.stack(outs)
+
+
+def pallas_axis_stencil_dot(coeffs, x: jnp.ndarray, interpret: bool = False):
+    """Double-buffered 3-D stencil apply that also returns ``sum(x * A x)``
+    per component (fused CG alpha-dot; see ``_stencil3d_dot_db_kernel``).
+
+    Returns ``(A x, dots)`` with ``dots`` shaped ``(vdim, 1, 1, 1)``.
+    """
+    gs = x.shape[1:]
+    assert len(gs) == 3 and pallas_supported(gs, x.dtype)
+    itemsize = max(4, np.dtype(x.dtype).itemsize)
+    sub = _sublane(x.dtype)
+    nx, ny, nz = gs
+    tx, ty = _tiles_3d(gs, itemsize, sub)
+    ddt = jnp.promote_types(x.dtype, jnp.float32)
+
+    flat = [
+        _lane_bcast(coeffs[0][0]), _lane_bcast(coeffs[0][1]),
+        _lane_bcast(coeffs[0][2]),
+        _lane_bcast(coeffs[1][0]), _lane_bcast(coeffs[1][1]),
+        _lane_bcast(coeffs[1][2]),
+        coeffs[2][0], coeffs[2][1], coeffs[2][2],
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec((tx, ty, nz), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    in_specs += [
+        pl.BlockSpec((tx, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    ] * 3
+    in_specs += [
+        pl.BlockSpec((ty, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    ] * 3
+    in_specs += [
+        pl.BlockSpec((nz,), lambda i, j: (0,), memory_space=pltpu.VMEM)
+    ] * 3
+    gi, gj = nx // tx, ny // ty
+    out_specs = [
+        pl.BlockSpec((tx, ty, nz), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gi, gj), lambda i, j: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    call = pl.pallas_call(
+        partial(_stencil3d_dot_db_kernel, tx=tx, ty=ty, nx=nx, ny=ny, sub=sub),
+        grid=(nx // tx, ny // ty),
+        out_shape=[
+            jax.ShapeDtypeStruct(gs, x.dtype),
+            jax.ShapeDtypeStruct((nx // tx, ny // ty), ddt),
+        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, ty, nz), x.dtype),
+            pltpu.VMEM((2, 1, ty, nz), x.dtype),
+            pltpu.VMEM((2, tx, sub, nz), x.dtype),
+            pltpu.VMEM((2, tx, sub, nz), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        interpret=interpret,
+    )
+    outs, dots = [], []
+    for d in range(x.shape[0]):
+        o, p = call(x[d], x[d], *flat)
+        outs.append(o)
+        dots.append(jnp.sum(p))
+    return (
+        jnp.stack(outs),
+        jnp.stack(dots).reshape((x.shape[0],) + (1,) * len(gs)),
+    )
 
 
 def _jacobi3d_db_kernel(

@@ -459,11 +459,38 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 for bc in _obn:
                     v = bc.apply(v, None)
                 return _A(v, tp)
+        # Fused operator+dot: for a single 3-tuple axis term on the Pallas
+        # path, the CG alpha-dot rides inside the stencil kernel (both
+        # tiles are register-resident — saves re-reading d and A d).
+        Aop_dot = None
+        if (
+            method == "cg"
+            and use_pallas
+            and not obn
+            and len(term_descs) == 1
+            and term_descs[0][0] == "axis"
+            and x0.ndim - 1 == 3
+            and all(len(cs) == 3 for cs in tparams[0]["axis"])
+            and np.ndim(tparams[0].get("param", 0.0)) == 0
+        ):
+            from pyapes_tpu.ops.pallas_stencil_db import (
+                pallas_axis_stencil_dot,
+            )
+
+            sign0 = term_descs[0][2]
+            has_p0 = term_descs[0][5]
+
+            def Aop_dot(v, tp):
+                r, dots = pallas_axis_stencil_dot(tp[0]["axis"], v)
+                scale = sign0 * (tp[0]["param"] if has_p0 else 1.0)
+                return scale * r, scale * dots
+
         if method == "cg":
             precond = mg_spec.preconditioner() if mg_spec is not None else None
             fn = _build_cg(
                 Aop, apply_bcs, M, tol, max_it, criterion, precond,
                 project_mean=bool(config.get("nullspace") == "mean"),
+                Aop_dot=Aop_dot,
             )
         else:
             precond = mg_spec.preconditioner() if mg_spec is not None else None
@@ -491,7 +518,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
 
 def _build_cg(
     Aop, apply_bcs, M, tolerance, max_it, criterion, precond=None,
-    project_mean=False,
+    project_mean=False, Aop_dot=None,
 ):
     """(Preconditioned) conjugate gradient as a ``lax.while_loop``
     (reference ``linalg.py:74-159``; the reference has no preconditioning).
@@ -525,8 +552,15 @@ def _build_cg(
 
         def body(s):
             x, r, d, rz, tol, itr = s
-            Ad = Aop(d, tparams) * M_
-            alpha = _nan0(rz / _vsum(d * Ad))
+            if Aop_dot is not None:
+                # d is active-set-masked, so the in-kernel dot over the
+                # unmasked A d equals dot(d, M A d) exactly.
+                Ad, dAd = Aop_dot(d, tparams)
+                Ad = Ad * M_
+            else:
+                Ad = Aop(d, tparams) * M_
+                dAd = _vsum(d * Ad)
+            alpha = _nan0(rz / dAd)
             x_new = apply_bcs(x + alpha * d)
             if project_mean:
                 x_new = x_new - _vsum(x_new * M_) / jnp.sum(M_)

@@ -210,16 +210,23 @@ class MGSpec:
             x, (x.shape[0],) + tuple(shape), method="linear"
         )
 
+    def _first_smooth(self, b, shape, mask, n_iter):
+        """Smooth starting from x = 0: the first damped-Jacobi step is
+        A-free (x1 = omega/diag * b * mask) — skips one full stencil kernel
+        per level per cycle."""
+        x = (self.omega / self._diag(shape)) * b * mask
+        if n_iter > 1:
+            x = self._smooth(x, b, shape, mask, n_iter - 1)
+        return x
+
     def _vcycle(self, b, level):
         shape = self.shapes[level]
         mask = self._mask(shape)
         b = b * mask
         if level == len(self.shapes) - 1:
-            x = jnp.zeros_like(b)
-            return self._smooth(x, b, shape, mask, self.n_coarse)
+            return self._first_smooth(b, shape, mask, self.n_coarse)
 
-        x = jnp.zeros_like(b)
-        x = self._smooth(x, b, shape, mask, self.n_pre)
+        x = self._first_smooth(b, shape, mask, self.n_pre)
         r = self._residual(x, b, shape, mask)
         r_c = self._resize(r, self.shapes[level + 1])
         e_c = self._vcycle(r_c, level + 1)

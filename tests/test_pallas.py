@@ -15,6 +15,7 @@ from pyapes_tpu.ops.pallas_stencil import (
 )
 from pyapes_tpu.ops.pallas_stencil_db import (
     pallas_axis_stencil_db,
+    pallas_axis_stencil_dot,
     pallas_jacobi3d_db,
 )
 from pyapes_tpu.ops.stencil import apply_axis_stencil
@@ -99,6 +100,20 @@ def test_jacobi3d_interpret(dtype) -> None:
                                 interpret=True)
     assert_allclose(np.asarray(out_db, np.float64), np.asarray(ref),
                     rtol=tol, atol=tol)
+
+
+def test_stencil_dot_interpret() -> None:
+    """Fused operator+dot: A x matches the plain apply; the partial-sum
+    dot equals sum(x * A x)."""
+    shape = (8, 16, 128)
+    x = _x(shape, jnp.float32)
+    coeffs = _coeffs(shape, jnp.float32)
+    ref = apply_axis_stencil(coeffs, x)
+    out, dots = pallas_axis_stencil_dot(coeffs, x, interpret=True)
+    assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+    assert dots.shape == (1, 1, 1, 1)
+    want = float(jnp.sum(x * ref))
+    assert_allclose(float(dots[0, 0, 0, 0]), want, rtol=1e-5)
 
 
 def test_sublane_alignment_table() -> None:
