@@ -9,6 +9,7 @@ from pyapes_tpu.models.advection_diffusion import AdvectionDiffusion
 from pyapes_tpu.models.burgers import Burgers1D
 from pyapes_tpu.models.navier_stokes import LidDrivenCavity
 from pyapes_tpu.models.rfp_evolution import RFPEvolution
+from pyapes_tpu.models.rosenbluth import RosenbluthPotentials
 
 __all__ = [
     "PoissonSolver",
@@ -16,4 +17,5 @@ __all__ = [
     "Burgers1D",
     "LidDrivenCavity",
     "RFPEvolution",
+    "RosenbluthPotentials",
 ]

@@ -16,22 +16,31 @@ from pyapes_tpu.variables import Field
 
 
 class RFPEvolution:
-    """Explicit RFP stepper with frozen potentials.
+    """Explicit RFP stepper with frozen or self-consistent potentials.
 
     Args:
         mesh: rz (Cylinder) mesh.
-        H: friction potential values (*nx).
+        H: friction potential values (*nx); omit for self-consistent use
+            (``run_selfconsistent`` solves them from f).
         G: diffusion potential values (*nx).
     """
 
-    def __init__(self, mesh: Mesh, H, G):
+    def __init__(self, mesh: Mesh, H=None, G=None):
         assert mesh.coord_sys == "rz"
         self.mesh = mesh
-        hp = Field("H", 1, mesh, None)
-        gp = Field("G", 1, mesh, None)
+        self.jacH = None
+        self.hessG = None
+        if H is not None:
+            self.set_potentials(H, G)
+        self.rfp = RFP()
+        self._runner = None
+
+    def set_potentials(self, H, G) -> None:
+        """(Re)compute the potential derivatives used by the operators."""
+        hp = Field("H", 1, self.mesh, None)
+        gp = Field("G", 1, self.mesh, None)
         self.jacH = jacobian(hp.set_var_tensor(jnp.asarray(H)))
         self.hessG = hessian(gp.set_var_tensor(jnp.asarray(G)))
-        self.rfp = RFP()
 
     def rhs(self, f: Field) -> jnp.ndarray:
         friction = self.rfp.friction(self.jacH, f)
@@ -88,4 +97,65 @@ class RFPEvolution:
 
         pdf_final, _ = jax.lax.scan(step, f(), None, length=n_steps)
         f.set_var_tensor(pdf_final)
+        return f
+
+    # -- self-consistent evolution ---------------------------------------
+    def _make_runner(self):
+        """Jitted k-step explicit scan with the potential derivatives as
+        runtime operands — compiled once, reused across refreshes."""
+        from pyapes_tpu.solver.rfp import diffusion_apply, friction_apply
+
+        mesh = self.mesh
+
+        def run_k(pdf, hr, hz, grr, grz, gzz, dt, k):
+            def step(p, _):
+                upd = (
+                    -friction_apply(hr, hz, p[0], mesh)
+                    + diffusion_apply(grr, grz, gzz, p[0], mesh)
+                )
+                return p + dt * upd[None], None
+
+            out, _ = jax.lax.scan(step, pdf, None, length=k)
+            return out
+
+        return jax.jit(run_k, static_argnums=(7,))
+
+    def run_selfconsistent(
+        self,
+        f: Field,
+        dt: float,
+        n_steps: int,
+        refresh_every: int = 1,
+        pots=None,
+        config: dict | None = None,
+    ) -> Field:
+        """Advance with potentials re-solved from f every ``refresh_every``
+        steps (``RosenbluthPotentials``; the reference has no in-framework
+        potential solve). The Poisson solves and the k-step scan are each
+        compiled once; refreshes stream new operands only."""
+        import numpy as np
+
+        from pyapes_tpu.models.rosenbluth import RosenbluthPotentials
+
+        if pots is None:
+            pots = RosenbluthPotentials(
+                self.mesh, np.asarray(f()[0]), config
+            )
+        if self._runner is None:
+            self._runner = self._make_runner()
+
+        pdf = f()
+        done = 0
+        while done < n_steps:
+            k = min(refresh_every, n_steps - done)
+            H, G = pots.solve(pdf[0])
+            self.set_potentials(H, G)
+            pdf = self._runner(
+                pdf,
+                self.jacH.r, self.jacH.z,
+                self.hessG.rr, self.hessG.rz, self.hessG.zz,
+                jnp.asarray(dt), k,
+            )
+            done += k
+        f.set_var_tensor(pdf)
         return f
