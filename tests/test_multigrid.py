@@ -95,6 +95,22 @@ def test_mgcg_cycle_shape_opts() -> None:
     assert_allclose(out, ref, atol=1e-6)
 
 
+def test_mgcg_rbgs_smoother() -> None:
+    """Red-black Gauss-Seidel smoother (symmetrized: red-first pre,
+    black-first post) converges in fewer PCG iterations than damped
+    Jacobi at the same cycle shape."""
+    ref, _ = _solve(False)
+    out_j, rep_j = _solve(
+        True, mg_opts={"n_pre": 1, "n_post": 1, "omega": 0.857}
+    )
+    out_g, rep_g = _solve(
+        True, mg_opts={"n_pre": 1, "n_post": 1, "smoother": "rbgs"}
+    )
+    assert rep_g["converge"]
+    assert rep_g["itr"] <= rep_j["itr"], (rep_g["itr"], rep_j["itr"])
+    assert_allclose(out_g, ref, atol=1e-6)
+
+
 def test_mgcg_periodic() -> None:
     """Periodic torus axes compose with MG transfers."""
     bcs = mixed_bcs(
