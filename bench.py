@@ -58,12 +58,14 @@ def solve_poisson(n: int, tol: float, max_it: int):
     precond = os.environ.get("PYAPES_BENCH_PRECOND", "mg")
     if precond and precond != "none":
         cfg["precond"] = precond
-        # Measured best at 512^3 on v5lite: bf16 V(1,1) cycle with
-        # omega=6/7 damping — 0.458 s / 16 it (vs f32 V(2,2) 0.71 s / 13).
+        # Measured best at 512^3 on v5lite: bf16 V(1,1) cycle, omega=6/7
+        # damping, FMG initial guess, fused alpha-dot — 0.386 s / 14 it
+        # (vs f32 V(2,2) 0.71 s / 13 it; plain CG 16.1 s / 1264 it).
         # Override with e.g. PYAPES_BENCH_MG_OPTS='{"dtype":"float32"}'.
         mg_opts = os.environ.get(
             "PYAPES_BENCH_MG_OPTS",
-            '{"dtype": "bfloat16", "n_pre": 1, "n_post": 1, "omega": 0.857}',
+            '{"dtype": "bfloat16", "n_pre": 1, "n_post": 1,'
+            ' "omega": 0.857, "fmg": true}',
         )
         if mg_opts:
             cfg["mg_opts"] = json.loads(mg_opts)

@@ -487,10 +487,15 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
 
         if method == "cg":
             precond = mg_spec.preconditioner() if mg_spec is not None else None
+            fmg_init = (
+                mg_spec.fmg_initializer()
+                if (mg_spec is not None and mg_spec.fmg_init)
+                else None
+            )
             fn = _build_cg(
                 Aop, apply_bcs, M, tol, max_it, criterion, precond,
                 project_mean=bool(config.get("nullspace") == "mean"),
-                Aop_dot=Aop_dot,
+                Aop_dot=Aop_dot, fmg_init=fmg_init,
             )
         else:
             precond = mg_spec.preconditioner() if mg_spec is not None else None
@@ -518,7 +523,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
 
 def _build_cg(
     Aop, apply_bcs, M, tolerance, max_it, criterion, precond=None,
-    project_mean=False, Aop_dot=None,
+    project_mean=False, Aop_dot=None, fmg_init=None,
 ):
     """(Preconditioned) conjugate gradient as a ``lax.while_loop``
     (reference ``linalg.py:74-159``; the reference has no preconditioning).
@@ -540,11 +545,25 @@ def _build_cg(
             return v - (_vsum(v * M_) / jnp.sum(M_)) * M_
 
         x = apply_bcs(x0)
-        r = demean((rhs - Aop(x, tparams)) * M_)
+        if fmg_init is not None:
+            # Full-multigrid initial guess: one extra operator apply + a
+            # ~1.15-cycle FMG pass, typically worth several PCG iterations.
+            # The relative-residual normalization keeps the PRE-FMG scale,
+            # so the FMG reduction counts toward the tolerance.
+            r_pre = (rhs - Aop(x, tparams)) * M_
+            r0n = jnp.maximum(
+                jnp.max(_l2_per_dim(r_pre)), jnp.finfo(x.dtype).tiny
+            )
+            x = apply_bcs(x + fmg_init(r_pre) * M_)
+            r = demean((rhs - Aop(x, tparams)) * M_)
+        else:
+            r = demean((rhs - Aop(x, tparams)) * M_)
+            r0n = jnp.maximum(
+                jnp.max(_l2_per_dim(r)), jnp.finfo(x.dtype).tiny
+            )
         z = precond(r) * M_ if precond is not None else r
         d = z
         rz = _vsum(r * z)
-        r0n = jnp.maximum(jnp.max(_l2_per_dim(r)), jnp.finfo(x.dtype).tiny)
 
         def cond(s):
             x, r, d, rz, tol, itr = s

@@ -63,6 +63,7 @@ class MGSpec:
         r_lower: float = 0.0,
         cycle_dtype=None,
         smoother: str = "jacobi",
+        fmg: bool = False,
     ):
         self.shape = tuple(shape)
         self.lengths = tuple(float(l) for l in lengths)
@@ -86,6 +87,7 @@ class MGSpec:
         # post-smooths black-first so the cycle stays symmetric).
         assert smoother in ("jacobi", "rbgs")
         self.smoother = smoother
+        self.fmg_init = bool(fmg)
         self.shapes = _level_shapes(self.shape)
 
     # hashable (used in the compiled-solver cache key)
@@ -94,7 +96,7 @@ class MGSpec:
             (self.shape, self.lengths, self.paxes, str(self.dtype),
              str(self.cdtype), self.n_pre, self.n_post, self.n_coarse,
              self.omega, self.use_pallas, self.rz, self.r_lower,
-             self.smoother)
+             self.smoother, self.fmg_init)
         )
 
     def __eq__(self, other):
@@ -279,6 +281,45 @@ class MGSpec:
         x = x + self._resize(e_c, shape) * mask
         x = self._smooth(x, b, shape, mask, self.n_post, order=1)
         return x
+
+    def fmg(self, b, n_cycles: int = 1):
+        """Full-multigrid pass: restrict b through the hierarchy, solve on
+        the coarsest level, then prolong upward with one V-cycle correction
+        per level. Costs ~1.15 V-cycles and returns an x with residual
+        reduced far below a single cycle's — used to *initialize* PCG (an
+        initial guess, unlike the preconditioner, need not be a fixed
+        linear operator)."""
+        L = len(self.shapes)
+        bs = [b]
+        for lvl in range(1, L):
+            bs.append(self._resize(bs[-1], self.shapes[lvl]))
+
+        shape = self.shapes[-1]
+        mask = self._mask(shape)
+        x = self._first_smooth(bs[-1] * mask, shape, mask, self.n_coarse)
+        for lvl in range(L - 2, -1, -1):
+            shape = self.shapes[lvl]
+            mask = self._mask(shape)
+            x = self._resize(x, shape) * mask
+            bl = bs[lvl] * mask
+            for _ in range(n_cycles):
+                r = self._residual(x, bl, shape, mask)
+                x = x + self._vcycle(r, lvl)
+        return x
+
+    def fmg_initializer(self):
+        """Pure ``dx = F(r0)`` function (same scaling/cast shell as the
+        preconditioner)."""
+
+        def init(r):
+            if self.cdtype == r.dtype:
+                return self.fmg(r)
+            s = jnp.max(jnp.abs(r))
+            s = jnp.where(s > 0, s, 1.0)
+            z = self.fmg((r / s).astype(self.cdtype))
+            return z.astype(r.dtype) * s
+
+        return init
 
     def preconditioner(self):
         """Returns a pure ``z = P(r)`` function (traced into the PCG loop).

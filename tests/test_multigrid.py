@@ -95,6 +95,21 @@ def test_mgcg_cycle_shape_opts() -> None:
     assert_allclose(out, ref, atol=1e-6)
 
 
+def test_mgcg_fmg_initializer() -> None:
+    """FMG initial guess: same solution, iterations never increase (the
+    relative-residual normalization keeps the pre-FMG scale)."""
+    ref, _ = _solve(False, n=33, dims=3)
+    out_p, rep_p = _solve(
+        True, n=33, dims=3, mg_opts={"n_pre": 1, "n_post": 1}
+    )
+    out_f, rep_f = _solve(
+        True, n=33, dims=3, mg_opts={"n_pre": 1, "n_post": 1, "fmg": True}
+    )
+    assert rep_f["converge"]
+    assert rep_f["itr"] <= rep_p["itr"], (rep_f["itr"], rep_p["itr"])
+    assert_allclose(out_f, ref, atol=1e-6)
+
+
 def test_mgcg_rbgs_smoother() -> None:
     """Red-black Gauss-Seidel smoother (symmetrized: red-first pre,
     black-first post) converges in fewer PCG iterations than damped
