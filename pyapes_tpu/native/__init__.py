@@ -51,6 +51,7 @@ def load() -> ctypes.CDLL | None:
             lib.snapshot_write.restype = ctypes.c_int
             lib.snapshot_read.restype = ctypes.c_int
             lib.crc32_buf.restype = ctypes.c_uint32
+            lib.vtk_write_rectilinear.restype = ctypes.c_int
             _LIB = lib
     return _LIB
 

@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -136,6 +137,73 @@ int snapshot_read(const char* path, void* data, int64_t* dims,
   fclose(f);
   uint32_t crc = crc32_buf((const uint8_t*)data, bytes, 0);
   return crc == crc_file ? 0 : -4;
+}
+
+// ---------------------------------------------------------------------
+// Legacy-VTK rectilinear-grid writer (binary, big-endian — the legacy
+// format's required byte order). Point data is written x-fastest as VTK
+// expects; the input fields are C-order (x slowest), so the inner loop
+// strides. One call writes the coordinates and all fields.
+// Returns 0 on success.
+// ---------------------------------------------------------------------
+static inline uint32_t swap_be(float v) {
+  uint32_t u;
+  std::memcpy(&u, &v, 4);
+  return (u >> 24) | ((u >> 8) & 0xFF00u) | ((u << 8) & 0xFF0000u)
+         | (u << 24);
+}
+
+static bool write_be_floats(FILE* f, const float* v, uint64_t n) {
+  const uint64_t kChunk = 1 << 16;
+  static thread_local uint32_t buf[1 << 16];
+  for (uint64_t off = 0; off < n; off += kChunk) {
+    uint64_t m = n - off < kChunk ? n - off : kChunk;
+    for (uint64_t i = 0; i < m; ++i) buf[i] = swap_be(v[off + i]);
+    if (fwrite(buf, 4, m, f) != m) return false;
+  }
+  return true;
+}
+
+int vtk_write_rectilinear(
+    const char* path,
+    const float* xc, int64_t nx,
+    const float* yc, int64_t ny,
+    const float* zc, int64_t nz,
+    const char** names, const float** fields, int nfields) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  fprintf(f, "# vtk DataFile Version 3.0\n");
+  fprintf(f, "pyapes_tpu export\n");
+  fprintf(f, "BINARY\n");
+  fprintf(f, "DATASET RECTILINEAR_GRID\n");
+  fprintf(f, "DIMENSIONS %lld %lld %lld\n",
+          (long long)nx, (long long)ny, (long long)nz);
+  fprintf(f, "X_COORDINATES %lld float\n", (long long)nx);
+  if (!write_be_floats(f, xc, (uint64_t)nx)) { fclose(f); return -2; }
+  fprintf(f, "\nY_COORDINATES %lld float\n", (long long)ny);
+  if (!write_be_floats(f, yc, (uint64_t)ny)) { fclose(f); return -2; }
+  fprintf(f, "\nZ_COORDINATES %lld float\n", (long long)nz);
+  if (!write_be_floats(f, zc, (uint64_t)nz)) { fclose(f); return -2; }
+  uint64_t npts = (uint64_t)nx * (uint64_t)ny * (uint64_t)nz;
+  fprintf(f, "\nPOINT_DATA %llu\n", (unsigned long long)npts);
+  int64_t s0 = ny * nz, s1 = nz;
+  std::vector<float> row((size_t)nx);
+  for (int q = 0; q < nfields; ++q) {
+    fprintf(f, "SCALARS %s float 1\n", names[q]);
+    fprintf(f, "LOOKUP_TABLE default\n");
+    const float* d = fields[q];
+    for (int64_t k = 0; k < nz; ++k)
+      for (int64_t j = 0; j < ny; ++j) {
+        for (int64_t i = 0; i < nx; ++i) row[(size_t)i] = d[i * s0 + j * s1 + k];
+        if (!write_be_floats(f, row.data(), (uint64_t)nx)) {
+          fclose(f);
+          return -2;
+        }
+      }
+    fprintf(f, "\n");
+  }
+  fclose(f);
+  return 0;
 }
 
 }  // extern "C"

@@ -53,3 +53,73 @@ def test_native_snapshot_detects_corruption(tmp_path) -> None:
     open(path, "wb").write(bytes(data))
     with pytest.raises(IOError):
         native.snapshot_read(path, np.float64)
+
+
+def _vtk_roundtrip(tmp_path, mesh, monkeypatch=None):
+    from pyapes_tpu.utils import io as vio
+
+    rng = np.random.default_rng(4)
+    f1 = rng.standard_normal(tuple(mesh.nx)).astype(np.float32)
+    f2 = rng.standard_normal((1,) + tuple(mesh.nx)).astype(np.float32)
+    p = vio.write_vtk(str(tmp_path / "out"), mesh, {"a": f1, "b": f2})
+    back = vio.read_vtk(p)
+    want_shape = tuple(mesh.nx) + (1,) * (3 - mesh.dim)
+    assert back["fields"]["a"].shape == want_shape
+    assert_allclose(back["fields"]["a"].reshape(mesh.nx), f1, rtol=1e-6)
+    assert_allclose(back["fields"]["b"].reshape(mesh.nx), f2[0], rtol=1e-6)
+    assert_allclose(back["coords"][0], np.asarray(mesh._x_np[0], np.float32))
+    return p
+
+
+def test_vtk_export_roundtrip_2d(tmp_path) -> None:
+    from pyapes_tpu.geometry import Box
+    from pyapes_tpu.mesh import Mesh
+
+    mesh = Mesh(Box[0:1, 0:2], None, [9, 17])
+    _vtk_roundtrip(tmp_path, mesh)
+
+
+def test_vtk_export_roundtrip_3d(tmp_path) -> None:
+    from pyapes_tpu.geometry import Box
+    from pyapes_tpu.mesh import Mesh
+
+    mesh = Mesh(Box[0:1, 0:1, 0:1], None, [5, 7, 9])
+    _vtk_roundtrip(tmp_path, mesh)
+
+
+def test_vtk_python_fallback_matches_native(tmp_path, monkeypatch) -> None:
+    """The numpy fallback writes byte-identical files to the C++ writer."""
+    from pyapes_tpu.geometry import Box
+    from pyapes_tpu.mesh import Mesh
+    from pyapes_tpu.utils import io as vio
+
+    mesh = Mesh(Box[0:1, 0:1], None, [6, 8])
+    rng = np.random.default_rng(5)
+    f = rng.standard_normal(tuple(mesh.nx)).astype(np.float32)
+
+    p1 = vio.write_vtk(str(tmp_path / "nat"), mesh, {"phi": f})
+    monkeypatch.setattr(native, "load", lambda: None)
+    p2 = vio.write_vtk(str(tmp_path / "pyf"), mesh, {"phi": f})
+    b1, b2 = open(p1, "rb").read(), open(p2, "rb").read()
+    if native.available():
+        assert b1 == b2
+    back = vio.read_vtk(p2)
+    assert_allclose(back["fields"]["phi"].reshape(mesh.nx), f, rtol=1e-6)
+
+
+def test_pvd_collection(tmp_path) -> None:
+    from pyapes_tpu.geometry import Box
+    from pyapes_tpu.mesh import Mesh
+    from pyapes_tpu.utils import io as vio
+
+    mesh = Mesh(Box[0:1], None, [11])
+    files = []
+    for i in range(3):
+        f = np.full(mesh.nx, float(i), dtype=np.float32)
+        files.append(
+            (0.1 * i, vio.write_vtk(str(tmp_path / f"s{i}"), mesh, {"u": f}))
+        )
+    p = vio.write_pvd(str(tmp_path / "series"), files)
+    text = open(p).read()
+    assert text.count("<DataSet") == 3
+    assert 'timestep="0.2"' in text
