@@ -399,17 +399,23 @@ class Custom(Operators):
 
 
 class Ddt(Operators):
-    r"""Backward (implicit) Euler time derivative: contributes ``x / dt`` to
-    the linear operator and ``var_old / dt`` to the RHS.
+    r"""Implicit time derivative: backward Euler (default) or BDF2.
+
+    Backward Euler contributes ``x / dt`` to the linear operator and
+    ``var_old / dt`` to the RHS. BDF2 (``scheme="bdf2"``) contributes
+    ``1.5 x / dt`` and ``(2 var_old - 0.5 var_oold) / dt`` — second-order
+    in time; the first step of a run (one history level) automatically
+    falls back to backward Euler.
 
     Implements the reference's advertised-but-disabled ``Ddt``
-    (``fdm.py:315-353``) with the semantics pinned by
+    (``fdm.py:315-353``) with the backward-Euler semantics pinned by
     ``tests/test_fdm.py:292-294``: the *affine* operator seen by
     ``Solver.Aop`` is ``(x - var_old)/dt``.
     """
 
-    def __call__(self, var: Field) -> "Ddt":
+    def __call__(self, var: Field, scheme: str = "euler") -> "Ddt":
         dt = var.dt  # raises if not set (reference ``fdm.py:323-326``)
+        assert scheme in ("euler", "bdf2")
         self._var = var
         self._ops = {
             0: {
@@ -418,7 +424,7 @@ class Ddt(Operators):
                 "target": var,
                 "param": (dt,),
                 "sign": 1.0,
-                "other": None,
+                "other": {"scheme": scheme},
                 "axis_coeffs": None,
                 "A_coeffs": None,
                 "adv": None,
@@ -435,8 +441,18 @@ class Ddt(Operators):
 
     @staticmethod
     def Aop(rec: OPStype, x: jnp.ndarray) -> jnp.ndarray:
-        """Linear part only: ``x / dt``."""
-        return x / rec["dt"]
+        """Linear part only: ``c0 x / dt`` (c0 = 1.5 for active BDF2)."""
+        return ddt_leading_coeff(rec) * x / rec["dt"]
+
+
+def ddt_leading_coeff(rec) -> float:
+    """Leading time-derivative coefficient: 1.5 when BDF2 is requested AND
+    two history levels exist (first step bootstraps as backward Euler),
+    1.0 otherwise. A plain runtime value — switching schemes between steps
+    never recompiles the solver."""
+    if (rec["other"] or {}).get("scheme") != "bdf2":
+        return 1.0
+    return 1.5 if rec["target"].n_hist >= 2 else 1.0
 
 
 class FDM:

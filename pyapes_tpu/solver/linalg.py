@@ -93,7 +93,11 @@ def _term_descriptor(rec) -> tuple:
 def _term_params(rec, desc) -> dict:
     kind = desc[0]
     if kind == "ddt":
-        return {"inv_dt": jnp.asarray(1.0 / rec["dt"])}
+        from pyapes_tpu.solver.fdm import ddt_leading_coeff
+
+        # 1/dt (backward Euler) or 1.5/dt (active BDF2) — a runtime
+        # operand, so the bootstrap BE->BDF2 switch never recompiles.
+        return {"inv_dt": jnp.asarray(ddt_leading_coeff(rec) / rec["dt"])}
     if kind == "custom":
         return {"cparams": rec.get("custom_params", ())}
     if kind in ("div_field", "conv_field"):

@@ -53,9 +53,18 @@ class Solver:
                 rec = self.eqs[e]
                 sign = rec["sign"]
                 if rec["name"] == "Ddt":
-                    # Backward Euler: old value goes to the RHS
-                    # (semantics pinned by tests/test_fdm.py:292-294).
-                    self.rhs = self.rhs + sign * rec["target"].VARo / rec["dt"]
+                    # History terms go to the RHS. Backward Euler:
+                    # var_old/dt (semantics pinned by
+                    # tests/test_fdm.py:292-294); active BDF2:
+                    # (2 var_old - 0.5 var_oold)/dt.
+                    from pyapes_tpu.solver.fdm import ddt_leading_coeff
+
+                    tgt = rec["target"]
+                    if ddt_leading_coeff(rec) > 1.0:
+                        hist = 2.0 * tgt.VARo - 0.5 * tgt.VARoo
+                    else:
+                        hist = tgt.VARo
+                    self.rhs = self.rhs + sign * hist / rec["dt"]
                 elif rec["adjust_rhs"] is not None:
                     self.rhs = self.rhs + sign * rec["adjust_rhs"]()
 
@@ -122,7 +131,15 @@ def _Aop(target: Field, eqs: dict) -> jnp.ndarray:
     for op in eqs:
         rec = eqs[op]
         if rec["name"] == "Ddt":
-            res = res + rec["sign"] * (x - rec["target"].VARo) / rec["dt"]
+            from pyapes_tpu.solver.fdm import ddt_leading_coeff
+
+            tgt = rec["target"]
+            if ddt_leading_coeff(rec) > 1.0:
+                res = res + rec["sign"] * (
+                    1.5 * x - 2.0 * tgt.VARo + 0.5 * tgt.VARoo
+                ) / rec["dt"]
+            else:
+                res = res + rec["sign"] * (x - tgt.VARo) / rec["dt"]
         else:
             res = res + rec["sign"] * rec["Aop"](rec, x)
     return res

@@ -105,7 +105,12 @@ class Field:
         return self._t
 
     def save_old(self) -> None:
+        # Shift the history: VARoo <- VARo <- VAR (two levels kept for
+        # BDF2; the counter gates the BDF2 bootstrap — the first step of a
+        # run falls back to backward Euler until two states exist).
+        self._VARoo = self._VARo
         self._VARo = self._VAR
+        self._n_hist = getattr(self, "_n_hist", 0) + 1
 
     @property
     def VARo(self) -> jnp.ndarray:
@@ -114,6 +119,16 @@ class Field:
     @VARo.setter
     def VARo(self, other) -> None:
         self._VARo = jnp.asarray(other)
+
+    @property
+    def VARoo(self) -> jnp.ndarray:
+        """Second-oldest state (BDF2); falls back to VARo before two
+        ``save_old`` calls have happened."""
+        return getattr(self, "_VARoo", self._VARo)
+
+    @property
+    def n_hist(self) -> int:
+        return getattr(self, "_n_hist", 0)
 
     @property
     def dt(self) -> float:

@@ -162,3 +162,52 @@ def test_vector_burgers_2d() -> None:
         assert np.isfinite(e)
         assert e < e_prev  # viscous decay, no blow-up
         e_prev = e
+
+
+def _heat_1d_amplitude(scheme: str, dt: float, T: float) -> tuple:
+    """March u_t = eps u_xx for the discrete sin(pi x) eigenmode; return
+    (numeric amplitude, exact amplitude for the DISCRETE eigenvalue) so
+    only the TEMPORAL error remains."""
+    n = 65
+    eps = 0.5
+    mesh = Mesh(Box[0:1], None, [n])
+    var = Field(
+        "u", 1, mesh,
+        {"domain": homogeneous_bcs(1, 0.0, "dirichlet"), "obstacle": None},
+    )
+    var.set_var_tensor(jnp.sin(pi * mesh.X)[None])
+    solver = Solver(
+        {"fdm": {"method": "cg", "tol": 1e-13, "max_it": 2000,
+                 "report": False, "criterion": "residual"}}
+    )
+    fdm = FDM()
+    var.set_time(dt, 0.0)
+    for _ in range(round(T / dt)):
+        var.save_old()
+        solver.set_eq(
+            fdm.ddt(var, scheme=scheme) - fdm.laplacian(eps, var) == 0.0
+        )
+        solver.solve()
+        var.update_time()
+    dx = 1.0 / (n - 1)
+    lam = -4.0 * np.sin(pi * dx / 2.0) ** 2 / dx**2
+    mid = n // 2
+    a_num = float(var()[0][mid]) / float(np.sin(pi * 0.5))
+    return a_num, float(np.exp(eps * lam * T))
+
+
+def test_bdf2_second_order_in_time() -> None:
+    """Halving dt cuts the BDF2 temporal error ~4x (second order) while
+    backward Euler only halves it; BDF2 is also strictly more accurate."""
+    T = 0.1
+    errs = {}
+    for scheme in ("euler", "bdf2"):
+        for dt in (0.01, 0.005):
+            a, a_ex = _heat_1d_amplitude(scheme, dt, T)
+            errs[(scheme, dt)] = abs(a - a_ex)
+
+    ratio_be = errs[("euler", 0.01)] / errs[("euler", 0.005)]
+    ratio_b2 = errs[("bdf2", 0.01)] / errs[("bdf2", 0.005)]
+    assert 1.7 < ratio_be < 2.4, ratio_be
+    assert 3.2 < ratio_b2 < 5.0, ratio_b2
+    assert errs[("bdf2", 0.01)] < errs[("euler", 0.01)] / 5
