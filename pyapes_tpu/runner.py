@@ -6,12 +6,24 @@ this one actually runs the model templates from the command line:
     python -m pyapes_tpu.runner poisson --n 129 --dim 2
     python -m pyapes_tpu.runner cavity --n 65 --re 100 --steps 500
     python -m pyapes_tpu.runner burgers --steps 100
+    python -m pyapes_tpu.runner rfp --n 40 --steps 200 --refresh 20
+
+``--vtk PREFIX`` writes the final fields as a legacy-VTK file
+(``utils/io.py``) for ParaView.
 """
 from __future__ import annotations
 
 import argparse
 import json
 import time
+
+
+def _maybe_vtk(args, mesh, fields: dict) -> dict:
+    if not getattr(args, "vtk", None):
+        return {}
+    from pyapes_tpu.utils.io import write_vtk
+
+    return {"vtk": write_vtk(args.vtk, mesh, fields)}
 
 
 def _run_poisson(args) -> dict:
@@ -29,7 +41,9 @@ def _run_poisson(args) -> dict:
     tic = time.perf_counter()
     model.solve(poisson_rhs_nd(mesh, model.var))
     wall = time.perf_counter() - tic
-    return {"report": dict(model.report), "wall_s": wall, "n": args.n}
+    out = {"report": dict(model.report), "wall_s": wall, "n": args.n}
+    out.update(_maybe_vtk(args, mesh, {"p": model.var()[0]}))
+    return out
 
 
 def _run_cavity(args) -> dict:
@@ -46,12 +60,19 @@ def _run_cavity(args) -> dict:
     import numpy as np
 
     u = np.asarray(model.u()[0])
-    return {
+    out = {
         "wall_s": wall,
         "steps": args.steps,
         "u_centerline_min": float(u[u.shape[0] // 2, :].min()),
         "t": model.t,
     }
+    out.update(
+        _maybe_vtk(
+            args, mesh,
+            {"u": model.u()[0], "v": model.v()[0], "p": model.p()[0]},
+        )
+    )
+    return out
 
 
 def _run_burgers(args) -> dict:
@@ -67,7 +88,46 @@ def _run_burgers(args) -> dict:
     for _ in range(args.steps):
         model.step(args.dt)
     wall = time.perf_counter() - tic
-    return {"wall_s": wall, "steps": args.steps, "t": model.var.t}
+    out = {"wall_s": wall, "steps": args.steps, "t": model.var.t}
+    out.update(_maybe_vtk(args, mesh, {"u": model.var()[0]}))
+    return out
+
+
+def _run_rfp(args) -> dict:
+    """Self-consistent Rosenbluth-Fokker-Planck relaxation of an
+    anisotropic Maxwellian (see ``models/rosenbluth.py``)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyapes_tpu.geometry import Cylinder
+    from pyapes_tpu.mesh import Mesh
+    from pyapes_tpu.models import RFPEvolution
+    from pyapes_tpu.variables import Field
+
+    L = args.vmax
+    mesh = Mesh(
+        Cylinder[0:L, -L:L], None, [args.n, 2 * args.n], dtype=args.dtype
+    )
+    R, Z = np.asarray(mesh._grid_np[0]), np.asarray(mesh._grid_np[1])
+    f0 = np.exp(-(R**2) / (2 * args.t_perp) - Z**2 / (2 * args.t_par))
+    f = Field("pdf", 1, mesh, None)
+    f.set_var_tensor(jnp.asarray(f0))
+    den0 = float(f.volume_integral()[0])
+
+    model = RFPEvolution(mesh)
+    tic = time.perf_counter()
+    f = model.run_selfconsistent(
+        f, dt=args.dt, n_steps=args.steps, refresh_every=args.refresh
+    )
+    wall = time.perf_counter() - tic
+    den1 = float(f.volume_integral()[0])
+    out = {
+        "wall_s": wall,
+        "steps": args.steps,
+        "density_drift": abs(den1 - den0) / den0,
+    }
+    out.update(_maybe_vtk(args, mesh, {"pdf": f()[0]}))
+    return out
 
 
 def main(argv=None) -> None:
@@ -81,6 +141,10 @@ def main(argv=None) -> None:
     common.add_argument("--max-it", type=int, default=2000)
     common.add_argument(
         "--platform", default=None, help="force jax platform (cpu/tpu)"
+    )
+    common.add_argument(
+        "--vtk", default=None, metavar="PREFIX",
+        help="write final fields as legacy VTK (ParaView)",
     )
 
     sp = sub.add_parser("poisson", parents=[common])
@@ -96,6 +160,14 @@ def main(argv=None) -> None:
     sb.add_argument("--dt", type=float, default=0.01)
     sb.add_argument("--steps", type=int, default=100)
 
+    sr = sub.add_parser("rfp", parents=[common])
+    sr.add_argument("--dt", type=float, default=2e-4)
+    sr.add_argument("--steps", type=int, default=100)
+    sr.add_argument("--refresh", type=int, default=20)
+    sr.add_argument("--vmax", type=float, default=4.5)
+    sr.add_argument("--t-perp", type=float, default=0.36)
+    sr.add_argument("--t-par", type=float, default=1.0)
+
     args = p.parse_args(argv)
     if args.platform:
         import jax
@@ -105,6 +177,8 @@ def main(argv=None) -> None:
         out = _run_poisson(args)
     elif args.case == "cavity":
         out = _run_cavity(args)
+    elif args.case == "rfp":
+        out = _run_rfp(args)
     else:
         out = _run_burgers(args)
     print(json.dumps(out))

@@ -67,6 +67,32 @@ def test_runner_poisson_cli() -> None:
     assert res["report"]["converge"]
 
 
+def test_runner_rfp_cli_with_vtk(tmp_path) -> None:
+    vtk_prefix = str(tmp_path / "rfp")
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "pyapes_tpu.runner",
+            "rfp", "--n", "24", "--steps", "10", "--refresh", "5",
+            "--platform", "cpu", "--vtk", vtk_prefix,
+        ],
+        capture_output=True,
+        text=True,
+        env={
+            **__import__("os").environ,
+            "JAX_PLATFORMS": "cpu",
+        },
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["density_drift"] < 1e-2
+    from pyapes_tpu.utils.io import read_vtk
+
+    back = read_vtk(res["vtk"])
+    assert "pdf" in back["fields"]
+    assert np.all(np.isfinite(back["fields"]["pdf"]))
+
+
 def test_debug_validate_field() -> None:
     import pytest as _pytest
 
