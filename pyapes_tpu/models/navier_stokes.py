@@ -45,8 +45,14 @@ def _ddx(f, dx, axis):
 class LidDrivenCavity:
     """2-D lid-driven cavity, Re = U L / nu.
 
+    If the mesh carries interior obstacles, they become immersed no-slip
+    bodies: velocities take obstacle-Dirichlet 0 (shell pinned, solid
+    interior zeroed each step) and pressure takes obstacle-Neumann
+    (zero-flux wall) — composing the two obstacle BC types the reference
+    declares but cannot apply (``linalg.py:286-292``).
+
     Args:
-        mesh: Box mesh on [0, L]^2.
+        mesh: Box mesh on [0, L]^2 (optionally with obstacles).
         nu: kinematic viscosity.
         lid_velocity: x-velocity of the top (yu) wall.
         config: FDM solver config overrides.
@@ -69,12 +75,29 @@ class LidDrivenCavity:
         n = {"bc_type": "neumann", "bc_val": 0.0}
         p_bc = BoxBoundary(xl=n, xu=n, yl=n, yu=n)
 
-        self.u = Field("u", 1, mesh, {"domain": u_bc(), "obstacle": None},
+        has_obs = mesh.obstacle is not None
+        uv_obs = (
+            [{"bc_type": "dirichlet", "bc_val": 0.0}] * len(mesh.obstacle)
+            if has_obs else None
+        )
+        p_obs = (
+            [{"bc_type": "neumann", "bc_val": 0.0}] * len(mesh.obstacle)
+            if has_obs else None
+        )
+        self.u = Field("u", 1, mesh, {"domain": u_bc(), "obstacle": uv_obs},
                        init_val=0.0)
-        self.v = Field("v", 1, mesh, {"domain": v_bc(), "obstacle": None},
+        self.v = Field("v", 1, mesh, {"domain": v_bc(), "obstacle": uv_obs},
                        init_val=0.0)
-        self.p = Field("p", 1, mesh, {"domain": p_bc(), "obstacle": None},
+        self.p = Field("p", 1, mesh, {"domain": p_bc(), "obstacle": p_obs},
                        init_val=0.0)
+        self._body = None
+        if has_obs:
+            import numpy as np
+
+            body = np.zeros(tuple(mesh.nx), dtype=bool)
+            for m in mesh.obstacle_body_masks:
+                body |= m
+            self._body = jnp.asarray(body)
 
         mom_cfg = {"method": "bicgstab", "tol": 1e-8, "max_it": 500,
                    "report": False}
@@ -160,6 +183,11 @@ class LidDrivenCavity:
         # 3. projection + BCs
         u_new = self.u()[0] - dt * _ddx(self.p()[0], dx, 0)
         v_new = self.v()[0] - dt * _ddx(self.p()[0], dy, 1)
+        if self._body is not None:
+            # solid interior: no-slip everywhere inside the body (the
+            # obstacle BC pins the surface shell; this zeroes the rest)
+            u_new = jnp.where(self._body, 0.0, u_new)
+            v_new = jnp.where(self._body, 0.0, v_new)
         self.u.set_var_tensor(u_new[None])
         self.v.set_var_tensor(v_new[None])
         self.u.apply_bcs()

