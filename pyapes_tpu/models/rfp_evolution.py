@@ -146,10 +146,33 @@ class RFPEvolution:
 
         pdf = f()
         done = 0
+        warned = False
         while done < n_steps:
             k = min(refresh_every, n_steps - done)
             H, G = pots.solve(pdf[0])
             self.set_potentials(H, G)
+            if not warned:
+                # Forward-Euler diffusion stability estimate from the
+                # actual diffusion tensor (hess G).
+                warned = True
+                D = float(
+                    jnp.maximum(
+                        jnp.abs(self.hessG.rr).max(),
+                        jnp.abs(self.hessG.zz).max(),
+                    )
+                )
+                h2 = float(min(self.mesh.dx_np)) ** 2
+                dt_lim = 0.25 * h2 / max(D, 1e-30)
+                if dt > dt_lim:
+                    import warnings
+
+                    warnings.warn(
+                        f"explicit RFP step dt={dt:.2e} exceeds the "
+                        f"diffusion stability estimate ~{dt_lim:.2e}; "
+                        "expect divergence — reduce dt or use "
+                        "step_implicit",
+                        stacklevel=2,
+                    )
             pdf = self._runner(
                 pdf,
                 self.jacH.r, self.jacH.z,
