@@ -243,6 +243,61 @@ def pallas_supported(shape: tuple[int, ...], dtype=jnp.float32) -> bool:
     return False
 
 
+def _pad_targets(gs, dtype):
+    """Aligned shape for pad-and-crop, or None if already aligned."""
+    sub = _sublane(dtype)
+    tgt = list(gs)
+    tgt[-1] = -(-gs[-1] // 128) * 128
+    if len(gs) == 3:
+        tgt[1] = -(-gs[1] // sub) * sub
+        # axis 0 is the slab dim; its lane-broadcast coefficient blocks
+        # (tx, 128) still need an 8-aligned sublane extent
+        tgt[0] = -(-gs[0] // 8) * 8
+    else:
+        tgt[0] = -(-gs[0] // sub) * sub
+    return None if tuple(tgt) == tuple(gs) else tuple(tgt)
+
+
+def pallas_padded_supported(shape, dtype=jnp.float32, paxes=()) -> bool:
+    """Whether pad-and-crop makes the fused kernel usable for this shape.
+
+    Zero-padding an axis breaks the torus wrap, so every axis that needs
+    padding must be non-periodic (its real boundary rows are masked by the
+    solver's interior restriction OUTSIDE the kernel, and the stencil's
+    reads of the zero pad only reach masked rows)."""
+    if pallas_supported(shape, dtype):
+        return True
+    if len(shape) not in (2, 3):
+        return False
+    tgt = _pad_targets(shape, dtype)
+    if tgt is None or not pallas_supported(tgt, dtype):
+        return False
+    for j, (n, t) in enumerate(zip(shape, tgt)):
+        if t != n and j in paxes:
+            return False
+    return True
+
+
+def pallas_axis_stencil_padded(coeffs, x, paxes=(), interpret=False):
+    """Fused stencil apply with zero pad-and-crop for unaligned shapes
+    (65^3-style grids). Only valid when padded axes are non-periodic AND
+    the caller masks boundary rows afterwards (the Krylov solvers do)."""
+    gs = x.shape[1:]
+    if pallas_supported(gs, x.dtype):
+        return pallas_axis_stencil(coeffs, x, interpret)
+    tgt = _pad_targets(gs, x.dtype)
+    assert tgt is not None and pallas_padded_supported(gs, x.dtype, paxes)
+    pad = [(0, 0)] + [(0, t - n) for n, t in zip(gs, tgt)]
+    xp = jnp.pad(x, pad)
+    cp = tuple(
+        tuple(jnp.pad(c, (0, t - n)) for c in cs)
+        for cs, (n, t) in zip(coeffs, zip(gs, tgt))
+    )
+    out = pallas_axis_stencil(cp, xp, interpret)
+    crop = (slice(None),) + tuple(slice(0, n) for n in gs)
+    return out[crop]
+
+
 def pallas_axis_stencil(coeffs, x: jnp.ndarray, interpret: bool = False):
     """Fused per-axis stencil apply via Pallas (TPU hot path).
 

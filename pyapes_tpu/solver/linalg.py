@@ -346,10 +346,20 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     # Stencil kernel selection: the fused Pallas kernel is the TPU hot
     # path; the jnp roll-sum is the portable fallback (and the only option
     # under a domain decomposition, where XLA partitions the rolls).
-    kernel = config.get("kernel", "auto")
-    if kernel in ("pallas", "auto"):
-        from pyapes_tpu.ops.pallas_stencil import pallas_supported
+    from pyapes_tpu.ops.pallas_stencil import (
+        pallas_padded_supported,
+        pallas_supported,
+    )
 
+    kernel = config.get("kernel", "auto")
+    if kernel == "pallas":
+        # forced: unaligned grids ride the kernel via zero pad-and-crop
+        # (exact, but measured SLOWER than the jnp rolls when the lane dim
+        # pads far — e.g. 129 -> 256 — so "auto" never picks it)
+        shape_ok = pallas_padded_supported(
+            x0.shape[1:], x0.dtype, paxes or ()
+        )
+    elif kernel == "auto":
         shape_ok = pallas_supported(x0.shape[1:], x0.dtype)
     else:
         shape_ok = False
@@ -443,9 +453,22 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         M = _MaskSpec(red_nx_t, slicer_t, xdtype, excluded)
         apply_bcs = apply_bcs_fn(bcs_kept, grid_r)
         if use_pallas:
-            from pyapes_tpu.ops.pallas_stencil import pallas_axis_stencil
+            from functools import partial
 
-            Aop = _make_Aop(term_descs, pallas_axis_stencil)
+            from pyapes_tpu.ops.pallas_stencil import (
+                pallas_axis_stencil_padded,
+            )
+
+            # kernel="pallas" forced on CPU (tests/debug) -> interpret mode
+            interp = jax.default_backend() != "tpu"
+            Aop = _make_Aop(
+                term_descs,
+                partial(
+                    pallas_axis_stencil_padded,
+                    paxes=paxes or (),
+                    interpret=interp,
+                ),
+            )
         else:
             Aop = _make_Aop(term_descs)
         # Neumann-obstacle shells are linear functions of their fluid
@@ -474,6 +497,8 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             and len(term_descs) == 1
             and term_descs[0][0] == "axis"
             and x0.ndim - 1 == 3
+            # the dot kernel needs the exact (unpadded) shape
+            and pallas_supported(x0.shape[1:], x0.dtype)
             and all(len(cs) == 3 for cs in tparams[0]["axis"])
             and np.ndim(tparams[0].get("param", 0.0)) == 0
         ):
@@ -484,8 +509,12 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             sign0 = term_descs[0][2]
             has_p0 = term_descs[0][5]
 
+            _interp = jax.default_backend() != "tpu"
+
             def Aop_dot(v, tp):
-                r, dots = pallas_axis_stencil_dot(tp[0]["axis"], v)
+                r, dots = pallas_axis_stencil_dot(
+                    tp[0]["axis"], v, interpret=_interp
+                )
                 scale = sign0 * (tp[0]["param"] if has_p0 else 1.0)
                 return scale * r, scale * dots
 

@@ -123,3 +123,65 @@ def test_sublane_alignment_table() -> None:
     assert pallas_supported((8, 8, 128), jnp.float32)
     assert not pallas_supported((8, 8, 128), jnp.bfloat16)
     assert pallas_supported((8, 16, 128), jnp.bfloat16)
+
+
+def test_padded_stencil_matches_jnp() -> None:
+    """Pad-and-crop path: unaligned (65^3-style) shapes run the fused
+    kernel via zero padding; the cropped result matches the jnp stencil on
+    all rows the solver keeps (interior — the pad only corrupts the
+    masked boundary rows of padded axes)."""
+    from pyapes_tpu.ops.pallas_stencil import (
+        pallas_axis_stencil_padded,
+        pallas_padded_supported,
+    )
+
+    shape = (9, 20, 100)
+    assert not pallas_supported(shape, jnp.float32)
+    assert pallas_padded_supported(shape, jnp.float32, paxes=())
+    # a padded axis that is periodic is rejected
+    assert not pallas_padded_supported(shape, jnp.float32, paxes=(2,))
+
+    x = _x(shape, jnp.float32)
+    coeffs = _coeffs(shape, jnp.float32)
+    ref = np.asarray(apply_axis_stencil(coeffs, x))
+    out = np.asarray(
+        pallas_axis_stencil_padded(coeffs, x, paxes=(), interpret=True)
+    )
+    assert out.shape == ref.shape
+    inner = (slice(None), slice(1, -1), slice(1, -1), slice(1, -1))
+    assert_allclose(out[inner], ref[inner], rtol=1e-5, atol=1e-5)
+
+
+def test_padded_solve_matches_jnp_kernel() -> None:
+    """Force kernel='pallas' on an unaligned grid (pad-and-crop inside the
+    compiled solve) and compare with the jnp kernel solve."""
+    from pyapes_tpu.geometry import Box
+    from pyapes_tpu.mesh import Mesh
+    from pyapes_tpu.solver.fdm import FDM
+    from pyapes_tpu.solver.ops import Solver
+    from pyapes_tpu.variables import Field
+    from pyapes_tpu.variables.bcs import homogeneous_bcs
+
+    def solve(kernel):
+        mesh = Mesh(Box[0:1, 0:1, 0:1], None, [9, 20, 30])
+        var = Field(
+            "p", 1, mesh,
+            {"domain": homogeneous_bcs(3, 0.0, "dirichlet")},
+            init_val=0.0,
+        )
+        rng = np.random.default_rng(2)
+        rhs = jnp.asarray(rng.standard_normal((1, 9, 20, 30)))
+        solver = Solver(
+            {"fdm": {"method": "cg", "tol": 1e-10, "max_it": 500,
+                     "report": False, "criterion": "residual",
+                     "kernel": kernel}}
+        )
+        fdm = FDM()
+        solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+        solver.solve()
+        return np.asarray(var()[0]), solver.report
+
+    ref, rep0 = solve("jnp")
+    out, rep1 = solve("pallas")
+    assert rep1["converge"]
+    assert_allclose(out, ref, atol=1e-7)
