@@ -288,3 +288,65 @@ def test_parity_heat_conduction_mixed() -> None:
 
     assert_allclose(np.asarray(var()[0]), r_var()[0].numpy(),
                     atol=1e-8, rtol=1e-8)
+
+
+@needs_ref
+def test_parity_fdc_grad_interior() -> None:
+    """Explicit FDC grad with Dirichlet BCs: interior agreement to
+    machine precision (identical central differences)."""
+    rng = np.random.default_rng(3)
+    f = rng.standard_normal((11, 13))
+
+    r_mesh = RMesh(RBox[0:1, 0:1.2], None, [11, 13])
+    r_var = RField(
+        "t", 1, r_mesh,
+        {"domain": __ref_hbc(2, 0.5, "dirichlet"), "obstacle": None},
+    )
+    r_var.set_var_tensor(torch.from_numpy(f[None].copy()))
+    r_grad = RFDC({"grad": {"edge": False}}).grad(r_var)
+
+    mesh = Mesh(Box[0:1, 0:1.2], None, [11, 13])
+    var = Field(
+        "t", 1, mesh,
+        {"domain": homogeneous_bcs(2, 0.5, "dirichlet"), "obstacle": None},
+    )
+    var.set_var_tensor(jnp.asarray(f[None]))
+    grad = FDC({"grad": {"edge": False}}).grad(var)
+
+    assert_allclose(
+        np.asarray(grad[0])[:, 1:-1, 1:-1],
+        r_grad[0].numpy()[:, 1:-1, 1:-1],
+        atol=1e-12,
+    )
+
+
+@needs_ref
+def test_parity_jacobian_hessian_rz() -> None:
+    """Bank-free jacobian/hessian vs the reference's (rz mesh): all
+    components agree to machine precision — the derivative stack that
+    feeds the RFP operators."""
+    from pyapes.solver.fdc import hessian as r_hessian
+    from pyapes.solver.fdc import jacobian as r_jacobian
+
+    r_mesh = RMesh(RCylinder[0:2, -2:2], None, [17, 25])
+    R, Z = r_mesh.grid
+    smooth = torch.exp(-(R**2 + Z**2) / 2.0)
+    r_var = RField("h", 1, r_mesh, None)
+    r_var.set_var_tensor(smooth[None].clone())
+    r_jac = r_jacobian(r_var)
+    r_hess = r_hessian(r_var)
+
+    mesh = Mesh(Cylinder[0:2, -2:2], None, [17, 25])
+    var = Field("h", 1, mesh, None)
+    var.set_var_tensor(jnp.asarray(smooth.numpy()[None]))
+    jac = jacobian(var)
+    hess = hessian(var)
+
+    assert_allclose(np.asarray(jac.r), r_jac.r.numpy(), atol=1e-12)
+    assert_allclose(np.asarray(jac.z), r_jac.z.numpy(), atol=1e-12)
+    for comp in ("rr", "rz", "zz"):
+        assert_allclose(
+            np.asarray(getattr(hess, comp)),
+            getattr(r_hess, comp).numpy(),
+            atol=1e-12,
+        )
