@@ -62,19 +62,40 @@ def load(path: str, fields: dict[str, Field] | list[Field]) -> None:
         f._dt = meta[name]["dt"]
 
 
-def save_orbax(path: str, fields: dict[str, Field] | list[Field]) -> None:
-    """Orbax backend (async-capable, sharding-aware)."""
+_ASYNC_CKPTR = None
+
+
+def save_orbax(
+    path: str,
+    fields: dict[str, Field] | list[Field],
+    block: bool = True,
+) -> None:
+    """Orbax backend (sharding-aware). With ``block=False`` the save runs
+    asynchronously — device arrays are snapshotted and the write overlaps
+    subsequent compute; call ``wait_for_checkpoints()`` (or the next
+    ``save_orbax``, which serializes on the previous one) before reading
+    the files back or exiting."""
     import orbax.checkpoint as ocp
 
+    global _ASYNC_CKPTR
     if isinstance(fields, list):
         fields = {f.name: f for f in fields}
     tree = {
         name: {"VAR": f(), "VARo": f.VARo, "t": f._t, "dt": f._dt or 0.0}
         for name, f in fields.items()
     }
-    ckptr = ocp.StandardCheckpointer()
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+    ckptr = _ASYNC_CKPTR
     ckptr.save(os.path.abspath(path), tree, force=True)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
+
+
+def wait_for_checkpoints() -> None:
+    """Block until all pending async ``save_orbax`` writes are durable."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def load_orbax(path: str, fields: dict[str, Field] | list[Field]) -> None:

@@ -47,6 +47,27 @@ def test_checkpoint_orbax_roundtrip(tmp_path) -> None:
     assert var2._t == 1.5
 
 
+def test_checkpoint_orbax_async(tmp_path) -> None:
+    """Non-blocking save: wait_for_checkpoints makes it durable; the
+    payload snapshot is taken at save time (later mutation is not
+    captured)."""
+    mesh = Mesh(Box[0:1], None, [9])
+    var = Field("u", 1, mesh, None, init_val="random")
+    var.set_time(0.1, 2.5)
+    snap = np.asarray(var()).copy()
+
+    path = str(tmp_path / "orbax_async")
+    checkpoint.save_orbax(path, [var], block=False)
+    # mutate after the async save started
+    var.set_var_tensor(var() * 0.0)
+    checkpoint.wait_for_checkpoints()
+
+    var2 = Field("u", 1, mesh, None, init_val=0.0)
+    checkpoint.load_orbax(path, [var2])
+    assert_allclose(np.asarray(var2()), snap)
+    assert var2._t == 2.5
+
+
 def test_runner_poisson_cli() -> None:
     out = subprocess.run(
         [
