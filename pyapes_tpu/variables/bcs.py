@@ -376,7 +376,8 @@ class ObstacleNeumann:
 
     The reference raises NotImplementedError on any obstacle BC
     (``linalg.py:286-292``). Here the obstacle's surface-shell cells take a
-    one-sided copy of their fluid-side neighbor (first-order zero-gradient,
+    one-sided extrapolation of their fluid-side neighbors (second-order
+    zero-gradient, the 4/3 rule used on domain Neumann faces,
     outward normal pointing from the obstacle into the fluid), applied as a
     static-mask ``jnp.where`` over per-face rolls. The whole solid body is
     excluded from the Krylov active set, and the copy is folded into the
@@ -417,10 +418,14 @@ class ObstacleNeumann:
         return self.bc_type
 
     def apply(self, var: jnp.ndarray, grid, var_dim: int | None = None):
+        # second-order one-sided zero gradient (the 4/3 rule used for
+        # domain Neumann faces): v_shell = (4 v1 - v2) / 3 with v1, v2 the
+        # first/second fluid-side neighbors
         for mask, axis, shift, _dx in self.faces:
             m = jnp.asarray(mask)[None]
-            rolled = jnp.roll(var, shift, axis=1 + axis)
-            var = jnp.where(m, rolled, var)
+            v1 = jnp.roll(var, shift, axis=1 + axis)
+            v2 = jnp.roll(var, 2 * shift, axis=1 + axis)
+            var = jnp.where(m, (4.0 * v1 - v2) / 3.0, var)
         return var
 
 

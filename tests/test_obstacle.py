@@ -108,15 +108,17 @@ def test_insulated_obstacle_laplace_vs_dense_oracle() -> None:
     body = mesh.obstacle_body_masks[0]
     obn = [b for b in var.bcs if b.bc_type == "obstacle_neumann"][0]
 
-    # zero-gradient: every shell cell equals its fluid-side neighbor
+    # zero-gradient: every shell cell satisfies the second-order one-sided
+    # extrapolation (4 v1 - v2)/3 from its fluid-side neighbors
     for mask, axis, shift, _dx in obn.faces:
-        src = np.roll(v, shift, axis=axis)
+        v1 = np.roll(v, shift, axis=axis)
+        v2 = np.roll(v, 2 * shift, axis=axis)
         # corners are overwritten by later faces; check non-corner rows
         only = mask.copy()
         for m2, _, _, _ in obn.faces:
             if m2 is not mask:
                 only &= ~m2
-        assert_allclose(v[only], src[only], atol=1e-10)
+        assert_allclose(v[only], ((4 * v1 - v2) / 3)[only], atol=1e-10)
 
     # dense oracle on the same reduced operator
     terms = [solver.eqs[k] for k in sorted(solver.eqs)]
