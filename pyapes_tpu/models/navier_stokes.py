@@ -42,6 +42,21 @@ def _ddx(f, dx, axis):
     return d
 
 
+def _obstacle_setup(mesh):
+    """No-slip immersed bodies: obstacle BC configs for (u, v), zero-flux
+    for p, and the solid body mask (or Nones without obstacles)."""
+    if mesh.obstacle is None:
+        return None, None, None
+    import numpy as np
+
+    uv = [{"bc_type": "dirichlet", "bc_val": 0.0}] * len(mesh.obstacle)
+    p = [{"bc_type": "neumann", "bc_val": 0.0}] * len(mesh.obstacle)
+    body = np.zeros(tuple(mesh.nx), dtype=bool)
+    for m in mesh.obstacle_body_masks:
+        body |= m
+    return uv, p, jnp.asarray(body)
+
+
 class LidDrivenCavity:
     """2-D lid-driven cavity, Re = U L / nu.
 
@@ -75,37 +90,26 @@ class LidDrivenCavity:
         n = {"bc_type": "neumann", "bc_val": 0.0}
         p_bc = BoxBoundary(xl=n, xu=n, yl=n, yu=n)
 
-        has_obs = mesh.obstacle is not None
-        uv_obs = (
-            [{"bc_type": "dirichlet", "bc_val": 0.0}] * len(mesh.obstacle)
-            if has_obs else None
-        )
-        p_obs = (
-            [{"bc_type": "neumann", "bc_val": 0.0}] * len(mesh.obstacle)
-            if has_obs else None
-        )
+        uv_obs, p_obs, self._body = _obstacle_setup(mesh)
         self.u = Field("u", 1, mesh, {"domain": u_bc(), "obstacle": uv_obs},
                        init_val=0.0)
         self.v = Field("v", 1, mesh, {"domain": v_bc(), "obstacle": uv_obs},
                        init_val=0.0)
         self.p = Field("p", 1, mesh, {"domain": p_bc(), "obstacle": p_obs},
                        init_val=0.0)
-        self._body = None
-        if has_obs:
-            import numpy as np
 
-            body = np.zeros(tuple(mesh.nx), dtype=bool)
-            for m in mesh.obstacle_body_masks:
-                body |= m
-            self._body = jnp.asarray(body)
+        # all-Neumann pressure: singular, needs the zero-mean projection
+        self._singular_pressure = True
+        self._init_solvers(config)
 
+    def _init_solvers(self, config) -> None:
         mom_cfg = {"method": "bicgstab", "tol": 1e-8, "max_it": 500,
                    "report": False}
         mom_cfg.update(config or {})
         self.mom_solver = Solver({"fdm": dict(mom_cfg)})
-        # Pressure: all-Neumann Poisson is singular (pressure defined up to
-        # a constant); CG with a residual criterion handles the consistent
-        # zero-mean system (BiCGSTAB can break down on it).
+        # Pressure: an all-Neumann Poisson is singular (pressure defined up
+        # to a constant); CG with a residual criterion handles the
+        # consistent zero-mean system (BiCGSTAB can break down on it).
         p_cfg = dict(mom_cfg)
         p_cfg.update(
             {
@@ -113,9 +117,10 @@ class LidDrivenCavity:
                 "tol": 1e-5,
                 "max_it": 2000,
                 "criterion": "residual",
-                "nullspace": "mean",
             }
         )
+        if self._singular_pressure:
+            p_cfg["nullspace"] = "mean"
         self.p_solver = Solver({"fdm": p_cfg})
         self.fdm = FDM()
         self.t = 0.0
@@ -170,15 +175,17 @@ class LidDrivenCavity:
         self.u.apply_bcs()
         self.v.apply_bcs()
 
-        # 2. pressure Poisson: lap p = div(u*) / dt (consistent RHS: zero
-        # mean for the all-Neumann singular system)
+        # 2. pressure Poisson: lap p = div(u*) / dt (for an all-Neumann
+        # singular system: consistent zero-mean RHS + demeaned solution)
         div_star = _ddx(self.u()[0], dx, 0) + _ddx(self.v()[0], dy, 1)
         rhs_p = div_star / dt
-        rhs_p = rhs_p - jnp.mean(rhs_p)
+        if self._singular_pressure:
+            rhs_p = rhs_p - jnp.mean(rhs_p)
         self.p_solver.set_eq(self.fdm.laplacian(1.0, self.p) == rhs_p[None])
         self.p_solver.solve()
-        p = self.p()[0]
-        self.p.set_var_tensor((p - jnp.mean(p))[None])
+        if self._singular_pressure:
+            p = self.p()[0]
+            self.p.set_var_tensor((p - jnp.mean(p))[None])
 
         # 3. projection + BCs
         u_new = self.u()[0] - dt * _ddx(self.p()[0], dx, 0)
@@ -203,3 +210,66 @@ class LidDrivenCavity:
         dx = float(self.mesh.dx_np[0])
         dy = float(self.mesh.dx_np[1])
         return _ddx(self.u()[0], dx, 0) + _ddx(self.v()[0], dy, 1)
+
+
+class ChannelFlow(LidDrivenCavity):
+    """Pressure-projected channel flow with inflow/outflow boundaries.
+
+    Parabolic inflow at ``xl`` (``u = 4 U y(1-y)/L^2``), outflow at ``xu``
+    (zero-gradient velocity, ``p = 0`` Dirichlet anchor — the pressure
+    Poisson is then non-singular, so no zero-mean projection), no-slip
+    walls; optional immersed no-slip obstacles (flow past a body).
+
+    Args:
+        mesh: Box mesh on [0, Lx] x [0, Ly] (optionally with obstacles).
+        nu: kinematic viscosity (Re = U Ly / nu).
+        u_in: inflow centerline scale U.
+    """
+
+    def __init__(self, mesh: Mesh, nu: float = 0.01, u_in: float = 1.0,
+                 config=None, implicit_advection: bool = False):
+        assert mesh.dim == 2 and mesh.coord_sys == "xyz"
+        self.mesh = mesh
+        self.nu = nu
+        self.u_in = float(u_in)
+        self.lid = 0.0
+        self.implicit_advection = implicit_advection
+
+        y0 = float(mesh._lower_np[1])
+        Ly = float(mesh._upper_np[1]) - y0
+        u_scale = self.u_in
+
+        def inflow(grid, mask, var, opt):
+            y = (grid[1] - y0) / Ly
+            return 4.0 * u_scale * y * (1.0 - y)
+
+        self._inflow = inflow  # stable id: part of the solver cache key
+
+        d0 = {"bc_type": "dirichlet", "bc_val": 0.0}
+        nm = {"bc_type": "neumann", "bc_val": 0.0}
+        u_bc = BoxBoundary(
+            xl={"bc_type": "dirichlet", "bc_val": inflow},
+            xu=nm, yl=d0, yu=d0,
+        )
+        v_bc = BoxBoundary(xl=d0, xu=nm, yl=d0, yu=d0)
+        p_bc = BoxBoundary(xl=nm, xu=d0, yl=nm, yu=nm)
+
+        uv_obs, p_obs, self._body = _obstacle_setup(mesh)
+        self.u = Field("u", 1, mesh, {"domain": u_bc(), "obstacle": uv_obs},
+                       init_val=0.0)
+        self.v = Field("v", 1, mesh, {"domain": v_bc(), "obstacle": uv_obs},
+                       init_val=0.0)
+        self.p = Field("p", 1, mesh, {"domain": p_bc(), "obstacle": p_obs},
+                       init_val=0.0)
+        self.u.apply_bcs()
+
+        self._singular_pressure = False
+        self._init_solvers(config)
+
+    def flux(self, i: int) -> float:
+        """Volume flux through grid column ``i`` (trapezoidal in y)."""
+        import numpy as np
+
+        u = np.asarray(self.u()[0])
+        dy = float(self.mesh.dx_np[1])
+        return float(np.trapezoid(u[i, :], dx=dy))

@@ -242,3 +242,45 @@ def test_rfp_implicit_step() -> None:
     den1 = float(fb.volume_integral()[0])
     assert np.all(np.isfinite(np.asarray(fb())))
     assert abs(den1 - den0) / den0 < 1e-2
+
+
+def test_channel_flow_poiseuille() -> None:
+    """Inflow/outflow channel: the parabolic profile is a steady solution
+    (preserved to grid accuracy), v stays ~0, and the volume flux is
+    conserved along the channel (outlet-anchored, non-singular pressure)."""
+    from pyapes_tpu.models import ChannelFlow
+
+    mesh = Mesh(Box[0:3, 0:1], None, [49, 33])
+    model = ChannelFlow(mesh, nu=0.05, u_in=1.0)
+    model.run(dt=0.01, n_steps=300)
+
+    u = np.asarray(model.u()[0])
+    v = np.asarray(model.v()[0])
+    y = np.asarray(mesh._x_np[1])
+    exact = 4.0 * y * (1 - y)
+    for i in (12, 24, 40):
+        assert np.abs(u[i, :] - exact).max() < 0.02, i
+    assert np.abs(v).max() < 0.01
+    assert abs(model.flux(1) - model.flux(47)) / model.flux(1) < 0.01
+
+
+def test_channel_flow_past_obstacle() -> None:
+    """Flow past an immersed square: no-slip on the body, flux in == flux
+    out, wake deficit behind the body with acceleration beside it."""
+    from pyapes_tpu.models import ChannelFlow
+
+    mesh = Mesh(Box[0:3, 0:1], [Box[0.9:1.2, 0.35:0.65]], [49, 33])
+    model = ChannelFlow(mesh, nu=0.05, u_in=1.0)
+    model.run(dt=0.005, n_steps=400)
+
+    u = np.asarray(model.u()[0])
+    assert np.all(np.isfinite(u))
+    body = mesh.obstacle_body_masks[0]
+    assert_allclose(u[body], 0.0, atol=1e-12)
+    # mass conservation inlet -> outlet
+    assert abs(model.flux(1) - model.flux(47)) / model.flux(1) < 0.03
+    # wake deficit on the centerline behind the body (x=1.5, y=0.5:
+    # unobstructed Poiseuille would be 1.0) and blockage acceleration in
+    # the side gap
+    assert u[24, 16] < 0.7, u[24, 16]
+    assert u[24, 5] > 4.0 * 0.15 * 0.85 + 0.1, u[24, 5]
