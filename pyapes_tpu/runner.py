@@ -93,6 +93,38 @@ def _run_burgers(args) -> dict:
     return out
 
 
+def _run_channel(args) -> dict:
+    """Inflow/outflow channel, optionally with an immersed square body."""
+    import numpy as np
+
+    from pyapes_tpu.geometry import Box
+    from pyapes_tpu.mesh import Mesh
+    from pyapes_tpu.models import ChannelFlow
+
+    obs = [Box[0.9:1.2, 0.35:0.65]] if args.obstacle else None
+    mesh = Mesh(Box[0:3, 0:1], obs, [args.n, (args.n * 2) // 3 + 1],
+                dtype=args.dtype)
+    model = ChannelFlow(mesh, nu=args.nu, u_in=1.0)
+    tic = time.perf_counter()
+    model.run(dt=args.dt, n_steps=args.steps)
+    wall = time.perf_counter() - tic
+    u = np.asarray(model.u()[0])
+    out = {
+        "wall_s": wall,
+        "steps": args.steps,
+        "flux_in": model.flux(1),
+        "flux_out": model.flux(u.shape[0] - 2),
+        "u_max": float(np.abs(u).max()),
+    }
+    out.update(
+        _maybe_vtk(
+            args, mesh,
+            {"u": model.u()[0], "v": model.v()[0], "p": model.p()[0]},
+        )
+    )
+    return out
+
+
 def _run_rfp(args) -> dict:
     """Self-consistent Rosenbluth-Fokker-Planck relaxation of an
     anisotropic Maxwellian (see ``models/rosenbluth.py``)."""
@@ -160,6 +192,13 @@ def main(argv=None) -> None:
     sb.add_argument("--dt", type=float, default=0.01)
     sb.add_argument("--steps", type=int, default=100)
 
+    sch = sub.add_parser("channel", parents=[common])
+    sch.add_argument("--nu", type=float, default=0.05)
+    sch.add_argument("--dt", type=float, default=0.005)
+    sch.add_argument("--steps", type=int, default=400)
+    sch.add_argument("--obstacle", action="store_true",
+                     help="immersed square body in the channel")
+
     sr = sub.add_parser("rfp", parents=[common])
     sr.add_argument("--dt", type=float, default=2e-4)
     sr.add_argument("--steps", type=int, default=100)
@@ -177,6 +216,8 @@ def main(argv=None) -> None:
         out = _run_poisson(args)
     elif args.case == "cavity":
         out = _run_cavity(args)
+    elif args.case == "channel":
+        out = _run_channel(args)
     elif args.case == "rfp":
         out = _run_rfp(args)
     else:
