@@ -6,7 +6,7 @@ Fixes the reference's duplicate ``zz`` field declaration
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax.numpy as jnp
 
