@@ -36,6 +36,20 @@ def _row_sel(axis: int, idx: int, leading: int = 0) -> tuple:
     return (slice(None),) * (leading + axis) + (idx,)
 
 
+def _face_bcs(var: Field, axis: int):
+    """Domain-face BCs whose normal has a component along ``axis``.
+
+    Obstacle BCs (``ObstacleDirichlet``/``ObstacleNeumann``) carry no
+    ``bc_n_vec``; coefficient surgery is face-row surgery only, so they are
+    filtered out here (the implicit fdm path filters by ``bc_face_dim``
+    already — this keeps the explicit path consistent)."""
+    for bc in var.bcs or []:
+        n_vec = getattr(bc, "bc_n_vec", None)
+        if n_vec is None or n_vec[axis] == 0:
+            continue
+        yield bc
+
+
 @dataclass
 class Discretizer(ABC):
     """Base explicit discretizer (reference ``fdc.py:25-168``)."""
@@ -296,9 +310,7 @@ class Laplacian(Discretizer):
 
         for i in range(var.dim):
             for j in range(mesh.dim):
-                for bc in var.bcs or []:
-                    if bc.bc_n_vec[j] == 0:
-                        continue
+                for bc in _face_bcs(var, j):
                     if bc.bc_type in ("neumann", "symmetry"):
                         dr = dx[j] if j == 0 else 0.0
                         pi = 1 if bc.bc_n_dir < 0 else -2
@@ -326,28 +338,40 @@ class Laplacian(Discretizer):
 
     @staticmethod
     def adjust_rhs(var: Field, config=None) -> jnp.ndarray:
-        """Neumann flux correction folded into the RHS
-        (reference ``fdc.py:425-458``)."""
+        """Neumann flux correction folded into the RHS.
+
+        Derived from the boundary-node elimination: the eliminated
+        coefficient ``c0`` (the bank value pointing at the boundary node,
+        pre ``1/dx^2`` scaling) carries the constant part of the BC
+        application ``v_b = (4 v1 - v2)/3 + (2/3) V dx`` (outward-normal
+        ``V``, ``variables/bcs.py``), so ``rhs += -(2/3) c0 V / dx`` on the
+        adjacent row — for BOTH faces (the stencil is symmetric; the
+        reference's ``* bc_n_vec`` sign flip, ``fdc.py:449-455``, makes a
+        nonzero upper-face flux wrong and is deliberately not replicated —
+        see PARITY.md)."""
         mesh = var.mesh
         rhs_adj = jnp.zeros_like(var())
         dx = mesh.dx_np
 
         for i in range(var.dim):
             for j in range(mesh.dim):
-                for bc in var.bcs or []:
-                    if bc.bc_type != "neumann" or bc.bc_n_vec[j] == 0:
+                for bc in _face_bcs(var, j):
+                    if bc.bc_type != "neumann":
                         continue
                     dr = dx[j] if j == 0 else 0.0
                     pi = 1 if bc.bc_n_dir < 0 else -2
                     bi = 0 if bc.bc_n_dir < 0 else -1
                     if mesh.coord_sys == "rz":
-                        r_prev = float(mesh._x_np[j][pi])
-                        alpha = (1.0 / 3.0) * dr / r_prev if r_prev != 0.0 else 0.0
+                        r_row = float(mesh._x_np[j][pi])
+                        s_row = dr / (2.0 * r_row) if r_row != 0.0 else 0.0
                     else:
-                        alpha = 0.0
+                        s_row = 0.0
+                    # bank value eliminated by the surgery: Am = 1 - s
+                    # (lower) / Ap = 1 + s (upper); s = dr/(2r) in rz.
+                    c0 = 1.0 - s_row if bc.bc_n_dir < 0 else 1.0 + s_row
                     at_bc = _return_bc_val(bc, var, i, j, bi)
                     rhs_adj = rhs_adj.at[(i,) + _row_sel(j, pi)].add(
-                        (2.0 / 3.0 - alpha) * (at_bc * bc.bc_n_vec[j]) / dx[j]
+                        -(2.0 / 3.0) * c0 * at_bc / dx[j]
                     )
         return rhs_adj
 
@@ -377,31 +401,84 @@ class Grad(Discretizer):
 
 
 def _grad_rhs_adjust(
-    var: Field, rhs_adj: jnp.ndarray, dim: int, gamma=None
+    var: Field, rhs_adj: jnp.ndarray, dim: int, gamma=None,
+    form: str = "conservative",
 ) -> jnp.ndarray:
-    """Neumann RHS adjustment shared by Grad/Div (reference ``fdc.py:505-540``)."""
-    if gamma is None:
-        gamma_min = jnp.ones_like(var())
-        gamma_max = jnp.ones_like(var())
-    elif len(gamma) == 1:
-        gamma_min = 2.0 * gamma[0]
-        gamma_max = 2.0 * gamma[0]
-    else:
+    """Neumann RHS adjustment shared by Grad/Div.
+
+    Each case adds ``-c0 * V / 3`` on the boundary-adjacent row, where
+    ``c0`` is the pre-``1/(2 dx)`` bank coefficient the surgery eliminates
+    (``_grad_central_adjust``) and ``V`` the outward-normal flux:
+
+    * ``gamma is None`` (Grad): ``c0 = n`` (antisymmetric unit stencil),
+      giving the reference's ``-(1/3) V n`` (``fdc.py:505-540``).
+    * ``len(gamma) == 1`` (central Div): ``c0 = n * gamma`` sampled at the
+      boundary node (conservative/flux form) or at the row itself
+      (advective form) — matching ``_adv_central``'s rolled multiply.
+      (The reference's hand-written ``1/3 * 2 gamma`` at the row,
+      ``fdc.py:520-530``, is 2x the eliminated coefficient; not
+      replicated — see PARITY.md.)
+    * ``len(gamma) == 2`` (upwind/QUICK): ``c0 = -2 g_max`` (lower) /
+      ``+2 g_min`` (upper) at the row, matching ``_adv_upwind``.
+    """
+    if gamma is not None and len(gamma) == 2:
         gamma_min = 2.0 * gamma[0]
         gamma_max = 2.0 * gamma[1]
 
     for j in range(var.mesh.dim):
-        for bc in var.bcs or []:
-            if bc.bc_type != "neumann" or bc.bc_n_vec[j] == 0:
+        for bc in _face_bcs(var, j):
+            if bc.bc_type != "neumann":
                 continue
             pi = 1 if bc.bc_n_dir < 0 else -2
             bi = 0 if bc.bc_n_dir < 0 else -1
             at_bc = _return_bc_val(bc, var, dim, j, bi)
-            g = gamma_max if bc.bc_n_dir < 0 else gamma_min
-            g_row = g[(dim,) + _row_sel(j, pi)]
-            rhs_adj = rhs_adj.at[(dim,) + _row_sel(j, pi)].add(
-                -(1.0 / 3.0) * (at_bc * bc.bc_n_vec[j]) * g_row
-            )
+            if gamma is None:
+                term = -(1.0 / 3.0) * at_bc * bc.bc_n_dir
+            elif len(gamma) == 1:
+                g_i = bi if form == "conservative" else pi
+                g_row = gamma[0][(dim,) + _row_sel(j, g_i)]
+                term = -(1.0 / 3.0) * at_bc * bc.bc_n_dir * g_row
+            else:
+                g = gamma_max if bc.bc_n_dir < 0 else gamma_min
+                g_row = g[(dim,) + _row_sel(j, pi)]
+                term = -(1.0 / 3.0) * at_bc * bc.bc_n_dir * g_row
+            rhs_adj = rhs_adj.at[(dim,) + _row_sel(j, pi)].add(term)
+    return rhs_adj
+
+
+def conv_rhs_adjust(
+    adv: jnp.ndarray, var: Field, limiter: str = "none"
+) -> jnp.ndarray:
+    """Neumann RHS adjustment for the Conv operator
+    (``u_j d(phi_i)/dx_j``, advective form, advection per MESH AXIS).
+
+    Mirrors ``apply_conv_field``'s on-the-fly boundary-node elimination
+    (``ops/stencil.py``): the eliminated coefficient is
+    ``c0 = n * adv[j]`` at the adjacent row (central) or
+    ``-2 g_max`` / ``+2 g_min`` (upwind); each contributes
+    ``-c0 * V_i / 3`` to the RHS. Zero unless the target has
+    nonzero-value Neumann faces (closes the gap at ``fdm.py:336-339``
+    flagged in round 1)."""
+    rhs_adj = jnp.zeros_like(var())
+    for i in range(var.dim):
+        for j in range(var.mesh.dim):
+            for bc in _face_bcs(var, j):
+                if bc.bc_type != "neumann":
+                    continue
+                pi = 1 if bc.bc_n_dir < 0 else -2
+                bi = 0 if bc.bc_n_dir < 0 else -1
+                at_bc = _return_bc_val(bc, var, i, j, bi)
+                a_row = adv[(j,) + _row_sel(j, pi)]
+                if limiter == "none":
+                    term = -(1.0 / 3.0) * at_bc * bc.bc_n_dir * a_row
+                else:
+                    g = (
+                        jnp.maximum(a_row, 0.0)
+                        if bc.bc_n_dir < 0
+                        else jnp.minimum(a_row, 0.0)
+                    )
+                    term = -(2.0 / 3.0) * at_bc * bc.bc_n_dir * g
+                rhs_adj = rhs_adj.at[(i,) + _row_sel(j, pi)].add(term)
     return rhs_adj
 
 
@@ -427,9 +504,7 @@ def _grad_central_adjust(
     dx = var.mesh.dx_np
 
     for j in range(var.mesh.dim):
-        for bc in var.bcs or []:
-            if bc.bc_n_vec[j] == 0:
-                continue
+        for bc in _face_bcs(var, j):
             pi = 1 if bc.bc_n_dir < 0 else -2
             sel = (dim,) + _row_sel(j, pi)
             if bc.bc_type in ("neumann", "symmetry"):
@@ -511,8 +586,11 @@ class Div(Discretizer):
             assert config is not None and "div" in config
             limiter = _check_limiter(config["div"])
             if limiter == "none":
+                form = config["div"].get("form", "conservative")
                 for i in range(var_i.dim):
-                    rhs_adj = _grad_rhs_adjust(var_i, rhs_adj, i, (adv,))
+                    rhs_adj = _grad_rhs_adjust(
+                        var_i, rhs_adj, i, (adv,), form
+                    )
             elif limiter in ("upwind", "quick"):
                 # QUICK falls back to upwind at boundary-adjacent rows, so
                 # its RHS adjustment is the upwind one.

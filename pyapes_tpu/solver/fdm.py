@@ -28,7 +28,7 @@ from pyapes_tpu.ops.stencil import (
     grad_axis_coeffs,
     laplacian_axis_coeffs,
 )
-from pyapes_tpu.solver.fdc import FDC
+from pyapes_tpu.solver.fdc import FDC, conv_rhs_adjust
 from pyapes_tpu.solver.types import DiscretizerConfigType, OPStype
 from pyapes_tpu.variables import Field
 
@@ -333,10 +333,13 @@ class Conv(Operators):
                 "adv": adv,
                 "limiter": limiter,
                 "dt": None,
-                # Neumann RHS adjustment: boundary-adjacent rows use the
-                # advective-form elimination constant (zero unless the
-                # target has Neumann faces with nonzero values).
-                "adjust_rhs": None,
+                # Neumann RHS adjustment: the advective-form elimination
+                # constant on boundary-adjacent rows (nonzero only when the
+                # target has nonzero-value Neumann faces). The advecting
+                # values are the same frozen snapshot as ``adv``.
+                "adjust_rhs": lambda a=adv, v=var, lim=limiter: (
+                    conv_rhs_adjust(a, v, lim)
+                ),
             }
         }
         return self

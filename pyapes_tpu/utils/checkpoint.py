@@ -31,10 +31,14 @@ def save(path: str, fields: dict[str, Field] | list[Field]) -> None:
     for name, f in fields.items():
         arrays[f"{name}__VAR"] = np.asarray(f())
         arrays[f"{name}__VARo"] = np.asarray(f.VARo)
+        # BDF2 history: without VARoo/n_hist a resumed BDF2 run would
+        # silently re-bootstrap as backward Euler (fields.py:107-131).
+        arrays[f"{name}__VARoo"] = np.asarray(f.VARoo)
         meta[name] = {
             "dim": f.dim,
             "t": float(f._t),
             "dt": None if f._dt is None else float(f._dt),
+            "n_hist": int(f.n_hist),
         }
     arrays[_META] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
@@ -57,6 +61,9 @@ def load(path: str, fields: dict[str, Field] | list[Field]) -> None:
             raise KeyError(f"checkpoint: field {name} not found in {path}")
         f.VAR = jnp.asarray(data[f"{name}__VAR"], dtype=f().dtype)
         f.VARo = jnp.asarray(data[f"{name}__VARo"], dtype=f().dtype)
+        if f"{name}__VARoo" in data:  # absent in pre-round-2 checkpoints
+            f._VARoo = jnp.asarray(data[f"{name}__VARoo"], dtype=f().dtype)
+        f._n_hist = int(meta[name].get("n_hist", 0))
         f._t = meta[name]["t"]
         f._dt = meta[name]["dt"]
 
@@ -79,8 +86,17 @@ def save_orbax(
     global _ASYNC_CKPTR
     if isinstance(fields, list):
         fields = {f.name: f for f in fields}
+    # dt=None is encoded as NaN so a legitimate dt == 0.0 round-trips
+    # (``or 0.0`` would conflate the two).
     tree = {
-        name: {"VAR": f(), "VARo": f.VARo, "t": f._t, "dt": f._dt or 0.0}
+        name: {
+            "VAR": f(),
+            "VARo": f.VARo,
+            "VARoo": f.VARoo,
+            "t": f._t,
+            "dt": float("nan") if f._dt is None else float(f._dt),
+            "n_hist": float(f.n_hist),
+        }
         for name, f in fields.items()
     }
     if _ASYNC_CKPTR is None:
@@ -102,8 +118,17 @@ def load_orbax(path: str, fields: dict[str, Field] | list[Field]) -> None:
 
     if isinstance(fields, list):
         fields = {f.name: f for f in fields}
+    import math
+
     template = {
-        name: {"VAR": f(), "VARo": f.VARo, "t": 0.0, "dt": 0.0}
+        name: {
+            "VAR": f(),
+            "VARo": f.VARo,
+            "VARoo": f.VARoo,
+            "t": 0.0,
+            "dt": 0.0,
+            "n_hist": 0.0,
+        }
         for name, f in fields.items()
     }
     ckptr = ocp.StandardCheckpointer()
@@ -111,6 +136,8 @@ def load_orbax(path: str, fields: dict[str, Field] | list[Field]) -> None:
     for name, f in fields.items():
         f.VAR = tree[name]["VAR"]
         f.VARo = tree[name]["VARo"]
+        f._VARoo = tree[name]["VARoo"]
+        f._n_hist = int(tree[name]["n_hist"])
         f._t = float(tree[name]["t"])
         dt = float(tree[name]["dt"])
-        f._dt = dt if dt != 0.0 else None
+        f._dt = None if math.isnan(dt) else dt

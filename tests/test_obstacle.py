@@ -229,3 +229,41 @@ def test_obstacle_with_mg_preconditioner() -> None:
     rep = solver.solve()
     assert rep["converge"]
     assert_allclose(np.asarray(var()), np.asarray(var_ref()), atol=1e-9)
+
+
+def test_explicit_fdc_with_obstacle_bcs() -> None:
+    """Explicit FDC operators skip non-face (obstacle) BCs instead of
+    crashing on the missing ``bc_n_vec`` (round-1 ADVICE finding)."""
+    from pyapes_tpu.solver.fdc import FDC
+
+    mesh = Mesh(Box[0:1, 0:1], [Box[0.4:0.6, 0.4:0.6]], [17, 17])
+    var = Field(
+        "p", 1, mesh,
+        {
+            "domain": homogeneous_bcs(2, 0.0, "neumann"),
+            "obstacle": [{"bc_type": "dirichlet", "bc_val": 1.0}],
+        },
+    )
+    var.set_var_tensor(mesh.X[None] ** 2)
+
+    fdc = FDC({
+        "laplacian": {"edge": False},
+        "grad": {"edge": False},
+        "div": {"limiter": "none", "edge": False},
+    })
+    lap = fdc.laplacian(var)
+    grad = fdc.grad(var)
+    div = fdc.div(1.0, var)
+    for out in (lap, grad, div):
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    # and the same Field with a zero-flux obstacle
+    var2 = Field(
+        "q", 1, mesh,
+        {
+            "domain": homogeneous_bcs(2, 0.0, "dirichlet"),
+            "obstacle": [{"bc_type": "neumann", "bc_val": 0.0}],
+        },
+    )
+    var2.set_var_tensor(mesh.Y[None])
+    assert np.all(np.isfinite(np.asarray(fdc.laplacian(var2))))

@@ -201,6 +201,56 @@ def test_poisson_1d_mixed_neumann() -> None:
     _close(v, se, rtol=1e-3, atol=1e-3)
 
 
+def test_neumann_nonzero_flux_both_faces() -> None:
+    """Nonzero Neumann flux is handled correctly on BOTH faces (round-1
+    regression: the reference-style ``* bc_n_vec`` RHS sign made the
+    upper face wrong — error O(1) instead of O(dx^2))."""
+    mesh = Mesh(Box[0:1], None, [41])
+    x = mesh.X
+    solver = Solver(
+        {"fdm": {"method": "cg", "tol": 1e-10, "max_it": 1000, "report": False}}
+    )
+    fdm = FDM()
+
+    # upper face: p'' = 0, p(0)=0, dp/dn(1)=+1 -> p = x
+    f_bc = mixed_bcs([0.0, 1.0], ["dirichlet", "neumann"])
+    var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None})
+    solver.set_eq(fdm.laplacian(1.0, var) == 0.0)
+    solver.solve()
+    _close(var()[0], np.asarray(x), rtol=1e-2, atol=5e-3)
+
+    # lower face: dp/dn(0)=+1 (outward -x, so dp/dx=-1), p(1)=0 -> p = 1-x
+    f_bc = mixed_bcs([1.0, 0.0], ["neumann", "dirichlet"])
+    var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None})
+    solver.set_eq(fdm.laplacian(1.0, var) == 0.0)
+    solver.solve()
+    _close(var()[0], 1.0 - np.asarray(x), rtol=1e-2, atol=5e-3)
+
+
+def test_div_neumann_nonzero_flux_varying_advection() -> None:
+    """Central Div's Neumann RHS constant is derived from the eliminated
+    coefficient (round-1 ADVICE: the reference's ``2 gamma`` at the wrong
+    row was ~2x too large for nonzero-flux walls).
+
+    MMS: x p' - p'' = 2x^2 - 2 on [0,1], p(0)=0, dp/dn(1)=2 -> p = x^2.
+    """
+    mesh = Mesh(Box[0:1], None, [41])
+    x = mesh.X
+    adv = Field("u", 1, mesh, None)
+    adv.VAR = x[None]
+    f_bc = mixed_bcs([0.0, 2.0], ["dirichlet", "neumann"])
+    var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None})
+    fdm = FDM({"div": {"limiter": "none", "edge": False, "form": "advective"}})
+    solver = Solver(
+        {"fdm": {"method": "bicgstab", "tol": 1e-10, "max_it": 1000,
+                 "report": False}}
+    )
+    rhs = (2.0 * x * x - 2.0)[None]
+    solver.set_eq(fdm.div(adv, var) - fdm.laplacian(1.0, var) == rhs)
+    solver.solve()
+    _close(var()[0], np.asarray(x) ** 2, rtol=1e-2, atol=5e-3)
+
+
 def test_poisson_2d_mixed_neumann() -> None:
     """2-D Poisson with Dirichlet/Neumann vs manufactured solution
     (reference ``test_solver.py:271-306`` — which asserts nothing; the

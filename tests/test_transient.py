@@ -126,6 +126,36 @@ def test_conv_operator_matches_manual() -> None:
         )
 
 
+def test_conv_neumann_nonzero_flux_wall() -> None:
+    """Conv's Neumann RHS adjustment (round-1 gap: ``adjust_rhs: None`` at
+    ``fdm.py:336-339`` silently dropped nonzero-flux walls).
+
+    Steady MMS: u dp/dx - p'' = 2x^2 - 2 with u = x, p(0)=0,
+    dp/dn(1) = 2 -> p = x^2; conv is the advective operator, so this pins
+    the same math as Div advective form but through ``fdm.conv``.
+    """
+    from pyapes_tpu.variables.bcs import mixed_bcs
+
+    mesh = Mesh(Box[0:1], None, [41])
+    x = mesh.X
+    u = Field("u", 1, mesh, None)
+    u.set_var_tensor(x[None])
+
+    f_bc = mixed_bcs([0.0, 2.0], ["dirichlet", "neumann"])
+    var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None})
+    fdm = FDM({"div": {"limiter": "none", "edge": False}})
+    solver = Solver(
+        {"fdm": {"method": "bicgstab", "tol": 1e-10, "max_it": 1000,
+                 "report": False}}
+    )
+    rhs = (2.0 * x * x - 2.0)[None]
+    solver.set_eq(fdm.conv(u, var) - fdm.laplacian(1.0, var) == rhs)
+    solver.solve()
+    assert_allclose(
+        np.asarray(var()[0]), np.asarray(x) ** 2, rtol=1e-2, atol=5e-3
+    )
+
+
 def test_vector_burgers_2d() -> None:
     """BASELINE config 4 (2-D Burgers): the vector system
     u_t + (u.grad)u = nu lap(u) with conv + ddt stays stable and decays."""

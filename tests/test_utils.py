@@ -132,6 +132,69 @@ def test_debug_validate_field() -> None:
         divergence_guard({"itr": 3, "tol": float("inf"), "converge": False})
 
 
+def test_checkpoint_bdf2_state_roundtrip(tmp_path) -> None:
+    """BDF2 history (VARoo, n_hist) survives save/load on both backends,
+    and a resumed BDF2 run bit-matches the uninterrupted one (round-1 gap:
+    a resume silently re-bootstrapped as backward Euler)."""
+    from math import pi
+
+    from pyapes_tpu.solver.fdm import FDM
+    from pyapes_tpu.solver.ops import Solver
+    from pyapes_tpu.variables.bcs import homogeneous_bcs
+
+    mesh = Mesh(Box[0:1], None, [33])
+
+    def make_var():
+        v = Field(
+            "u", 1, mesh,
+            {"domain": homogeneous_bcs(1, 0.0, "dirichlet"),
+             "obstacle": None},
+        )
+        v.set_var_tensor(jnp.sin(pi * mesh.X)[None])
+        v.set_time(0.01, 0.0)
+        return v
+
+    solver = Solver(
+        {"fdm": {"method": "cg", "tol": 1e-13, "max_it": 2000,
+                 "report": False, "criterion": "residual"}}
+    )
+    fdm = FDM()
+
+    def step(v, n):
+        for _ in range(n):
+            v.save_old()
+            solver.set_eq(
+                fdm.ddt(v, scheme="bdf2") - fdm.laplacian(0.5, v) == 0.0
+            )
+            solver.solve()
+            v.update_time()
+
+    # Uninterrupted: 6 BDF2 steps
+    v1 = make_var()
+    step(v1, 6)
+
+    # Interrupted at 3 + checkpoint + resume into a fresh Field
+    v2 = make_var()
+    step(v2, 3)
+    checkpoint.save(str(tmp_path / "bdf2"), [v2])
+
+    v3 = make_var()
+    checkpoint.load(str(tmp_path / "bdf2"), [v3])
+    assert v3.n_hist == v2.n_hist
+    assert_allclose(np.asarray(v3.VARoo), np.asarray(v2.VARoo))
+    step(v3, 3)
+    assert_allclose(np.asarray(v3()), np.asarray(v1()), atol=1e-14)
+
+    # Orbax backend: same state round-trip + dt=0.0 sentinel behavior
+    v2.set_time(0.0, v2.t)  # legitimately-zero dt must round-trip
+    checkpoint.save_orbax(str(tmp_path / "bdf2_orbax"), [v2])
+    v4 = make_var()
+    checkpoint.load_orbax(str(tmp_path / "bdf2_orbax"), [v4])
+    assert v4.n_hist == v2.n_hist
+    assert v4._dt == 0.0
+    assert_allclose(np.asarray(v4.VARoo), np.asarray(v2.VARoo))
+
+
 def test_checkpoint_resume_transient(tmp_path) -> None:
     """Resume from a checkpoint reproduces the uninterrupted run exactly."""
     from math import pi
