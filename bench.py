@@ -25,6 +25,7 @@ if os.environ.get("PYAPES_BENCH_CPU"):
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+from pyapes_tpu.backend import enable_compilation_cache  # noqa: E402
 from pyapes_tpu.geometry import Box  # noqa: E402
 from pyapes_tpu.mesh import Mesh  # noqa: E402
 from pyapes_tpu.solver.fdm import FDM  # noqa: E402
@@ -36,6 +37,9 @@ BASELINE_DOF_PER_S_CHIP = (512**3) / 2.0 / 8.0
 
 
 def solve_poisson(n: int, tol: float, max_it: int):
+    # Persistent compile cache: the 512^3 whole-solve compile costs minutes
+    # through the tunneled compile service; pay it once across bench runs.
+    enable_compilation_cache()
     mesh = Mesh(Box[0:1, 0:1, 0:1], None, [n, n, n], device="tpu", dtype="single")
     f_bc = homogeneous_bcs(3, 0.0, "dirichlet")
     var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None}, init_val=0.0)

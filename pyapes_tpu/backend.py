@@ -112,6 +112,36 @@ TorchDevice = Device
 TORCH_DEVICE = DEVICE_TYPES
 
 
+def enable_compilation_cache(path: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache.
+
+    Compiles of the whole-solve ``while_loop`` at 512^3-class grids cost
+    minutes through a tunneled compile service; the on-disk cache pays that
+    once per (program, shape) and makes every later process start in
+    seconds. Call early (before the first jit) from entry points — the
+    library itself never mutates global config.
+
+    Returns the cache directory used.
+    """
+    import os
+
+    if path is None:
+        path = os.environ.get(
+            "PYAPES_COMPILE_CACHE",
+            os.path.join(
+                os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+                "pyapes_tpu_jax_cache",
+            ),
+        )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # Cache everything that took noticeable compile time; tiny programs
+    # recompile faster than they deserialize.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path
+
+
 def local_device_count() -> int:
     return jax.local_device_count()
 

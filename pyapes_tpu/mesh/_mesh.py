@@ -123,8 +123,8 @@ class Mesh:
                 x = self._x_np[i]
                 lo, up = obj.lower[i], obj.upper[i]
                 i0 = int(np.argmin(np.abs(x - lo)))
-                n_i = int(np.ceil((up - lo) / float(self.dx_np[i]))) + 1
-                slicer.append(slice(i0, i0 + n_i))
+                i1 = int(np.argmin(np.abs(x - up)))
+                slicer.append(slice(i0, i1 + 1))
             mask[tuple(slicer)] = True
             out.append(mask)
         return out
@@ -310,16 +310,26 @@ def get_box_mask(
     mask: np.ndarray,
     dim: int,
 ) -> np.ndarray:
-    """Mark the face slab described by ``obj`` (``_mesh.py:375-399``)."""
+    """Mark the face slab described by ``obj`` (``_mesh.py:375-399``).
+
+    Snap rule: both the face origin AND its far end snap to their nearest
+    grid node. The reference instead extends by ``ceil(e_x / dx) + 1``
+    nodes (``_mesh.py:390``) — identical for grid-aligned extents (all
+    domain faces), but for misaligned obstacle boxes the ceil rule
+    produces faces that do not close into a consistent body (a 0.4:0.6
+    box on a 33-node grid gets its upper faces at node 19 while the
+    tangential extents reach node 20). The reference never applies
+    obstacle BCs so it never noticed; our obstacle-Neumann shells would
+    extrapolate from inside the body.
+    """
     x_p = np.asarray(obj["x_p"], dtype=np.float64)
     e_x = np.asarray(obj["e_x"], dtype=np.float64)
 
     slicer = []
     for i in range(dim):
-        snapped = x[i][np.argmin(np.abs(x[i] - x_p[i]))]
-        n_i = int(np.ceil(e_x[i] / dx[i])) + 1
-        i0 = int(np.argmin(np.abs(x[i] - snapped)))
-        slicer.append(slice(i0, i0 + n_i))
+        i0 = int(np.argmin(np.abs(x[i] - x_p[i])))
+        i1 = int(np.argmin(np.abs(x[i] - (x_p[i] + e_x[i]))))
+        slicer.append(slice(i0, i1 + 1))
 
     mask[tuple(slicer)] = True
     return mask

@@ -221,10 +221,25 @@ def _tiles_3d(gs, itemsize, sub: int = 8):
 
 
 def pallas_supported(shape: tuple[int, ...], dtype=jnp.float32) -> bool:
-    """Whether the fused kernel supports this grid shape + dtype (ghost
-    DMAs slice HBM memrefs, so the lane dim must be a 128 multiple and
-    sliced sublane dims aligned to the dtype tile: 8 rows for f32, 16 for
-    bf16)."""
+    """Whether SOME fused kernel supports this grid shape + dtype.
+
+    3-D grids prefer the slab-resident v3 kernels (``pallas_stencil_v3``:
+    only ``nz % 128 == 0`` + a VMEM-fit condition); the v2 tiled kernels
+    remain for 2-D grids and 3-D shapes whose y-z planes exceed VMEM."""
+    if len(shape) == 3:
+        from pyapes_tpu.ops.pallas_stencil_v3 import v3_supported
+
+        # streams=3 guarantees the jacobi/residual kernel fits too, so one
+        # gate serves the solver and the multigrid preconditioner alike.
+        if v3_supported(shape, dtype, streams=3):
+            return True
+    return _v2_supported(shape, dtype)
+
+
+def _v2_supported(shape: tuple[int, ...], dtype=jnp.float32) -> bool:
+    """v2 (tiled ghost-DMA) kernel gate: the lane dim must be a 128
+    multiple and sliced sublane dims aligned to the dtype tile (8 rows for
+    f32, 16 for bf16)."""
     sub = _sublane(dtype)
     # In-register math runs in f32 even for bf16 blocks; budget tiles on
     # the wider temporaries.
@@ -249,10 +264,15 @@ def _pad_targets(gs, dtype):
     tgt = list(gs)
     tgt[-1] = -(-gs[-1] // 128) * 128
     if len(gs) == 3:
-        tgt[1] = -(-gs[1] // sub) * sub
-        # axis 0 is the slab dim; its lane-broadcast coefficient blocks
-        # (tx, 128) still need an 8-aligned sublane extent
+        # v3 slab kernel: y is unconstrained; x only needs a reasonable
+        # slab divisor (multiple of 8 gives tx=8). Minimal padding.
+        from pyapes_tpu.ops.pallas_stencil_v3 import v3_supported
+
         tgt[0] = -(-gs[0] // 8) * 8
+        if v3_supported(tuple(tgt), dtype, streams=3):
+            return None if tuple(tgt) == tuple(gs) else tuple(tgt)
+        # fall back to v2 tiling requirements (y sublane-aligned)
+        tgt[1] = -(-gs[1] // sub) * sub
     else:
         tgt[0] = -(-gs[0] // sub) * sub
     return None if tuple(tgt) == tuple(gs) else tuple(tgt)
@@ -306,7 +326,19 @@ def pallas_axis_stencil(coeffs, x: jnp.ndarray, interpret: bool = False):
     """
     ndim = x.ndim - 1
     gs = x.shape[1:]
-    assert pallas_supported(gs, x.dtype), (
+    if ndim == 3 and not _v2_supported(gs, x.dtype):
+        # v3 (slab-resident) covers shapes v2 cannot (any ny, bf16 odd
+        # sublanes). v2 stays the default where both apply: measured
+        # 3.25 ms vs 4.12 ms at 512^3 f32 on v5e (v3's full-plane tiles
+        # are VPU-bound on the wide sublane rolls).
+        from pyapes_tpu.ops.pallas_stencil_v3 import (
+            pallas_axis_stencil_v3,
+            v3_supported,
+        )
+
+        if v3_supported(gs, x.dtype, streams=3):
+            return pallas_axis_stencil_v3(coeffs, x, interpret)
+    assert _v2_supported(gs, x.dtype), (
         f"pallas stencil: unsupported shape {gs} / {x.dtype}"
     )
     itemsize = max(4, np.dtype(x.dtype).itemsize)
@@ -520,7 +552,17 @@ def pallas_jacobi3d(
     """Fused ``alpha x + beta mask (b - A x)`` for the 3-D scalar-coefficient
     Laplacian. ``x``/``b``: ``(vdim, *nx)``."""
     gs = x.shape[1:]
-    assert len(gs) == 3 and pallas_supported(gs, x.dtype)
+    if len(gs) == 3 and not _v2_supported(gs, x.dtype):
+        from pyapes_tpu.ops.pallas_stencil_v3 import (
+            pallas_jacobi3d_v3,
+            v3_supported,
+        )
+
+        if v3_supported(gs, x.dtype, streams=3):
+            return pallas_jacobi3d_v3(
+                x, b, inv_dx2, alpha, beta, mask_axes, interpret
+            )
+    assert len(gs) == 3 and _v2_supported(gs, x.dtype)
     if not interpret:
         from pyapes_tpu.ops.pallas_stencil_db import pallas_jacobi3d_db
 

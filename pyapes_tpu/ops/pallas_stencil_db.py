@@ -23,7 +23,7 @@ from pyapes_tpu.ops.pallas_stencil import (
     _select_row,
     _sublane,
     _tiles_3d,
-    pallas_supported,
+    _v2_supported,
 )
 
 
@@ -189,7 +189,7 @@ def _stencil3d_dot_db_kernel(
 def pallas_axis_stencil_db(coeffs, x: jnp.ndarray, interpret: bool = False):
     """Double-buffered 3-D fused stencil apply."""
     gs = x.shape[1:]
-    assert len(gs) == 3 and pallas_supported(gs, x.dtype)
+    assert len(gs) == 3 and _v2_supported(gs, x.dtype)
     itemsize = max(4, np.dtype(x.dtype).itemsize)
     sub = _sublane(x.dtype)
     nx, ny, nz = gs
@@ -245,7 +245,15 @@ def pallas_axis_stencil_dot(coeffs, x: jnp.ndarray, interpret: bool = False):
     Returns ``(A x, dots)`` with ``dots`` shaped ``(vdim, 1, 1, 1)``.
     """
     gs = x.shape[1:]
-    assert len(gs) == 3 and pallas_supported(gs, x.dtype)
+    if len(gs) == 3 and not _v2_supported(gs, x.dtype):
+        from pyapes_tpu.ops.pallas_stencil_v3 import (
+            pallas_axis_stencil_dot_v3,
+            v3_supported,
+        )
+
+        if v3_supported(gs, x.dtype, streams=3):
+            return pallas_axis_stencil_dot_v3(coeffs, x, interpret)
+    assert len(gs) == 3 and _v2_supported(gs, x.dtype)
     itemsize = max(4, np.dtype(x.dtype).itemsize)
     sub = _sublane(x.dtype)
     nx, ny, nz = gs
@@ -408,7 +416,7 @@ def pallas_jacobi3d_db(
 ):
     """Double-buffered fused Jacobi smoother / masked residual."""
     gs = x.shape[1:]
-    assert len(gs) == 3 and pallas_supported(gs, x.dtype)
+    assert len(gs) == 3 and _v2_supported(gs, x.dtype)
     itemsize = max(4, np.dtype(x.dtype).itemsize)
     sub = _sublane(x.dtype)
     nx, ny, nz = gs

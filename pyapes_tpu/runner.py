@@ -163,6 +163,9 @@ def _run_rfp(args) -> dict:
 
 
 def main(argv=None) -> None:
+    from pyapes_tpu.backend import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(prog="pyapes_tpu.runner")
     sub = p.add_subparsers(dest="case", required=True)
 

@@ -157,23 +157,70 @@ def clear_cache() -> None:
     _SOLVER_CACHE.clear()
 
 
+def _content_token(val):
+    """Stable, content-based hash token for a BC value.
+
+    The compiled solver closes over the BC objects, so the cache key must
+    change whenever the *traced computation* would: ``id()`` is unsafe (a
+    GC'd callable's id can be reused by a different one — advisor finding
+    r1). Callables are keyed by bytecode + constants + closure contents
+    (recursively), arrays by shape/dtype/bytes; as a result two freshly
+    constructed but identical lambdas share one compiled solver, while
+    changing a closed-over value forces a recompile.
+    """
+    if isinstance(val, (int, float, str, bool)) or val is None:
+        return ("scalar", val)
+    if isinstance(val, (list, tuple)):
+        return ("seq", tuple(_content_token(v) for v in val))
+    if isinstance(val, dict):
+        return (
+            "dict",
+            tuple(sorted((k, _content_token(v)) for k, v in val.items())),
+        )
+    if callable(val):
+        import functools
+
+        if isinstance(val, functools.partial):
+            return (
+                "partial",
+                _content_token(val.func),
+                _content_token(val.args),
+                _content_token(val.keywords),
+            )
+        code = getattr(val, "__code__", None)
+        if code is None:
+            # builtins / callable objects: fall back to type + repr-free id
+            return ("callable_opaque", type(val).__qualname__, id(val))
+        cells = ()
+        if getattr(val, "__closure__", None):
+            cells = tuple(
+                _content_token(c.cell_contents) for c in val.__closure__
+            )
+        consts = tuple(
+            c.co_code if hasattr(c, "co_code") else _content_token(c)
+            for c in (code.co_consts or ())
+        )
+        defaults = tuple(
+            _content_token(d) for d in (getattr(val, "__defaults__", None) or ())
+        )
+        return ("callable", code.co_code, consts, cells, defaults)
+    try:
+        arr = np.asarray(val)
+        return ("array", arr.shape, str(arr.dtype), hash(arr.tobytes()))
+    except Exception:
+        return ("opaque", type(val).__qualname__, id(val))
+
+
 def _bc_signature(bcs) -> tuple:
     sig = []
     for bc in bcs or []:
-        val = bc.bc_val
-        if isinstance(val, (int, float)) or val is None:
-            vkey = ("scalar", val)
-        elif callable(val):
-            vkey = ("callable", id(val))
-        elif isinstance(val, list):
-            vkey = ("list", tuple(val))
-        else:
-            vkey = ("array", id(val))
+        vkey = _content_token(bc.bc_val)
+        okey = _content_token(getattr(bc, "bc_val_opt", None))
         mkey = ()
         if bc.bc_type in ("obstacle_dirichlet", "obstacle_neumann"):
             # Obstacle masks are part of the operator (active-set mask).
             mkey = (hash(bc.bc_mask.tobytes()),)
-        sig.append((bc.bc_type, bc.bc_face, vkey) + mkey)
+        sig.append((bc.bc_type, bc.bc_face, vkey, okey) + mkey)
     return tuple(sig)
 
 

@@ -388,14 +388,25 @@ class ObstacleNeumann:
     exactly linear and idempotent, so the same apply serves both the
     iterate and the operator.
 
+    Shell cells shared by two faces (body edges/corners) are written by
+    whichever face applies LAST in ``faces`` order — a deterministic
+    last-face-wins rule (faces come in mesh ``o_mask`` key order:
+    xl, xu, yl, yu, zl, zu).
+
     Args:
         faces: list of ``(shell_mask, axis, shift, dx)`` — ``shift`` is the
             ``jnp.roll`` amount that brings the fluid neighbor onto the
             shell cell (+1 for a lower face, -1 for an upper face).
         body_mask: filled solid mask (``Mesh.obstacle_body_masks``).
+        all_body_masks: optional list of every obstacle's filled mask; when
+            given, construction validates that each face's 1- and 2-step
+            extrapolation sources are genuine fluid cells (not inside any
+            body, and not wrapped around the domain boundary) — the 4/3
+            rule silently reads garbage otherwise (advisor finding r1).
     """
 
-    def __init__(self, bc_id: str, bc_val, faces, body_mask):
+    def __init__(self, bc_id: str, bc_val, faces, body_mask,
+                 all_body_masks=None):
         assert float(bc_val) == 0.0, (
             "obstacle neumann: only zero-flux (bc_val=0) is supported"
         )
@@ -407,6 +418,32 @@ class ObstacleNeumann:
             for (m, ax, sh, dx) in faces
         ]
         self.bc_mask = np.asarray(body_mask, dtype=bool)
+        if all_body_masks is not None:
+            solid = np.zeros_like(self.bc_mask)
+            for m in all_body_masks:
+                solid |= np.asarray(m, dtype=bool)
+            for mask, axis, shift, _dx in self.faces:
+                n = mask.shape[axis]
+                pos = np.nonzero(mask)[axis]
+                # apply() computes v_k = roll(var, k*shift)[shell], i.e. it
+                # reads var at (shell - k*shift); those source cells must
+                # exist without wrap and must be fluid.
+                for k in (1, 2):
+                    src = pos - k * shift
+                    if ((src < 0) | (src >= n)).any():
+                        raise ValueError(
+                            f"obstacle neumann {bc_id}: shell cells are "
+                            f"within {k} cells of the domain boundary along "
+                            f"axis {axis}; the one-sided extrapolation "
+                            "would wrap around the grid."
+                        )
+                    if (np.roll(mask, -k * shift, axis) & solid).any():
+                        raise ValueError(
+                            f"obstacle neumann {bc_id}: the {k}-step "
+                            f"extrapolation source along axis {axis} lies "
+                            "inside a solid body (bodies too thin or too "
+                            "close together for the 4/3 shell rule)."
+                        )
         self.bc_type = "obstacle_neumann"
         self.bc_face = "obstacle"
         self.bc_face_dim = -1

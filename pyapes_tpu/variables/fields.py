@@ -398,6 +398,9 @@ class Field:
                                 body_mask=(
                                     self.mesh.obstacle_body_masks[i]
                                 ),
+                                all_body_masks=(
+                                    self.mesh.obstacle_body_masks
+                                ),
                             )
                         )
 

@@ -267,3 +267,43 @@ def test_explicit_fdc_with_obstacle_bcs() -> None:
     )
     var2.set_var_tensor(mesh.Y[None])
     assert np.all(np.isfinite(np.asarray(fdc.laplacian(var2))))
+
+
+def test_obstacle_neumann_guard_wall_adjacent() -> None:
+    """A zero-flux body whose shell extrapolation would wrap around the
+    domain boundary (or read another body) must be rejected at construction
+    (the 4/3 rule silently read garbage before — advisor finding r1)."""
+    import pytest
+
+    n = 33
+    # body flush against the xl wall: its xl-face extrapolation sources
+    # (one and two cells beyond the wall) do not exist
+    mesh = Mesh(Box[0:1, 0:1], [Box[0.0:0.2, 0.4:0.6]], [n, n])
+    with pytest.raises(ValueError, match="domain boundary"):
+        Field(
+            "p", 1, mesh,
+            {"domain": homogeneous_bcs(2, 0.0, "dirichlet"),
+             "obstacle": [{"bc_type": "neumann", "bc_val": 0.0}]},
+        )
+
+
+def test_obstacle_neumann_guard_bodies_too_close() -> None:
+    """Two zero-flux bodies separated by a single fluid cell: the shell
+    extrapolation of one reads inside the other -> construction error."""
+    import pytest
+
+    n = 33  # dx = 1/32
+    mesh = Mesh(
+        Box[0:1, 0:1],
+        [Box[0.25:0.375, 0.375:0.625], Box[0.4375:0.5625, 0.375:0.625]],
+        [n, n],
+    )
+    with pytest.raises(ValueError, match="inside a solid body"):
+        Field(
+            "p", 1, mesh,
+            {"domain": homogeneous_bcs(2, 0.0, "dirichlet"),
+             "obstacle": [
+                 {"bc_type": "neumann", "bc_val": 0.0},
+                 {"bc_type": "neumann", "bc_val": 0.0},
+             ]},
+        )

@@ -117,12 +117,17 @@ def test_stencil_dot_interpret() -> None:
 
 
 def test_sublane_alignment_table() -> None:
+    from pyapes_tpu.ops.pallas_stencil import _v2_supported
+
     assert _sublane(jnp.float32) == 8
     assert _sublane(jnp.bfloat16) == 16
-    # bf16 needs 16-row alignment: a 3-D ny=8 grid is f32-only
-    assert pallas_supported((8, 8, 128), jnp.float32)
-    assert not pallas_supported((8, 8, 128), jnp.bfloat16)
-    assert pallas_supported((8, 16, 128), jnp.bfloat16)
+    # v2 tiled kernel: bf16 needs 16-row sublane alignment
+    assert _v2_supported((8, 8, 128), jnp.float32)
+    assert not _v2_supported((8, 8, 128), jnp.bfloat16)
+    assert _v2_supported((8, 16, 128), jnp.bfloat16)
+    # v3 slab kernel has no y constraint, so the public gate accepts all
+    assert pallas_supported((8, 8, 128), jnp.bfloat16)
+    assert pallas_supported((8, 13, 128), jnp.float32)
 
 
 def test_padded_stencil_matches_jnp() -> None:
@@ -185,3 +190,67 @@ def test_padded_solve_matches_jnp_kernel() -> None:
     out, rep1 = solve("pallas")
     assert rep1["converge"]
     assert_allclose(out, ref, atol=1e-7)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("shape", [(8, 16, 128), (12, 13, 128)])
+def test_stencil3d_v3_interpret(dtype, shape) -> None:
+    """Slab-resident v3 kernel vs the jnp roll-sum oracle (any ny; the
+    sublane alignment constraint is gone because only dim 0 is sliced)."""
+    from pyapes_tpu.ops.pallas_stencil_v3 import (
+        pallas_axis_stencil_v3,
+        v3_supported,
+    )
+
+    assert v3_supported(shape, dtype, streams=3)
+    x = _x(shape, dtype)
+    coeffs = _coeffs(shape, dtype)
+    ref = apply_axis_stencil(coeffs, x.astype(jnp.float32))
+    tol = 2e-5 if dtype == jnp.float32 else 0.1
+    out = pallas_axis_stencil_v3(coeffs, x, interpret=True)
+    assert out.dtype == dtype
+    assert_allclose(np.asarray(out, np.float64), np.asarray(ref),
+                    rtol=tol, atol=tol)
+
+
+def test_stencil_dot_v3_interpret() -> None:
+    from pyapes_tpu.ops.pallas_stencil_v3 import pallas_axis_stencil_dot_v3
+
+    shape = (8, 16, 128)
+    x = _x(shape, jnp.float32)
+    coeffs = _coeffs(shape, jnp.float32)
+    ref = apply_axis_stencil(coeffs, x)
+    out, dots = pallas_axis_stencil_dot_v3(coeffs, x, interpret=True)
+    assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    assert dots.shape == (1, 1, 1, 1)
+    want = float(jnp.sum(x * ref))
+    assert_allclose(float(dots[0, 0, 0, 0]), want, rtol=1e-5)
+
+
+def test_jacobi3d_v3_interpret() -> None:
+    from pyapes_tpu.ops.pallas_stencil_v3 import pallas_jacobi3d_v3
+
+    shape = (8, 16, 128)
+    x = _x(shape, jnp.float32)
+    b = _x(shape, jnp.float32) + 1.0
+    inv_dx2 = (4.0, 2.0, 1.0)
+    alpha, beta = 1.0, 0.1
+    mask_axes = (0, 1, 2)
+
+    lap = jnp.zeros_like(x)
+    for j, iv in enumerate(inv_dx2):
+        lap = lap + iv * (
+            jnp.roll(x, -1, 1 + j) + jnp.roll(x, 1, 1 + j) - 2.0 * x
+        )
+    upd = b - lap
+    mask = np.ones(shape, dtype=np.float32)
+    for j in mask_axes:
+        sl = [slice(None)] * 3
+        for edge in (0, -1):
+            sl[j] = edge
+            mask[tuple(sl)] = 0.0
+    ref = alpha * x + beta * jnp.asarray(mask)[None] * upd
+
+    out = pallas_jacobi3d_v3(x, b, inv_dx2, alpha, beta, mask_axes,
+                             interpret=True)
+    assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)

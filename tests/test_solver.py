@@ -474,3 +474,75 @@ def test_negated_equation_sign_aware_neumann() -> None:
         return np.asarray(var()[0])
 
     assert_allclose(run(True), run(False), atol=1e-8)
+
+
+def test_callable_bc_content_cache_key() -> None:
+    """Two freshly constructed but identical lambdas must share ONE compiled
+    solver, and changing a closed-over value must force a new entry with the
+    new boundary values (id()-keyed caching either recompiled every call or
+    could silently serve stale values after id reuse — advisor finding r1)."""
+    from pyapes_tpu.solver import linalg
+
+    def run(c: float):
+        mesh = Mesh(Box[0:1, 0:1], None, [17, 17])
+        f_bc = homogeneous_bcs(2, 0.0, "dirichlet")
+        f_bc[0] = {
+            "bc_face": "xl",
+            "bc_type": "dirichlet",
+            # fresh lambda each call; closes over c
+            "bc_val": (lambda grid, mask, var, opt: c + 0.0 * grid[0]),
+            "bc_val_opt": None,
+        }
+        var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None},
+                    init_val=0.0)
+        solver = Solver(
+            {"fdm": {"method": "cg", "tol": 1e-10, "max_it": 2000,
+                     "report": False, "criterion": "residual"}}
+        )
+        fdm = FDM()
+        solver.set_eq(fdm.laplacian(1.0, var) == jnp.zeros_like(var()))
+        solver.solve()
+        return np.asarray(var()[0])
+
+    linalg.clear_cache()
+    a1 = run(1.0)
+    n1 = len(linalg._SOLVER_CACHE)
+    a2 = run(1.0)
+    assert len(linalg._SOLVER_CACHE) == n1, "identical lambda recompiled"
+    assert_allclose(a1, a2, atol=1e-14)
+    a3 = run(2.0)
+    assert len(linalg._SOLVER_CACHE) == n1 + 1, "closure change not keyed"
+    assert abs(a1[0, 8] - 1.0) < 1e-8
+    assert abs(a3[0, 8] - 2.0) < 1e-8, "stale BC value served from cache"
+
+
+def test_array_bc_content_cache_key() -> None:
+    """Array BC values key by content: equal arrays hit the cache, different
+    values miss (id()-keying recompiled for every freshly built array)."""
+    from pyapes_tpu.solver import linalg
+
+    def run(vals: np.ndarray):
+        mesh = Mesh(Box[0:1, 0:1], None, [17, 17])
+        f_bc = homogeneous_bcs(2, 0.0, "dirichlet")
+        f_bc[0] = {"bc_face": "xl", "bc_type": "dirichlet",
+                   "bc_val": jnp.asarray(vals), "bc_val_opt": None}
+        var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None},
+                    init_val=0.0)
+        solver = Solver(
+            {"fdm": {"method": "cg", "tol": 1e-10, "max_it": 2000,
+                     "report": False, "criterion": "residual"}}
+        )
+        fdm = FDM()
+        solver.set_eq(fdm.laplacian(1.0, var) == jnp.zeros_like(var()))
+        solver.solve()
+        return np.asarray(var()[0])
+
+    linalg.clear_cache()
+    row = np.linspace(0.0, 1.0, 17)
+    a1 = run(row)
+    n1 = len(linalg._SOLVER_CACHE)
+    a2 = run(row.copy())
+    assert len(linalg._SOLVER_CACHE) == n1, "equal array recompiled"
+    assert_allclose(a1, a2, atol=1e-14)
+    run(row * 2.0)
+    assert len(linalg._SOLVER_CACHE) == n1 + 1
