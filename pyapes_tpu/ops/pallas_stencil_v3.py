@@ -293,6 +293,163 @@ def pallas_axis_stencil_dot_v3(
     )
 
 
+# ---------------------------------------------------------------------------
+# Halo-extended variant: the shard_map tier (parallel/halo.py) exchanges
+# ghost rows over ICI with ppermute and hands this kernel a shard-LOCAL
+# block pre-extended by one ghost row on each sharded axis. Neighbor access
+# on extended axes is a static slice of the extended extent (no wrap);
+# unextended axes keep the exact torus roll.
+# ---------------------------------------------------------------------------
+
+
+def ext_supported(out_shape: tuple[int, ...], ext: tuple[int, ...],
+                  dtype=jnp.float32) -> bool:
+    """Gate for ``pallas_axis_stencil_ext``: 3-D, lane dim unextended and
+    128-aligned (an extended lane dim would pad every row by a full vreg),
+    and the extended slab fits VMEM."""
+    if len(out_shape) != 3 or len(ext) != 3:
+        return False
+    if ext[2] != 0 or out_shape[2] % 128 != 0:
+        return False
+    nx, ny, nz = out_shape
+    itemsize = np.dtype(dtype).itemsize
+    plane = (ny + 2 * ext[1]) * nz * itemsize
+    tx = 0
+    for t in range(1, min(16, nx) + 1):
+        if nx % t:
+            continue
+        declared = 2 * (t + 2) * plane + 2 * t * ny * nz * itemsize
+        if declared <= _DECLARED_BUDGET:
+            tx = t
+    return tx >= 1
+
+
+def _ext_tile(out_shape, ext, itemsize) -> int:
+    nx, ny, nz = out_shape
+    plane = (ny + 2 * ext[1]) * nz * itemsize
+    best = 0
+    for t in range(1, min(16, nx) + 1):
+        if nx % t:
+            continue
+        declared = 2 * (t + 2) * plane + 2 * t * ny * nz * itemsize
+        if declared <= _DECLARED_BUDGET:
+            best = t
+    return best
+
+
+def _stencil3d_ext_kernel(
+    x_any,
+    ap0, ac0, am0, ap1, ac1, am1, ap2, ac2, am2,
+    out_ref,
+    stage, sems,
+    *, tx: int, nx: int, ny: int, nz: int, ext: tuple,
+):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    nslot = jax.lax.rem(i + 1, jnp.int32(2))
+
+    def copies(step, slt):
+        sx = step * tx
+        if ext[0]:
+            # extended input: rows [sx, sx+tx+2) of x_ext are exactly the
+            # slab + its halo rows — ONE contiguous DMA.
+            return [
+                pltpu.make_async_copy(
+                    x_any.at[pl.ds(sx, tx + 2)], stage.at[slt],
+                    sems.at[slt, 0],
+                )
+            ]
+        return _stage_copies(x_any, stage, sems, step, slt, tx, nx)
+
+    @pl.when(i == 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for c in copies(i + 1, nslot):
+            c.start()
+
+    for c in copies(i, slot):
+        c.wait()
+
+    cdt = jnp.promote_types(stage.dtype, jnp.float32)
+    cy = slice(ext[1], ext[1] + ny)
+    full = stage[slot]
+    xm = full[0:tx, cy, :].astype(cdt)
+    xc = full[1:tx + 1, cy, :].astype(cdt)
+    xp = full[2:tx + 2, cy, :].astype(cdt)
+    if ext[1]:
+        ym = full[1:tx + 1, 0:ny, :].astype(cdt)
+        yp = full[1:tx + 1, 2:ny + 2, :].astype(cdt)
+    else:
+        ym = pltpu.roll(xc, 1, 1)
+        yp = pltpu.roll(xc, ny - 1, 1)
+    zm = pltpu.roll(xc, 1, 2)
+    zp = pltpu.roll(xc, nz - 1, 2)
+
+    rows = _coeff_rows(
+        (ap0, ac0, am0), (ap1, ac1, am1), (ap2, ac2, am2), tx, ny, nz, cdt
+    )
+    ap0r, ac0r, am0r, ap1r, ac1r, am1r, ap2r, ac2r, am2r = rows
+    out = ap0r * xp
+    out = out + ac0r * xc
+    out = out + am0r * xm
+    out = out + ap1r * yp
+    out = out + ac1r * xc
+    out = out + am1r * ym
+    out = out + ap2r * zp
+    out = out + ac2r * xc
+    out = out + am2r * zm
+    out_ref[:, :, :] = out.astype(out_ref.dtype)
+
+
+def pallas_axis_stencil_ext(
+    coeffs, x_ext: jnp.ndarray, ext: tuple[int, ...],
+    interpret: bool = False,
+):
+    """Fused stencil apply on a halo-extended local block.
+
+    Args:
+        coeffs: per-axis (ap, ac, am) 1-D vectors sized to the OUTPUT
+            (unextended) extents.
+        x_ext: ``(vdim, nx + 2 ext0, ny + 2 ext1, nz)`` — one ghost row on
+            each side of every extended axis (from ``halo_exchange``).
+        ext: per-axis 0/1 extension flags (``ext[2]`` must be 0).
+    """
+    vdim = x_ext.shape[0]
+    gs = tuple(
+        s - 2 * e for s, e in zip(x_ext.shape[1:], ext)
+    )
+    assert ext_supported(gs, ext, x_ext.dtype), (gs, ext)
+    nx, ny, nz = gs
+    tx = _ext_tile(gs, ext, np.dtype(x_ext.dtype).itemsize)
+
+    flat, in_specs = _common_specs(coeffs, gs, tx)
+    call = pl.pallas_call(
+        partial(_stencil3d_ext_kernel, tx=tx, nx=nx, ny=ny, nz=nz,
+                ext=tuple(ext)),
+        grid=(nx // tx,),
+        out_shape=jax.ShapeDtypeStruct(gs, x_ext.dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tx, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tx + 2, ny + 2 * ext[1], nz), x_ext.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )
+    outs = [call(x_ext[d], *flat) for d in range(vdim)]
+    return jnp.stack(outs)
+
+
 def _jacobi3d_v3_kernel(
     x_any,
     b_blk,

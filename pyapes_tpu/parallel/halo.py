@@ -113,3 +113,71 @@ def psum_dot(a: jnp.ndarray, b: jnp.ndarray, axis_names) -> jnp.ndarray:
     """Shard-local dot + cross-shard ``psum`` (for shard_map Krylov loops)."""
     local = jnp.sum(a * b)
     return jax.lax.psum(local, axis_names)
+
+
+def sharded_pallas_supported(decomp, global_shape: tuple[int, ...],
+                             dtype) -> bool:
+    """Whether the shard_map+Pallas tier can run this decomposition: 3-D,
+    lane axis unsharded, per-shard block divisible and ``ext_supported``."""
+    from pyapes_tpu.ops.pallas_stencil_v3 import ext_supported
+
+    if len(global_shape) != 3 or len(decomp.mesh_shape) != 3:
+        return False
+    if decomp.mesh_shape[2] != 1:
+        return False  # lane-dim halos would pad every row by a full vreg
+    if any(s % d for s, d in zip(global_shape, decomp.mesh_shape)):
+        return False
+    local = tuple(s // d for s, d in zip(global_shape, decomp.mesh_shape))
+    ext = tuple(1 if d > 1 else 0 for d in decomp.mesh_shape)
+    return ext_supported(local, ext, dtype)
+
+
+def make_sharded_pallas_apply(decomp, ndim_mesh: int,
+                              interpret: bool = False):
+    """Build a ``(coeffs, x) -> A x`` apply that runs the fused Pallas
+    stencil on each shard with ``ppermute`` halo exchange over ICI.
+
+    This closes the round-1 gap where a domain decomposition forced the
+    jnp roll-sum (GSPMD partitions the rolls but the per-shard compute
+    lost the fused-kernel bandwidth): ghost rows travel via
+    ``halo_exchange``; the shard-local block, pre-extended by one row per
+    sharded axis, feeds ``pallas_axis_stencil_ext``. Coefficient vectors
+    are split along their axes by shard_map, so global-boundary surgery
+    rows land on the edge shards automatically. Non-periodic global faces
+    receive wrapped (garbage) ghosts exactly like the single-device torus
+    kernel — those output rows are masked by the solver's interior mask.
+    """
+    mesh = decomp.device_mesh()
+    data_spec = decomp.spec(1 + ndim_mesh)
+    names = [data_spec[1 + j] for j in range(ndim_mesh)]
+    ext = tuple(1 if n is not None else 0 for n in names)
+    flat_specs = tuple(
+        P(names[j]) for j in range(ndim_mesh) for _ in range(3)
+    )
+
+    def local_apply(x, *coeff_flat):
+        from pyapes_tpu.ops.pallas_stencil_v3 import pallas_axis_stencil_ext
+
+        cs = tuple(
+            (coeff_flat[3 * j], coeff_flat[3 * j + 1], coeff_flat[3 * j + 2])
+            for j in range(ndim_mesh)
+        )
+        for j, nm in enumerate(names):
+            if nm is not None:
+                lo, hi = halo_exchange(x, 1 + j, nm)
+                x = jnp.concatenate([lo, x, hi], axis=1 + j)
+        return pallas_axis_stencil_ext(cs, x, ext, interpret)
+
+    fn = shard_map(
+        local_apply,
+        mesh=mesh,
+        in_specs=(data_spec,) + flat_specs,
+        out_specs=data_spec,
+        # pallas_call outputs carry no varying-mesh-axes annotation yet
+        check_vma=False,
+    )
+
+    def apply(coeffs, x):
+        return fn(x, *[c for triple in coeffs for c in triple])
+
+    return apply

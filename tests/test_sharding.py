@@ -211,3 +211,63 @@ def test_shard_map_stencil_3d() -> None:
     x = jax.device_put(var(), dd.sharding(4))
     out = np.asarray(apply(x))
     assert_allclose(out, expected, atol=1e-12)
+
+@needs_8
+def test_sharded_pallas_apply_matches_jnp() -> None:
+    """shard_map + ppermute halo exchange feeding the fused Pallas kernel
+    (interpret mode) == the jnp roll-sum stencil (VERDICT r1 item 2)."""
+    from pyapes_tpu.parallel.halo import (
+        make_sharded_pallas_apply,
+        sharded_pallas_supported,
+    )
+
+    mesh = Mesh(Box[0:1, 0:1, 0:1], None, [16, 16, 128])
+    var = Field("t", 1, mesh, None, init_val="random")
+    coeffs = laplacian_axis_coeffs(mesh, [])
+    expected = np.asarray(apply_axis_stencil(coeffs, var()))
+
+    for shape in [(8, 1, 1), (2, 4, 1), (4, 2, 1)]:
+        dd = DomainDecomposition(shape)
+        assert sharded_pallas_supported(dd, (16, 16, 128), var().dtype)
+        apply = make_sharded_pallas_apply(dd, 3, interpret=True)
+        x = jax.device_put(var(), dd.sharding(4))
+        out = np.asarray(jax.jit(lambda v: apply(coeffs, v))(x))
+        assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+    # lane-dim sharding is rejected (vreg-padded halos)
+    assert not sharded_pallas_supported(
+        DomainDecomposition((1, 1, 2)), (16, 16, 128), var().dtype
+    )
+
+
+@needs_8
+def test_sharded_pallas_solve_matches_single_device() -> None:
+    """Full Krylov solve with kernel='pallas' under a decomposition: the
+    shard_map+Pallas operator path must reproduce the single-device jnp
+    solution."""
+
+    def run(decomp, kernel):
+        mesh = Mesh(Box[0:1, 0:1, 0:1], None, [16, 16, 128])
+        from pyapes_tpu.variables.bcs import homogeneous_bcs
+
+        var = Field(
+            "p", 1, mesh,
+            {"domain": homogeneous_bcs(3, 0.0, "dirichlet"),
+             "obstacle": None},
+            init_val=0.0,
+        )
+        rng = np.random.default_rng(5)
+        rhs = jnp.asarray(rng.standard_normal((1, 16, 16, 128)))
+        cfg = {"method": "cg", "tol": 1e-10, "max_it": 600,
+               "report": False, "criterion": "residual", "kernel": kernel}
+        if decomp is not None:
+            cfg["decomp"] = decomp
+        solver = Solver({"fdm": cfg})
+        fdm = FDM()
+        solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+        solver.solve()
+        return np.asarray(var()[0]), solver.report
+
+    ref, rep0 = run(None, "jnp")
+    out, rep1 = run(DomainDecomposition((4, 2, 1)), "pallas")
+    assert rep1["converge"]
+    assert_allclose(out, ref, atol=1e-8)
