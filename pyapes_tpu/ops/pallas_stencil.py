@@ -119,9 +119,9 @@ def _stencil3d_kernel(
     )
 
     out = (
-        ap0[:, 0:1].reshape(tx, 1, 1).astype(cdt) * xp
-        + ac0[:, 0:1].reshape(tx, 1, 1).astype(cdt) * xc
-        + am0[:, 0:1].reshape(tx, 1, 1).astype(cdt) * xm
+        ap0[:, 0:1].astype(cdt).reshape(tx, 1, 1) * xp
+        + ac0[:, 0:1].astype(cdt).reshape(tx, 1, 1) * xc
+        + am0[:, 0:1].astype(cdt).reshape(tx, 1, 1) * xm
     )
 
     # y-axis: select ghost rows from the sublane-aligned fetches.
@@ -132,16 +132,16 @@ def _stencil3d_kernel(
     yp = jnp.where(yids == ty - 1, g_hi, pltpu.roll(xc, ty - 1, 1))
 
     out += (
-        ap1[:, 0:1].reshape(1, ty, 1).astype(cdt) * yp
-        + ac1[:, 0:1].reshape(1, ty, 1).astype(cdt) * xc
-        + am1[:, 0:1].reshape(1, ty, 1).astype(cdt) * ym
+        ap1[:, 0:1].astype(cdt).reshape(1, ty, 1) * yp
+        + ac1[:, 0:1].astype(cdt).reshape(1, ty, 1) * xc
+        + am1[:, 0:1].astype(cdt).reshape(1, ty, 1) * ym
     )
 
     # z-axis: full extent in-tile; rolls are exact wraps.
     out += (
-        ap2[:].reshape(1, 1, nz).astype(cdt) * pltpu.roll(xc, nz - 1, 2)
-        + ac2[:].reshape(1, 1, nz).astype(cdt) * xc
-        + am2[:].reshape(1, 1, nz).astype(cdt) * pltpu.roll(xc, 1, 2)
+        ap2[:].astype(cdt).reshape(1, 1, nz) * pltpu.roll(xc, nz - 1, 2)
+        + ac2[:].astype(cdt).reshape(1, 1, nz) * xc
+        + am2[:].astype(cdt).reshape(1, 1, nz) * pltpu.roll(xc, 1, 2)
     )
 
     out_ref[:, :, :] = out.astype(out_ref.dtype)
@@ -191,14 +191,14 @@ def _stencil2d_kernel(
     xp = jnp.where(xids == tx - 1, hi, pltpu.roll(xc, tx - 1, 0))
 
     out = (
-        ap0[:, 0:1].reshape(tx, 1).astype(cdt) * xp
-        + ac0[:, 0:1].reshape(tx, 1).astype(cdt) * xc
-        + am0[:, 0:1].reshape(tx, 1).astype(cdt) * xm
+        ap0[:, 0:1].astype(cdt).reshape(tx, 1) * xp
+        + ac0[:, 0:1].astype(cdt).reshape(tx, 1) * xc
+        + am0[:, 0:1].astype(cdt).reshape(tx, 1) * xm
     )
     out += (
-        ap1[:].reshape(1, ny).astype(cdt) * pltpu.roll(xc, ny - 1, 1)
-        + ac1[:].reshape(1, ny).astype(cdt) * xc
-        + am1[:].reshape(1, ny).astype(cdt) * pltpu.roll(xc, 1, 1)
+        ap1[:].astype(cdt).reshape(1, ny) * pltpu.roll(xc, ny - 1, 1)
+        + ac1[:].astype(cdt).reshape(1, ny) * xc
+        + am1[:].astype(cdt).reshape(1, ny) * pltpu.roll(xc, 1, 1)
     )
     out_ref[:, :] = out.astype(out_ref.dtype)
 

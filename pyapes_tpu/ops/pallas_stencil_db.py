@@ -126,9 +126,9 @@ def _stencil3d_db_compute(
     )
 
     out = (
-        ap0[:, 0:1].reshape(tx, 1, 1).astype(cdt) * xp
-        + ac0[:, 0:1].reshape(tx, 1, 1).astype(cdt) * xc
-        + am0[:, 0:1].reshape(tx, 1, 1).astype(cdt) * xm
+        ap0[:, 0:1].astype(cdt).reshape(tx, 1, 1) * xp
+        + ac0[:, 0:1].astype(cdt).reshape(tx, 1, 1) * xc
+        + am0[:, 0:1].astype(cdt).reshape(tx, 1, 1) * xm
     )
 
     g_lo = _select_row(yg_lo[slot].astype(cdt), gy_lo - gy_lo_blk, 1)
@@ -138,15 +138,15 @@ def _stencil3d_db_compute(
     yp = jnp.where(yids == ty - 1, g_hi, pltpu.roll(xc, ty - 1, 1))
 
     out += (
-        ap1[:, 0:1].reshape(1, ty, 1).astype(cdt) * yp
-        + ac1[:, 0:1].reshape(1, ty, 1).astype(cdt) * xc
-        + am1[:, 0:1].reshape(1, ty, 1).astype(cdt) * ym
+        ap1[:, 0:1].astype(cdt).reshape(1, ty, 1) * yp
+        + ac1[:, 0:1].astype(cdt).reshape(1, ty, 1) * xc
+        + am1[:, 0:1].astype(cdt).reshape(1, ty, 1) * ym
     )
 
     out += (
-        ap2[:].reshape(1, 1, nz).astype(cdt) * pltpu.roll(xc, nz - 1, 2)
-        + ac2[:].reshape(1, 1, nz).astype(cdt) * xc
-        + am2[:].reshape(1, 1, nz).astype(cdt) * pltpu.roll(xc, 1, 2)
+        ap2[:].astype(cdt).reshape(1, 1, nz) * pltpu.roll(xc, nz - 1, 2)
+        + ac2[:].astype(cdt).reshape(1, 1, nz) * xc
+        + am2[:].astype(cdt).reshape(1, 1, nz) * pltpu.roll(xc, 1, 2)
     )
     return xc, out
 

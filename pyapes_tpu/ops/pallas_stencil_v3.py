@@ -151,10 +151,11 @@ def _slab_apply(stage, slot, coeff_rows, tx, ny, nz):
 
 
 def _coeff_rows(ax0, ax1, ax2, tx, ny, nz, cdt):
-    """Shape the 9 pipelined coefficient inputs for broadcast."""
-    ap0, ac0, am0 = (a[:, 0:1].reshape(tx, 1, 1).astype(cdt) for a in ax0)
-    ap1, ac1, am1 = (a[:, 0:1].reshape(1, ny, 1).astype(cdt) for a in ax1)
-    ap2, ac2, am2 = (a[:].reshape(1, 1, nz).astype(cdt) for a in ax2)
+    """Shape the 9 pipelined coefficient inputs for broadcast (upcast
+    BEFORE reshape: Mosaic's minor-dim-insertion reshape is 32-bit-only)."""
+    ap0, ac0, am0 = (a[:, 0:1].astype(cdt).reshape(tx, 1, 1) for a in ax0)
+    ap1, ac1, am1 = (a[:, 0:1].astype(cdt).reshape(1, ny, 1) for a in ax1)
+    ap2, ac2, am2 = (a[:].astype(cdt).reshape(1, 1, nz) for a in ax2)
     return ap0, ac0, am0, ap1, ac1, am1, ap2, ac2, am2
 
 

@@ -372,21 +372,24 @@ class ObstacleDirichlet:
 
 
 class ObstacleNeumann:
-    """Zero-flux (insulated-wall) condition on an interior obstacle.
+    """Neumann (flux) condition on an interior obstacle.
 
     The reference raises NotImplementedError on any obstacle BC
     (``linalg.py:286-292``). Here the obstacle's surface-shell cells take a
-    one-sided extrapolation of their fluid-side neighbors (second-order
-    zero-gradient, the 4/3 rule used on domain Neumann faces,
-    outward normal pointing from the obstacle into the fluid), applied as a
-    static-mask ``jnp.where`` over per-face rolls. The whole solid body is
-    excluded from the Krylov active set, and the copy is folded into the
-    operator applied to search directions (``linalg.py`` wraps ``Aop``) so
-    the reduced system is consistent.
+    one-sided extrapolation of their fluid-side neighbors (the
+    second-order 4/3 rule used on domain Neumann faces, outward normal
+    pointing from the obstacle into the fluid), applied as a static-mask
+    ``jnp.where`` over per-face rolls. The whole solid body is excluded
+    from the Krylov active set, and the LINEAR part of the copy is folded
+    into the operator applied to search directions (``linalg.py`` wraps
+    ``Aop``) so the reduced system is consistent.
 
-    Only homogeneous flux (``bc_val == 0``) is supported: the copy is then
-    exactly linear and idempotent, so the same apply serves both the
-    iterate and the operator.
+    Nonzero flux ``V`` adds the affine shift ``+ (2/3) V dx`` per face
+    (matching the domain-Neumann convention ``bcs.py:216-253``): the shell
+    value is ``(4 v1 - v2)/3 + (2/3) V dx``. The affine part is exposed as
+    ``affine_field`` and moved to the solve's RHS
+    (``rhs -= A(e)``, the standard elimination of an affine BC), while
+    ``apply_linear`` serves the operator fold.
 
     Shell cells shared by two faces (body edges/corners) are written by
     whichever face applies LAST in ``faces`` order — a deterministic
@@ -407,11 +410,8 @@ class ObstacleNeumann:
 
     def __init__(self, bc_id: str, bc_val, faces, body_mask,
                  all_body_masks=None):
-        assert float(bc_val) == 0.0, (
-            "obstacle neumann: only zero-flux (bc_val=0) is supported"
-        )
         self.bc_id = bc_id
-        self.bc_val = 0.0
+        self.bc_val = float(bc_val)
         self.bc_val_opt = None
         self.faces = [
             (np.asarray(m, dtype=bool), int(ax), int(sh), float(dx))
@@ -455,15 +455,41 @@ class ObstacleNeumann:
         return self.bc_type
 
     def apply(self, var: jnp.ndarray, grid, var_dim: int | None = None):
-        # second-order one-sided zero gradient (the 4/3 rule used for
-        # domain Neumann faces): v_shell = (4 v1 - v2) / 3 with v1, v2 the
-        # first/second fluid-side neighbors
+        # second-order one-sided gradient (the 4/3 rule used for domain
+        # Neumann faces): v_shell = (4 v1 - v2)/3 + (2/3) V dx with
+        # v1, v2 the first/second fluid-side neighbors
+        for mask, axis, shift, dx in self.faces:
+            m = jnp.asarray(mask)[None]
+            v1 = jnp.roll(var, shift, axis=1 + axis)
+            v2 = jnp.roll(var, 2 * shift, axis=1 + axis)
+            new = (4.0 * v1 - v2) / 3.0
+            if self.bc_val != 0.0:
+                new = new + (2.0 / 3.0) * self.bc_val * dx
+            var = jnp.where(m, new, var)
+        return var
+
+    def apply_linear(self, var: jnp.ndarray, grid,
+                     var_dim: int | None = None):
+        """The linear (zero-flux) part of ``apply`` — folded into the
+        operator for Krylov search directions."""
         for mask, axis, shift, _dx in self.faces:
             m = jnp.asarray(mask)[None]
             v1 = jnp.roll(var, shift, axis=1 + axis)
             v2 = jnp.roll(var, 2 * shift, axis=1 + axis)
             var = jnp.where(m, (4.0 * v1 - v2) / 3.0, var)
         return var
+
+    def affine_field(self, shape, dtype) -> jnp.ndarray:
+        """The affine shift ``e``: zeros with ``(2/3) V dx`` on each face's
+        shell (last-face-wins at edges, matching ``apply``). The solve
+        eliminates it via ``rhs -= A(e)``."""
+        e = jnp.zeros(shape, dtype=dtype)
+        if self.bc_val == 0.0:
+            return e
+        for mask, axis, shift, dx in self.faces:
+            m = jnp.asarray(mask)[None]
+            e = jnp.where(m, (2.0 / 3.0) * self.bc_val * dx, e)
+        return e
 
 
 BC_type = (

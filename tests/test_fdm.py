@@ -335,3 +335,43 @@ def test_banks_match_axis_coeffs() -> None:
         assert_allclose(
             np.asarray(grad_banks[0][j]), np.asarray(expected[0]), atol=1e-12
         )
+
+
+def test_explicit_fdc_structured_coefficients() -> None:
+    """Explicit Laplacian/Grad/scalar-Div coefficients are per-axis 1-D
+    vectors (KB), not full-grid banks (VERDICT r1 item 4: the reference
+    layout is ~8 GB at 512^3). Varying advection legitimately keeps banks."""
+    from pyapes_tpu.solver.fdc import FDC, AxisCoeffs
+
+    from pyapes_tpu.variables.bcs import mixed_bcs
+
+    mesh = Mesh(Box[0:1, 0:1], None, [33, 33])
+    f_bc = mixed_bcs([0.0, 0.0, 0.0, 0.0],
+                     ["neumann", "dirichlet", "periodic", "periodic"])
+    var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None},
+                init_val="random")
+    fdc = FDC({"laplacian": {"edge": False}, "grad": {"edge": False},
+               "div": {"limiter": "upwind", "edge": False}})
+
+    fdc.laplacian(var)
+    assert isinstance(fdc.laplacian.A_coeffs, AxisCoeffs)
+    for j, cs in enumerate(fdc.laplacian.A_coeffs.vecs):
+        assert all(c.shape == (33,) for c in cs)
+
+    fdc.grad(var)
+    assert isinstance(fdc.grad.A_coeffs, AxisCoeffs)
+
+    fdc.div(2.0, var)
+    assert isinstance(fdc.div.A_coeffs, AxisCoeffs)
+
+    # varying advection: full banks remain (coefficients are per-point)
+    adv = Field("u", 1, mesh, None, init_val="random")
+    fdc.div(adv, var)
+    assert not isinstance(fdc.div.A_coeffs, AxisCoeffs)
+
+    # scalar-div vectors == varying-div banks with a constant field
+    const = Field("c", 1, mesh, None, init_val=0.0)
+    const.VAR = jnp.full_like(const(), 2.0)
+    d1 = fdc.div(2.0, var)
+    d2 = fdc.div(const, var)
+    assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-12)

@@ -284,3 +284,24 @@ def test_channel_flow_past_obstacle() -> None:
     # the side gap
     assert u[24, 16] < 0.7, u[24, 16]
     assert u[24, 5] > 4.0 * 0.15 * 0.85 + 0.1, u[24, 5]
+
+
+@pytest.mark.slow
+def test_lid_driven_cavity_ghia_129() -> None:
+    """Ghia et al. (1982) Re=100 at the reference's own 129² resolution
+    (opt-in; VERDICT r1 item 5: u_min within 3% of -0.2109). Implicit
+    convection + Rhie-Chow stabilization, marched to steady state."""
+    mesh = Mesh(Box[0:1, 0:1], None, [129, 129])
+    model = LidDrivenCavity(mesh, nu=0.01, lid_velocity=1.0,
+                            implicit_advection=True)
+    model.run(dt=0.05, n_steps=600)  # t = 30
+
+    u = np.asarray(model.u()[0])
+    v = np.asarray(model.v()[0])
+    mid = u.shape[0] // 2
+    u_min = u[mid, :].min()
+    v_max = v[:, mid].max()
+    v_min = v[:, mid].min()
+    assert abs(u_min - (-0.2109)) < 0.03 * 0.2109, u_min
+    assert abs(v_max - 0.1753) < 0.05 * 0.1753, v_max
+    assert abs(v_min - (-0.2453)) < 0.05 * 0.2453, v_min

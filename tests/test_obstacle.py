@@ -10,7 +10,7 @@ from pyapes_tpu.mesh import Mesh
 from pyapes_tpu.solver import FDM, Solver
 from pyapes_tpu.solver import linalg as L
 from pyapes_tpu.variables import Field
-from pyapes_tpu.variables.bcs import homogeneous_bcs
+from pyapes_tpu.variables.bcs import homogeneous_bcs, mixed_bcs
 
 
 def _solve_hot_obstacle(n=33):
@@ -307,3 +307,118 @@ def test_obstacle_neumann_guard_bodies_too_close() -> None:
                  {"bc_type": "neumann", "bc_val": 0.0},
              ]},
         )
+
+
+def test_heated_obstacle_nonzero_flux_vs_dense_oracle() -> None:
+    """Nonzero-flux (heated) immersed body: Krylov solution == dense solve
+    of the affine-eliminated system, and the shell gradient equals the
+    prescribed flux (VERDICT r1 item 10)."""
+    from pyapes_tpu.solver import linalg as L
+
+    n = 33
+    V = 5.0
+    mesh = Mesh(Box[0:1, 0:1], [Box[0.4:0.6, 0.4:0.6]], [n, n])
+    var = Field(
+        "T", 1, mesh,
+        {
+            "domain": homogeneous_bcs(2, 0.0, "dirichlet"),
+            "obstacle": [{"bc_type": "neumann", "bc_val": V}],
+        },
+    )
+    solver = Solver(
+        {"fdm": {"method": "cg", "tol": 1e-12, "max_it": 5000,
+                 "report": False, "criterion": "residual"}}
+    )
+    fdm = FDM()
+    solver.set_eq(fdm.laplacian(1.0, var) == jnp.zeros_like(var()))
+    rep = solver.solve()
+    assert rep["converge"]
+    v = np.asarray(var()[0])
+    assert np.all(np.isfinite(v))
+    # heat flows OUT of the body: temperature peaks at the shell
+    assert v.max() > 0.1
+
+    body = mesh.obstacle_body_masks[0]
+    obn = [b for b in var.bcs if b.bc_type == "obstacle_neumann"][0]
+
+    # prescribed flux satisfied on non-corner shell cells:
+    # v_shell = (4 v1 - v2)/3 + (2/3) V dx
+    for mask, axis, shift, fdx in obn.faces:
+        v1 = np.roll(v, shift, axis=axis)
+        v2 = np.roll(v, 2 * shift, axis=axis)
+        only = mask.copy()
+        for m2, _, _, _ in obn.faces:
+            if m2 is not mask:
+                only &= ~m2
+        assert_allclose(
+            v[only], ((4 * v1 - v2) / 3)[only] + (2.0 / 3.0) * V * fdx,
+            atol=1e-9,
+        )
+
+    # dense oracle: A v = -A_raw(e) on the active set with the LINEAR fold
+    terms = [solver.eqs[k] for k in sorted(solver.eqs)]
+    descs = tuple(L._term_descriptor(r) for r in terms)
+    tparams = tuple(L._term_params(r, d) for r, d in zip(terms, descs))
+    Aop = L._make_Aop(descs)
+
+    def wrapped(e):
+        return Aop(obn.apply_linear(jnp.asarray(e), None), tparams)
+
+    N = n * n
+    interior = np.zeros((n, n), dtype=bool)
+    interior[1:-1, 1:-1] = True
+    active = (interior & ~body).ravel()
+    A = np.zeros((N, N))
+    for k in np.nonzero(active)[0]:
+        e = np.zeros((1, n, n))
+        e.flat[k] = 1.0
+        A[:, k] = np.asarray(wrapped(e)).ravel()
+    eshift = obn.affine_field((1, n, n), v.dtype)
+    b = -np.asarray(Aop(eshift, tparams)).ravel()
+    xi = np.linalg.solve(A[np.ix_(active, active)], b[active])
+    xfull = np.zeros(N)
+    xfull[active] = xi
+    xfull = np.asarray(
+        obn.apply(jnp.asarray(xfull.reshape(1, n, n)), None)
+    ).ravel()
+    check = active.copy()
+    for mask, _, _, _ in obn.faces:
+        check |= mask.ravel()
+    assert_allclose(v.ravel()[check], xfull[check], atol=1e-8)
+
+
+def test_obstacle_with_periodic_axis() -> None:
+    """Obstacle BCs compose with a periodic axis (round 1 raised
+    NotImplementedError): hot body in a channel periodic along x, Dirichlet
+    walls in y — solution finite, periodic-consistent, body pinned."""
+    n = 33
+    mesh = Mesh(Box[0:1, 0:1], [Box[0.4:0.6, 0.4:0.6]], [n, n])
+    f_bc = mixed_bcs(
+        [None, None, 0.0, 0.0],
+        ["periodic", "periodic", "dirichlet", "dirichlet"],
+    )
+    var = Field(
+        "p", 1, mesh,
+        {
+            "domain": f_bc,
+            "obstacle": [{"bc_type": "dirichlet", "bc_val": 1.0}],
+        },
+    )
+    solver = Solver(
+        {"fdm": {"method": "cg", "tol": 1e-11, "max_it": 5000,
+                 "report": False, "criterion": "residual"}}
+    )
+    fdm = FDM()
+    solver.set_eq(fdm.laplacian(1.0, var) == jnp.zeros_like(var()))
+    rep = solver.solve()
+    assert rep["converge"]
+    v = np.asarray(var()[0])
+    assert np.all(np.isfinite(v))
+    # periodic seam: duplicate plane restored
+    assert_allclose(v[0, :], v[-1, :], atol=1e-12)
+    # maximum principle between hot body (1) and cold walls (0)
+    assert v.max() <= 1.0 + 1e-9 and v.min() >= -1e-9
+    shell = np.zeros((n, n), dtype=bool)
+    for m in mesh.o_mask[0].values():
+        shell |= m
+    assert_allclose(v[shell], 1.0, atol=1e-12)

@@ -1,5 +1,6 @@
 """Jacobian/Hessian/DiffFlux tests (ported from reference
 ``tests/test_spatial.py``)."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from numpy.testing import assert_allclose
@@ -128,3 +129,64 @@ def test_derivative_data_structure() -> None:
     assert sorted(test_hess.keys) == ["rr", "zz"]
     for test, target in zip(test_hess, [z, x]):
         assert_allclose(test, target)
+
+
+def test_div_hess_upwind_oracle() -> None:
+    """Upwind Div with a Hessian-tensor advector (the reference raises,
+    ``fdc.py:651-660``; VERDICT r1 item 7): matches a hand-rolled
+    min/max-split upwind using the selected H components, on the rz mesh."""
+    from pyapes_tpu.solver.fdc import FDC
+    from pyapes_tpu.variables.container import Hess
+
+    mesh = Mesh(Cylinder[0:2, -1:1], None, [16, 24])
+    var = Field("f", 1, mesh, None, init_val="random")
+    rng = np.random.default_rng(3)
+    H = Hess(
+        rr=jnp.asarray(rng.standard_normal(tuple(mesh.nx))),
+        rz=jnp.asarray(rng.standard_normal(tuple(mesh.nx))),
+        zz=jnp.asarray(rng.standard_normal(tuple(mesh.nx))),
+    )
+
+    fdc = FDC({"div": {"limiter": "upwind", "edge": False}})
+    out = np.asarray(fdc.div(H, var)[0])
+
+    # oracle: scalar target selects H_{r j} for axis j ('rr', 'rz')
+    phi = var()[0]
+    r = np.asarray(mesh._x_np[0])[:, None]
+    expected = np.zeros_like(out)
+    for j, key in enumerate(("rr", "rz")):
+        a = H[key]
+        dxj = float(mesh.dx_np[j])
+        g_min = jnp.minimum(a, 0.0)
+        g_max = jnp.maximum(a, 0.0)
+        acb = np.zeros(tuple(mesh.nx))
+        if j == 0:
+            with np.errstate(divide="ignore"):
+                acb = np.nan_to_num(2.0 * dxj / r, posinf=0.0) * np.ones(
+                    tuple(mesh.nx)
+                )
+        term = (
+            2.0 * g_min * jnp.roll(phi, -1, j)
+            + (2.0 * (g_max - g_min) + jnp.asarray(acb) * a) * phi
+            - 2.0 * g_max * jnp.roll(phi, 1, j)
+        ) / (2.0 * dxj)
+        expected += np.asarray(term)
+    assert_allclose(out, expected, atol=1e-12)
+
+    # QUICK with a Hess advector: builds (no raise), finite output,
+    # boundary-adjacent rows equal the upwind fallback
+    fdc_q = FDC({"div": {"limiter": "quick", "edge": False}})
+    out_q = np.asarray(fdc_q.div(H, var)[0])
+    assert np.all(np.isfinite(out_q))
+    # the fallback is per-axis: only cells where BOTH axes are
+    # boundary-adjacent reduce fully to upwind
+    for ci in (1, -2):
+        for cj in (1, -2):
+            assert_allclose(out_q[ci, cj], out[ci, cj], atol=1e-12)
+
+    # edge mode with a Hess advector no longer raises
+    fdc_e = FDC({"div": {"limiter": "upwind", "edge": True}})
+    out_e = np.asarray(fdc_e.div(H, var, edge=True)[0])
+    assert np.all(np.isfinite(out_e))
+    # interior rows agree with the non-edge apply
+    assert_allclose(out_e[2:-2, 2:-2], out[2:-2, 2:-2], atol=1e-12)
