@@ -535,6 +535,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         advect_pallas,
         mg_spec,
         config.get("nullspace"),
+        config.get("debug"),
     )
 
     if key not in _SOLVER_CACHE:
@@ -706,7 +707,28 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 return _raw(e, tp)
         else:
             rhs_shift = None
-        _SOLVER_CACHE[key] = (jax.jit(fn), rhs_shift)
+        if config.get("debug") == "nan":
+            # In-loop NaN/div checking (SURVEY §5.2): checkify instruments
+            # every float op INSIDE the compiled while_loop — opt-in (it
+            # costs throughput) but pinpoints the first bad operation
+            # instead of the post-solve "Invalid tolerance" symptom.
+            from jax.experimental import checkify
+
+            cfn = jax.jit(
+                checkify.checkify(
+                    fn,
+                    errors=checkify.float_checks | checkify.nan_checks,
+                )
+            )
+
+            def fn_checked(x0_, rhs_, tp_, _cfn=cfn):
+                err, out = _cfn(x0_, rhs_, tp_)
+                err.throw()
+                return out
+
+            _SOLVER_CACHE[key] = (fn_checked, rhs_shift)
+        else:
+            _SOLVER_CACHE[key] = (jax.jit(fn), rhs_shift)
 
     fn_c, rhs_shift = _SOLVER_CACHE[key]
     if rhs_shift is not None:

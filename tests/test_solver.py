@@ -546,3 +546,32 @@ def test_array_bc_content_cache_key() -> None:
     assert_allclose(a1, a2, atol=1e-14)
     run(row * 2.0)
     assert len(linalg._SOLVER_CACHE) == n1 + 1
+
+
+def test_debug_nan_checkify() -> None:
+    """Opt-in in-loop NaN checking (SURVEY §5.2): a NaN entering the
+    compiled while_loop raises from checkify instead of surfacing as the
+    end-of-solve 'Invalid tolerance' symptom."""
+    from jax.experimental.checkify import JaxRuntimeError
+
+    mesh = Mesh(Box[0:1, 0:1], None, [17, 17])
+    var = Field("p", 1, mesh,
+                {"domain": homogeneous_bcs(2, 0.0, "dirichlet")},
+                init_val=0.0)
+    rhs = jnp.zeros_like(var()).at[0, 5, 5].set(jnp.nan)
+    solver = Solver(
+        {"fdm": {"method": "cg", "tol": 1e-8, "max_it": 50,
+                 "report": False, "debug": "nan"}}
+    )
+    fdm = FDM()
+    solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+    with pytest.raises((JaxRuntimeError, ValueError, RuntimeError)):
+        solver.solve()
+
+    # clean problem passes through the checked path
+    var2 = Field("p", 1, mesh,
+                 {"domain": homogeneous_bcs(2, 0.0, "dirichlet")},
+                 init_val=0.0)
+    solver.set_eq(fdm.laplacian(1.0, var2) == jnp.ones_like(var2()))
+    rep = solver.solve()
+    assert rep["converge"]
