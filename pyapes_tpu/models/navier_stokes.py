@@ -69,7 +69,12 @@ def _obstacle_setup(mesh):
 
 
 class LidDrivenCavity:
-    """2-D lid-driven cavity, Re = U L / nu.
+    """Lid-driven cavity in 2-D or 3-D, Re = U L / nu.
+
+    3-D: the top wall (zu face) moves along +x; centerline profiles at
+    Re=100 compare against Ku et al. (1987) / Jiang et al. (1994)
+    qualitatively. On TPU the 3-D momentum solves ride the fused
+    varying-advection Pallas kernels (implicit convection).
 
     If the mesh carries interior obstacles, they become immersed no-slip
     bodies: velocities take obstacle-Dirichlet 0 (shell pinned, solid
@@ -87,7 +92,7 @@ class LidDrivenCavity:
     def __init__(self, mesh: Mesh, nu: float = 0.01, lid_velocity: float = 1.0,
                  config=None, implicit_advection: bool = False,
                  rhie_chow: bool = True, incremental: bool = True):
-        assert mesh.dim == 2 and mesh.coord_sys == "xyz"
+        assert mesh.dim in (2, 3) and mesh.coord_sys == "xyz"
         self.mesh = mesh
         self.nu = nu
         self.lid = lid_velocity
@@ -95,21 +100,45 @@ class LidDrivenCavity:
         self.rhie_chow = rhie_chow
         self.incremental = incremental
 
-        d = {"bc_type": "dirichlet", "bc_val": 0.0}
-        u_bc = BoxBoundary(
-            xl=d, xu=d, yl=d,
-            yu={"bc_type": "dirichlet", "bc_val": float(lid_velocity)},
-        )
-        v_bc = BoxBoundary(xl=d, xu=d, yl=d, yu=d)
-        n = {"bc_type": "neumann", "bc_val": 0.0}
-        p_bc = BoxBoundary(xl=n, xu=n, yl=n, yu=n)
+        from pyapes_tpu.geometry.basis import FDIR
+
+        dim = mesh.dim
+        faces = FDIR[: 2 * dim]
+        lid_face = faces[2 * dim - 1]  # yu (2-D) / zu (3-D): the top wall
+
+        def vel_bc(component: int):
+            return [
+                {
+                    "bc_face": f,
+                    "bc_type": "dirichlet",
+                    "bc_val": (
+                        float(lid_velocity)
+                        if (f == lid_face and component == 0)
+                        else 0.0
+                    ),
+                    "bc_val_opt": None,
+                }
+                for f in faces
+            ]
+
+        p_bc = [
+            {"bc_face": f, "bc_type": "neumann", "bc_val": 0.0,
+             "bc_val_opt": None}
+            for f in faces
+        ]
 
         uv_obs, p_obs, self._body, self._body_near = _obstacle_setup(mesh)
-        self.u = Field("u", 1, mesh, {"domain": u_bc(), "obstacle": uv_obs},
-                       init_val=0.0)
-        self.v = Field("v", 1, mesh, {"domain": v_bc(), "obstacle": uv_obs},
-                       init_val=0.0)
-        self.p = Field("p", 1, mesh, {"domain": p_bc(), "obstacle": p_obs},
+        names = ("u", "v", "w")[:dim]
+        self.vel = [
+            Field(nm, 1, mesh, {"domain": vel_bc(j), "obstacle": uv_obs},
+                  init_val=0.0)
+            for j, nm in enumerate(names)
+        ]
+        self.u = self.vel[0]
+        self.v = self.vel[1]
+        if dim == 3:
+            self.w = self.vel[2]
+        self.p = Field("p", 1, mesh, {"domain": p_bc, "obstacle": p_obs},
                        init_val=0.0)
 
         # all-Neumann pressure: singular, needs the zero-mean projection
@@ -162,61 +191,54 @@ class LidDrivenCavity:
 
     def _advect(self, field: Field):
         g = self._grad(field)
-        return self.u()[0] * g[0] + self.v()[0] * g[1]
+        out = self.vel[0]()[0] * g[0]
+        for j in range(1, self.mesh.dim):
+            out = out + self.vel[j]()[0] * g[j]
+        return out
 
     def step(self, dt: float) -> None:
         mesh = self.mesh
-        dx = float(mesh.dx_np[0])
-        dy = float(mesh.dx_np[1])
+        dim = mesh.dim
 
         # 1. momentum: implicit diffusion; advection either explicit
         # (reference-style splitting) or implicit via fdm.conv (Picard-
         # linearized, no advective CFL limit).
-        for var in (self.u, self.v):
+        for var in self.vel:
             if var._dt is None:
                 var.set_time(dt, self.t)
             var.save_old()
         if self.incremental:
             gp_old = self._grad(self.p)
-            rhs_px, rhs_py = -gp_old[0], -gp_old[1]
+            rhs_pg = [-gp_old[j] for j in range(dim)]
         else:
-            rhs_px = rhs_py = 0.0
+            rhs_pg = [0.0] * dim
         if self.implicit_advection:
-            uvec = jnp.concatenate([self.u(), self.v()], axis=0)
-            self.mom_solver.set_eq(
-                self.fdm.ddt(self.u)
-                + self.fdm.conv(uvec, self.u)
-                - self.fdm.laplacian(self.nu, self.u)
-                == jnp.zeros_like(self.u()) + rhs_px
-            )
-            self.mom_solver.solve()
-            self.mom_solver.set_eq(
-                self.fdm.ddt(self.v)
-                + self.fdm.conv(uvec, self.v)
-                - self.fdm.laplacian(self.nu, self.v)
-                == jnp.zeros_like(self.v()) + rhs_py
-            )
-            self.mom_solver.solve()
+            uvec = jnp.concatenate([v() for v in self.vel], axis=0)
+            for j, var in enumerate(self.vel):
+                self.mom_solver.set_eq(
+                    self.fdm.ddt(var)
+                    + self.fdm.conv(uvec, var)
+                    - self.fdm.laplacian(self.nu, var)
+                    == jnp.zeros_like(var()) + rhs_pg[j]
+                )
+                self.mom_solver.solve()
         else:
-            rhs_u = (-self._advect(self.u) + rhs_px)[None]
-            rhs_v = (-self._advect(self.v) + rhs_py)[None]
-            self.mom_solver.set_eq(
-                self.fdm.ddt(self.u) - self.fdm.laplacian(self.nu, self.u)
-                == rhs_u
-            )
-            self.mom_solver.solve()
-            self.mom_solver.set_eq(
-                self.fdm.ddt(self.v) - self.fdm.laplacian(self.nu, self.v)
-                == rhs_v
-            )
-            self.mom_solver.solve()
+            for j, var in enumerate(self.vel):
+                rhs_j = (-self._advect(var) + rhs_pg[j])[None]
+                self.mom_solver.set_eq(
+                    self.fdm.ddt(var) - self.fdm.laplacian(self.nu, var)
+                    == rhs_j
+                )
+                self.mom_solver.solve()
 
-        self.u.apply_bcs()
-        self.v.apply_bcs()
+        for var in self.vel:
+            var.apply_bcs()
 
         # 2. pressure Poisson: lap p = div(u*) / dt (for an all-Neumann
         # singular system: consistent zero-mean RHS + demeaned solution)
-        div_star = self._grad(self.u)[0] + self._grad(self.v)[1]
+        div_star = self._grad(self.vel[0])[0]
+        for j in range(1, dim):
+            div_star = div_star + self._grad(self.vel[j])[j]
         rhs_p = div_star / dt
         if self.rhie_chow:
             # Rhie-Chow-equivalent pressure stabilization (momentum
@@ -228,7 +250,9 @@ class LidDrivenCavity:
             # the RHS makes the scheme consistent to O(dt (p - p_prev))
             # and damps the decoupled mode.
             gp = self._grad(self.p)
-            lap_w = _ddx(gp[0], dx, 0) + _ddx(gp[1], dy, 1)
+            lap_w = sum(
+                _ddx(gp[j], float(mesh.dx_np[j]), j) for j in range(dim)
+            )
             lap_c = self._fdc.laplacian(self.p, edge=True)[0]
             rc = lap_c - lap_w
             # the wide/compact mismatch is O(h^2 d4p) only where p is
@@ -239,7 +263,7 @@ class LidDrivenCavity:
                 import numpy as np
 
                 m = np.zeros(tuple(self.mesh.nx), dtype=bool)
-                m[2:-2, 2:-2] = True
+                m[(slice(2, -2),) * dim] = True
                 self._rc_mask = jnp.asarray(m)
             rc = jnp.where(self._rc_mask, rc, 0.0)
             if self._body_near is not None:
@@ -271,17 +295,16 @@ class LidDrivenCavity:
 
         # 3. projection + BCs (incremental: project with grad(dp) only)
         gp = self._grad(ptgt)
-        u_new = self.u()[0] - dt * gp[0]
-        v_new = self.v()[0] - dt * gp[1]
+        new_vals = [
+            self.vel[j]()[0] - dt * gp[j] for j in range(dim)
+        ]
         if self._body is not None:
             # solid interior: no-slip everywhere inside the body (the
             # obstacle BC pins the surface shell; this zeroes the rest)
-            u_new = jnp.where(self._body, 0.0, u_new)
-            v_new = jnp.where(self._body, 0.0, v_new)
-        self.u.set_var_tensor(u_new[None])
-        self.v.set_var_tensor(v_new[None])
-        self.u.apply_bcs()
-        self.v.apply_bcs()
+            new_vals = [jnp.where(self._body, 0.0, nv) for nv in new_vals]
+        for var, nv in zip(self.vel, new_vals):
+            var.set_var_tensor(nv[None])
+            var.apply_bcs()
 
         self.t += dt
 
@@ -290,7 +313,10 @@ class LidDrivenCavity:
             self.step(dt)
 
     def divergence(self) -> jnp.ndarray:
-        return self._grad(self.u)[0] + self._grad(self.v)[1]
+        out = self._grad(self.vel[0])[0]
+        for j in range(1, self.mesh.dim):
+            out = out + self._grad(self.vel[j])[j]
+        return out
 
 
 class ChannelFlow(LidDrivenCavity):
@@ -345,6 +371,7 @@ class ChannelFlow(LidDrivenCavity):
                        init_val=0.0)
         self.p = Field("p", 1, mesh, {"domain": p_bc(), "obstacle": p_obs},
                        init_val=0.0)
+        self.vel = [self.u, self.v]
         self.u.apply_bcs()
 
         self._singular_pressure = False

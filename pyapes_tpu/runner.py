@@ -51,27 +51,30 @@ def _run_cavity(args) -> dict:
     from pyapes_tpu.mesh import Mesh
     from pyapes_tpu.models import LidDrivenCavity
 
-    mesh = Mesh(Box[0:1, 0:1], None, [args.n, args.n], dtype=args.dtype)
+    dim = getattr(args, "dim", 2)
+    box = Box[tuple(slice(0, 1) for _ in range(dim))]
+    mesh = Mesh(box, None, [args.n] * dim, dtype=args.dtype)
     nu = 1.0 / args.re
-    model = LidDrivenCavity(mesh, nu=nu, lid_velocity=1.0)
+    model = LidDrivenCavity(
+        mesh, nu=nu, lid_velocity=1.0,
+        implicit_advection=getattr(args, "implicit_advection", False),
+    )
     tic = time.perf_counter()
     model.run(dt=args.dt, n_steps=args.steps)
     wall = time.perf_counter() - tic
     import numpy as np
 
     u = np.asarray(model.u()[0])
+    mid = (u.shape[0] // 2,) * (dim - 1)
     out = {
         "wall_s": wall,
         "steps": args.steps,
-        "u_centerline_min": float(u[u.shape[0] // 2, :].min()),
+        "u_centerline_min": float(u[mid].min()),
         "t": model.t,
     }
-    out.update(
-        _maybe_vtk(
-            args, mesh,
-            {"u": model.u()[0], "v": model.v()[0], "p": model.p()[0]},
-        )
-    )
+    fields = {v.name: v()[0] for v in model.vel}
+    fields["p"] = model.p()[0]
+    out.update(_maybe_vtk(args, mesh, fields))
     return out
 
 
@@ -190,6 +193,8 @@ def main(argv=None) -> None:
     sc.add_argument("--re", type=float, default=100.0)
     sc.add_argument("--dt", type=float, default=0.01)
     sc.add_argument("--steps", type=int, default=500)
+    sc.add_argument("--dim", type=int, default=2, choices=[2, 3])
+    sc.add_argument("--implicit-advection", action="store_true")
 
     sb = sub.add_parser("burgers", parents=[common])
     sb.add_argument("--dt", type=float, default=0.01)

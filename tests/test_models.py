@@ -305,3 +305,27 @@ def test_lid_driven_cavity_ghia_129() -> None:
     assert abs(u_min - (-0.2109)) < 0.03 * 0.2109, u_min
     assert abs(v_max - 0.1753) < 0.05 * 0.1753, v_max
     assert abs(v_min - (-0.2453)) < 0.05 * 0.2453, v_min
+
+
+def test_lid_driven_cavity_3d() -> None:
+    """3-D lid-driven cavity (lid = zu face moving along +x): primary
+    vortex forms in the x-z midplane, spanwise flow is antisymmetric-ish,
+    bulk stays near divergence-free. The reference has no NS at all; the
+    2-D scheme generalizes unchanged."""
+    mesh = Mesh(Box[0:1, 0:1, 0:1], None, [21, 21, 21])
+    model = LidDrivenCavity(mesh, nu=0.02, lid_velocity=1.0)
+    model.run(dt=0.02, n_steps=50)
+
+    u = np.asarray(model.u()[0])
+    w = np.asarray(model.w()[0])
+    assert np.all(np.isfinite(u)) and np.all(np.isfinite(w))
+    mid = u.shape[0] // 2
+    # lid BC enforced on the top wall interior
+    assert_allclose(u[1:-1, 1:-1, -1], 1.0, atol=1e-12)
+    # primary vortex: u along the vertical centerline dips negative
+    assert u[mid, mid, :].min() < -0.03, u[mid, mid, :].min()
+    # z-velocity develops (downwash at the right wall, upwash at left)
+    assert w.min() < -0.05 and w.max() > 0.05
+    # bulk divergence small
+    div = np.abs(np.asarray(model.divergence())[2:-2, 2:-2, 2:-2])
+    assert div.mean() < 0.05, div.mean()
