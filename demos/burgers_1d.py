@@ -1,6 +1,12 @@
 #!/usr/bin/env python3
 """Demo: 1-D viscous Burgers vs the travelling-wave exact solution
 (the reference's disabled ``wip_burger_1d``; works here)."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
+)
 import sys
 from math import pi
 

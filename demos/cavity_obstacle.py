@@ -6,6 +6,12 @@ apply (``linalg.py:286-292``). Writes a VTK file for ParaView.
 
     python demos/cavity_obstacle.py
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
+)
 import os
 import sys
 

@@ -1,6 +1,12 @@
 #!/usr/bin/env python3
 """Demo: lid-driven cavity at Re=100 via Chorin projection (new in this
 framework; BASELINE.json config 5)."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
+)
 import sys
 
 import numpy as np

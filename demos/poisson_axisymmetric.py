@@ -5,6 +5,12 @@ Neumann axis condition (cf. reference
 
 Exact solution: phi = exp(-z) cos(r).
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
+)
 import sys
 from math import cos, exp
 

@@ -4,6 +4,12 @@
 
 Run: python demos/poisson_pure_dirichlet.py [--plot]
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
+)
 import sys
 
 import numpy as np

@@ -7,6 +7,12 @@ potentials H, G are re-solved from f every ``refresh`` steps
 
     python demos/rfp_selfconsistent.py
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
+)
 import os
 import sys
 

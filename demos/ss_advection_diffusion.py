@@ -1,6 +1,12 @@
 #!/usr/bin/env python3
 """Demo: steady 1-D advection-diffusion boundary layer (cf. reference
 ``demos/advection_diffusion/ss_advection_diffusion.ipynb``)."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
+)
 import sys
 from math import exp
 
