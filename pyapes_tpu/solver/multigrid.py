@@ -81,11 +81,13 @@ class MGSpec:
         self.use_pallas = use_pallas
         self.rz = rz
         self.r_lower = float(r_lower)
-        # "jacobi" (damped, omega) or "rbgs" (red-black Gauss-Seidel:
-        # smoothing factor ~0.25 vs ~0.6 — fewer PCG iterations for the
-        # same per-sweep HBM traffic; pre-smooths run red-first and
-        # post-smooths black-first so the cycle stays symmetric).
-        assert smoother in ("jacobi", "rbgs")
+        # "jacobi" (damped, omega), "rbgs" (red-black Gauss-Seidel), or
+        # "chebyshev" (degree-n_pre/n_post polynomial in the
+        # Jacobi-scaled operator, Adams et al. 2003: smoothing factor
+        # ~0.2 at degree 2 vs ~0.5 for one damped-Jacobi sweep, at one
+        # fused residual apply per degree; a fixed polynomial keeps the
+        # cycle symmetric for PCG).
+        assert smoother in ("jacobi", "rbgs", "chebyshev")
         self.smoother = smoother
         self.fmg_init = bool(fmg)
         self.shapes = _level_shapes(self.shape)
@@ -224,7 +226,37 @@ class MGSpec:
 
         return jax.lax.fori_loop(0, n_iter, body, x)
 
+    def _cheby_smooth(self, x, b, shape, mask, degree, x_is_zero=False):
+        """Chebyshev polynomial smoothing on the Jacobi-scaled operator
+        ``D^-1 A`` (spectrum in (0, 2)); targets the upper 3/4 of the
+        spectrum (``lmax/4 .. lmax``). One fused residual apply per
+        degree — same traffic as a damped-Jacobi sweep, much stronger
+        high-frequency damping."""
+        lmax = 1.95
+        lmin = lmax / 4.0
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma = theta / delta
+        dinv = 1.0 / self._diag(shape)
+
+        if x_is_zero:
+            z = dinv * (b * mask)
+        else:
+            z = dinv * self._residual(x, b, shape, mask)
+        p = (1.0 / theta) * z
+        x = x + p
+        rho = 1.0 / sigma
+        for _ in range(1, degree):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            z = dinv * self._residual(x, b, shape, mask)
+            p = (rho_new * rho) * p + (2.0 * rho_new / delta) * z
+            x = x + p
+            rho = rho_new
+        return x
+
     def _smooth(self, x, b, shape, mask, n_iter, order=0):
+        if self.smoother == "chebyshev":
+            return self._cheby_smooth(x, b, shape, mask, n_iter)
         if self.smoother == "rbgs":
             return self._rbgs_sweeps(x, b, shape, mask, n_iter, order)
         om_over_diag = self.omega / self._diag(shape)
@@ -252,6 +284,10 @@ class MGSpec:
     def _first_smooth(self, b, shape, mask, n_iter, order=0):
         """Smooth starting from x = 0: the first (half-)step is A-free —
         skips one full stencil kernel per level per cycle."""
+        if self.smoother == "chebyshev":
+            return self._cheby_smooth(
+                jnp.zeros_like(b), b, shape, mask, n_iter, x_is_zero=True
+            )
         if self.smoother == "rbgs":
             par = self._parity(shape)
             x = jnp.where(par == order, b / self._diag(shape) * mask, 0.0)

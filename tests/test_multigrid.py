@@ -210,3 +210,19 @@ def test_mg_bicgstab_rz() -> None:
     assert rep1["converge"]
     assert rep1["itr"] < rep0["itr"] / 4
     assert err1 < 1e-4
+
+
+def test_mgcg_chebyshev_smoother() -> None:
+    """Chebyshev polynomial smoothing (degree = n_pre/n_post) converges in
+    fewer PCG iterations than damped Jacobi at matched sweep counts, and
+    the fixed polynomial keeps the cycle SPD for CG."""
+    ref, _ = _solve(False)
+    out_j, rep_j = _solve(
+        True, mg_opts={"n_pre": 2, "n_post": 2}
+    )
+    out_c, rep_c = _solve(
+        True, mg_opts={"n_pre": 2, "n_post": 2, "smoother": "chebyshev"}
+    )
+    assert rep_c["converge"]
+    assert rep_c["itr"] <= rep_j["itr"], (rep_c["itr"], rep_j["itr"])
+    assert_allclose(out_c, ref, atol=1e-6)
