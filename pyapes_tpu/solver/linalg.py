@@ -733,7 +733,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     fn_c, rhs_shift = _SOLVER_CACHE[key]
     if rhs_shift is not None:
         rhs_r = rhs_r - rhs_shift(tparams, x0.shape, x0.dtype)
-    x_final, itr, tol_final = fn_c(x0, rhs_r, tparams)
+    x_final, itr, tol_final, hist = fn_c(x0, rhs_r, tparams)
     if paxes:
         x_final = _restore_periodic(x_final, paxes)
 
@@ -747,7 +747,12 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     converge = itr < max_it
     if report:
         _solution_report(itr, tol_final, method.upper())
-    return {"itr": itr, "tol": tol_final, "converge": converge}
+    out: ReportType = {"itr": itr, "tol": tol_final, "converge": converge}
+    if config.get("history"):
+        # per-iteration convergence measure (observability beyond the
+        # reference's final-tol-only report, SURVEY §5.5)
+        out["history"] = np.asarray(hist[:itr])
+    return out
 
 
 def _build_cg(
@@ -795,11 +800,11 @@ def _build_cg(
         rz = _vsum(r * z)
 
         def cond(s):
-            x, r, d, rz, tol, itr = s
+            x, r, d, rz, tol, itr, hist = s
             return jnp.logical_and(tol > tolerance, itr < max_it)
 
         def body(s):
-            x, r, d, rz, tol, itr = s
+            x, r, d, rz, tol, itr, hist = s
             if Aop_dot is not None:
                 # d is active-set-masked, so the in-kernel dot over the
                 # unmasked A d equals dot(d, M A d) exactly.
@@ -821,12 +826,14 @@ def _build_cg(
             rz_new = _vsum(r_new * z_new)
             beta = _nan0(rz_new / rz)
             d_new = z_new + beta * d
-            return (x_new, r_new, d_new, rz_new, tol_new, itr + 1)
+            hist = hist.at[itr].set(tol_new.astype(jnp.float32))
+            return (x_new, r_new, d_new, rz_new, tol_new, itr + 1, hist)
 
         tol0 = jnp.asarray(1.0, dtype=x.dtype)
-        state = (x, r, d, rz, tol0, jnp.asarray(0, dtype=jnp.int32))
-        x, r, d, rz, tol, itr = jax.lax.while_loop(cond, body, state)
-        return x, itr, tol
+        hist0 = jnp.full((max_it,), jnp.nan, dtype=jnp.float32)
+        state = (x, r, d, rz, tol0, jnp.asarray(0, dtype=jnp.int32), hist0)
+        x, r, d, rz, tol, itr, hist = jax.lax.while_loop(cond, body, state)
+        return x, itr, tol, hist
 
     return cg_fn
 
@@ -889,6 +896,9 @@ def _build_bicgstab(
                 better = st["tol"] < st["best_tol"]
                 st["best_x"] = jnp.where(better, st["x"], st["best_x"])
                 st["best_tol"] = jnp.minimum(st["tol"], st["best_tol"])
+                st["hist"] = s["hist"].at[s["itr"]].set(
+                    st["tol"].astype(jnp.float32)
+                )
                 return st
 
             def do_early(_):
@@ -907,6 +917,7 @@ def _build_bicgstab(
                     "finished": jnp.asarray(True),
                     "best_x": s["best_x"],
                     "best_tol": s["best_tol"],
+                    "hist": s["hist"],
                 })
 
             def do_full(_):
@@ -936,6 +947,7 @@ def _build_bicgstab(
                     "finished": (tol2 <= tolerance) | breakdown,
                     "best_x": s["best_x"],
                     "best_tol": s["best_tol"],
+                    "hist": s["hist"],
                 })
 
             return jax.lax.cond(early, do_early, do_full, None)
@@ -954,13 +966,14 @@ def _build_bicgstab(
             "finished": jnp.asarray(False),
             "best_x": x,
             "best_tol": jnp.asarray(jnp.inf, dtype=x.dtype),
+            "hist": jnp.full((max_it,), jnp.nan, dtype=jnp.float32),
         }
         out = jax.lax.while_loop(cond, body, state)
         # Return the best iterate seen (last == best in healthy runs).
         use_best = out["best_tol"] < out["tol"]
         x_out = jnp.where(use_best, out["best_x"], out["x"])
         tol_out = jnp.minimum(out["best_tol"], out["tol"])
-        return x_out, out["itr"], tol_out
+        return x_out, out["itr"], tol_out, out["hist"]
 
     return bicg_fn
 

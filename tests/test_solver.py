@@ -575,3 +575,30 @@ def test_debug_nan_checkify() -> None:
     solver.set_eq(fdm.laplacian(1.0, var2) == jnp.ones_like(var2()))
     rep = solver.solve()
     assert rep["converge"]
+
+
+def test_solver_residual_history() -> None:
+    """config {'history': True}: the report carries the per-iteration
+    convergence measure (observability beyond the reference's final-tol
+    report, SURVEY §5.5) — monotone-ish decreasing, last entry == tol."""
+    mesh = Mesh(Box[0:1, 0:1], None, [33, 33])
+    var = Field("p", 1, mesh,
+                {"domain": homogeneous_bcs(2, 0.0, "dirichlet")},
+                init_val=0.0)
+    rng = np.random.default_rng(3)
+    rhs = jnp.asarray(rng.standard_normal((1, 33, 33)))
+    for method in ("cg", "bicgstab"):
+        solver = Solver(
+            {"fdm": {"method": method, "tol": 1e-8, "max_it": 3000,
+                     "report": False, "criterion": "residual",
+                     "history": True}}
+        )
+        fdm = FDM()
+        solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+        rep = solver.solve()
+        h = rep["history"]
+        assert len(h) == rep["itr"]
+        assert np.all(np.isfinite(h))
+        assert abs(h[-1] - rep["tol"]) < 1e-12
+        # overall reduction by >= 6 orders
+        assert h[-1] < 1e-6 * np.nanmax(h)
