@@ -6,7 +6,7 @@ These are the framework's end-to-end flagships (the reference ships only
 notebooks, ``demos/*.ipynb``)."""
 from pyapes_tpu.models.poisson import PoissonSolver
 from pyapes_tpu.models.advection_diffusion import AdvectionDiffusion
-from pyapes_tpu.models.burgers import Burgers1D
+from pyapes_tpu.models.burgers import Burgers1D, BurgersND
 from pyapes_tpu.models.navier_stokes import ChannelFlow, LidDrivenCavity
 from pyapes_tpu.models.rfp_evolution import RFPEvolution
 from pyapes_tpu.models.rosenbluth import RosenbluthPotentials
@@ -15,6 +15,7 @@ __all__ = [
     "PoissonSolver",
     "AdvectionDiffusion",
     "Burgers1D",
+    "BurgersND",
     "ChannelFlow",
     "LidDrivenCavity",
     "RFPEvolution",

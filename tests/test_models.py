@@ -329,3 +329,39 @@ def test_lid_driven_cavity_3d() -> None:
     # bulk divergence small
     div = np.abs(np.asarray(model.divergence())[2:-2, 2:-2, 2:-2])
     assert div.mean() < 0.05, div.mean()
+
+
+def test_burgers_2d_reduces_to_1d() -> None:
+    """2-D vector Burgers with an x-only initial condition (v=0) stays
+    x-only and matches the 1-D travelling-wave solution — consistency of
+    fdm.conv with the validated 1-D model."""
+    from math import pi
+
+    from pyapes_tpu.models import BurgersND
+    from pyapes_tpu.testing.burgers import burger_exact_nd
+
+    nu = 0.25
+    mesh1 = Mesh(Box[0 : 2 * pi], None, [101])
+    u0 = jnp.asarray(burger_exact_nd(mesh1, nu, 0.0))  # (65,)
+
+    mesh2 = Mesh(Box[0 : 2 * pi, 0 : 2 * pi], None, [101, 101])
+    u0_2d = jnp.broadcast_to(u0[None, :, None], (1, 101, 101))
+    model = BurgersND(
+        mesh2, nu=nu, init_vals=[u0_2d, jnp.zeros((1, 101, 101))]
+    )
+    dt, n_steps = 0.01, 10
+    model.run(dt, n_steps)
+
+    u = np.asarray(model.u if False else model.vel[0]()[0])
+    v = np.asarray(model.vel[1]()[0])
+    # v stays zero, u stays y-independent
+    assert np.abs(v).max() < 1e-6, np.abs(v).max()
+    assert np.abs(u - u[:, :1]).max() < 1e-6
+    # matches the 1-D exact solution at t (same tolerance convention as
+    # test_burger_1d_transient: the central+BE scheme has an O(1) max-norm
+    # floor at the travelling front; pin relative L2 + that bound)
+    exact = np.asarray(burger_exact_nd(mesh1, nu, dt * n_steps))
+    err = u[:, 0] - exact
+    rel_l2 = np.linalg.norm(err) / np.linalg.norm(exact)
+    assert rel_l2 < 0.05, rel_l2
+    assert np.abs(err).max() < 1.2
