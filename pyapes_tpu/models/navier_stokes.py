@@ -305,6 +305,7 @@ class LidDrivenCavity:
         for var, nv in zip(self.vel, new_vals):
             var.set_var_tensor(nv[None])
             var.apply_bcs()
+            var.update_time(dt)
 
         self.t += dt
 

@@ -18,6 +18,22 @@ import json
 import time
 
 
+def _maybe_resume(args, model, fields) -> None:
+    if getattr(args, "resume", None):
+        from pyapes_tpu.utils.checkpoint import load
+
+        load(args.resume, fields)
+        # continue from the checkpointed simulation time
+        model.t = max(float(f._t) for f in fields)
+
+
+def _maybe_save(args, fields) -> None:
+    if getattr(args, "save", None):
+        from pyapes_tpu.utils.checkpoint import save
+
+        save(args.save, fields)
+
+
 def _maybe_vtk(args, mesh, fields: dict) -> dict:
     if not getattr(args, "vtk", None):
         return {}
@@ -59,9 +75,11 @@ def _run_cavity(args) -> dict:
         mesh, nu=nu, lid_velocity=1.0,
         implicit_advection=getattr(args, "implicit_advection", False),
     )
+    _maybe_resume(args, model, model.vel + [model.p])
     tic = time.perf_counter()
     model.run(dt=args.dt, n_steps=args.steps)
     wall = time.perf_counter() - tic
+    _maybe_save(args, model.vel + [model.p])
     import numpy as np
 
     u = np.asarray(model.u()[0])
@@ -108,9 +126,11 @@ def _run_channel(args) -> dict:
     mesh = Mesh(Box[0:3, 0:1], obs, [args.n, (args.n * 2) // 3 + 1],
                 dtype=args.dtype)
     model = ChannelFlow(mesh, nu=args.nu, u_in=1.0)
+    _maybe_resume(args, model, model.vel + [model.p])
     tic = time.perf_counter()
     model.run(dt=args.dt, n_steps=args.steps)
     wall = time.perf_counter() - tic
+    _maybe_save(args, model.vel + [model.p])
     u = np.asarray(model.u()[0])
     out = {
         "wall_s": wall,
@@ -183,6 +203,14 @@ def main(argv=None) -> None:
     common.add_argument(
         "--vtk", default=None, metavar="PREFIX",
         help="write final fields as legacy VTK (ParaView)",
+    )
+    common.add_argument(
+        "--save", default=None, metavar="PATH",
+        help="checkpoint final field state to PATH.npz",
+    )
+    common.add_argument(
+        "--resume", default=None, metavar="PATH",
+        help="restore field state from PATH.npz before stepping",
     )
 
     sp = sub.add_parser("poisson", parents=[common])
