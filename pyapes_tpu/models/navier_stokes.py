@@ -321,15 +321,18 @@ class LidDrivenCavity:
 
 
 class ChannelFlow(LidDrivenCavity):
-    """Pressure-projected channel flow with inflow/outflow boundaries.
+    """Pressure-projected channel/duct flow with inflow/outflow boundaries
+    (2-D channel or 3-D rectangular duct).
 
-    Parabolic inflow at ``xl`` (``u = 4 U y(1-y)/L^2``), outflow at ``xu``
+    Parabolic inflow at ``xl`` (2-D: ``u = 4 U y(1-y)/L^2``; 3-D: the
+    product profile ``16 U y(1-y) z(1-z) / (Ly Lz)^2``), outflow at ``xu``
     (zero-gradient velocity, ``p = 0`` Dirichlet anchor — the pressure
     Poisson is then non-singular, so no zero-mean projection), no-slip
     walls; optional immersed no-slip obstacles (flow past a body).
 
     Args:
-        mesh: Box mesh on [0, Lx] x [0, Ly] (optionally with obstacles).
+        mesh: Box mesh on [0, Lx] x [0, Ly] (x [0, Lz]) (optionally with
+            obstacles).
         nu: kinematic viscosity (Re = U Ly / nu).
         u_in: inflow centerline scale U.
     """
@@ -337,7 +340,7 @@ class ChannelFlow(LidDrivenCavity):
     def __init__(self, mesh: Mesh, nu: float = 0.01, u_in: float = 1.0,
                  config=None, implicit_advection: bool = False,
                  rhie_chow: bool = True, incremental: bool = True):
-        assert mesh.dim == 2 and mesh.coord_sys == "xyz"
+        assert mesh.dim in (2, 3) and mesh.coord_sys == "xyz"
         self.mesh = mesh
         self.nu = nu
         self.u_in = float(u_in)
@@ -346,42 +349,67 @@ class ChannelFlow(LidDrivenCavity):
         self.rhie_chow = rhie_chow
         self.incremental = incremental
 
-        y0 = float(mesh._lower_np[1])
-        Ly = float(mesh._upper_np[1]) - y0
+        dim = mesh.dim
+        lo = [float(v) for v in mesh._lower_np]
+        ln = [float(u) - l for u, l in zip(mesh._upper_np, lo)]
         u_scale = self.u_in
 
         def inflow(grid, mask, var, opt):
-            y = (grid[1] - y0) / Ly
-            return 4.0 * u_scale * y * (1.0 - y)
+            prof = 1.0
+            for j in range(1, dim):
+                s = (grid[j] - lo[j]) / ln[j]
+                prof = prof * 4.0 * s * (1.0 - s)
+            return u_scale * prof
 
         self._inflow = inflow  # stable id: part of the solver cache key
 
+        from pyapes_tpu.geometry.basis import FDIR
+
+        faces = FDIR[: 2 * dim]
         d0 = {"bc_type": "dirichlet", "bc_val": 0.0}
         nm = {"bc_type": "neumann", "bc_val": 0.0}
-        u_bc = BoxBoundary(
-            xl={"bc_type": "dirichlet", "bc_val": inflow},
-            xu=nm, yl=d0, yu=d0,
-        )
-        v_bc = BoxBoundary(xl=d0, xu=nm, yl=d0, yu=d0)
-        p_bc = BoxBoundary(xl=nm, xu=d0, yl=nm, yu=nm)
+
+        def bc_list(xl_bc, xu_bc, wall_bc):
+            out = []
+            for f in faces:
+                if f == "xl":
+                    out.append(dict(bc_face=f, **xl_bc))
+                elif f == "xu":
+                    out.append(dict(bc_face=f, **xu_bc))
+                else:
+                    out.append(dict(bc_face=f, **wall_bc))
+            return out
+
+        u_dom = bc_list({"bc_type": "dirichlet", "bc_val": inflow}, nm, d0)
+        t_dom = bc_list(d0, nm, d0)  # transverse components
+        p_dom = bc_list(nm, d0, nm)
 
         uv_obs, p_obs, self._body, self._body_near = _obstacle_setup(mesh)
-        self.u = Field("u", 1, mesh, {"domain": u_bc(), "obstacle": uv_obs},
+        names = ("u", "v", "w")[:dim]
+        self.vel = [
+            Field(nm_, 1, mesh,
+                  {"domain": (u_dom if j == 0 else t_dom),
+                   "obstacle": uv_obs},
+                  init_val=0.0)
+            for j, nm_ in enumerate(names)
+        ]
+        self.u = self.vel[0]
+        self.v = self.vel[1]
+        if dim == 3:
+            self.w = self.vel[2]
+        self.p = Field("p", 1, mesh, {"domain": p_dom, "obstacle": p_obs},
                        init_val=0.0)
-        self.v = Field("v", 1, mesh, {"domain": v_bc(), "obstacle": uv_obs},
-                       init_val=0.0)
-        self.p = Field("p", 1, mesh, {"domain": p_bc(), "obstacle": p_obs},
-                       init_val=0.0)
-        self.vel = [self.u, self.v]
         self.u.apply_bcs()
 
         self._singular_pressure = False
         self._init_solvers(config)
 
     def flux(self, i: int) -> float:
-        """Volume flux through grid column ``i`` (trapezoidal in y)."""
+        """Volume flux through grid cross-section ``i`` (trapezoidal over
+        the transverse axes)."""
         import numpy as np
 
-        u = np.asarray(self.u()[0])
-        dy = float(self.mesh.dx_np[1])
-        return float(np.trapezoid(u[i, :], dx=dy))
+        u = np.asarray(self.u()[0])[i]
+        for j in range(1, self.mesh.dim):
+            u = np.trapezoid(u, dx=float(self.mesh.dx_np[j]), axis=0)
+        return float(u)

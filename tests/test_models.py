@@ -365,3 +365,26 @@ def test_burgers_2d_reduces_to_1d() -> None:
     rel_l2 = np.linalg.norm(err) / np.linalg.norm(exact)
     assert rel_l2 < 0.05, rel_l2
     assert np.abs(err).max() < 1.2
+
+
+def test_channel_duct_3d() -> None:
+    """3-D rectangular duct: product-parabola inflow, outflow anchor,
+    no-slip walls. Mass flux is conserved along the duct and the
+    transverse velocities stay small."""
+    from pyapes_tpu.models import ChannelFlow
+
+    mesh = Mesh(Box[0:2, 0:1, 0:1], None, [33, 17, 17])
+    model = ChannelFlow(mesh, nu=0.05, u_in=1.0)
+    model.run(dt=0.01, n_steps=25)
+
+    u = np.asarray(model.u()[0])
+    assert np.all(np.isfinite(u))
+    # discrete inflow flux of the product parabola: ~16/36 = 0.444
+    fin = model.flux(1)
+    fout = model.flux(u.shape[0] - 2)
+    assert abs(fin - 0.444) < 0.02, fin
+    assert abs(fout - fin) / fin < 0.05, (fin, fout)
+    # transverse components stay secondary
+    v = np.asarray(model.v()[0])
+    w = np.asarray(model.w()[0])
+    assert np.abs(v).max() < 0.3 and np.abs(w).max() < 0.3
