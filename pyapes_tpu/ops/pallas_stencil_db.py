@@ -457,3 +457,157 @@ def pallas_jacobi3d_db(
     )
     outs = [call(x[d], x[d], b[d]) for d in range(x.shape[0])]
     return jnp.stack(outs)
+
+
+def _jacobi3d_dot_db_kernel(
+    x_any,
+    body,
+    b_blk,
+    out_ref, dot_ref,
+    xg_lo, xg_hi, yg_lo, yg_hi,
+    sems,
+    *,
+    tx: int, ty: int, nx: int, ny: int,
+    inv_dx2: tuple, alpha: float, beta: float, mask_axes: tuple,
+    sub: int = 8,
+):
+    """Jacobi smooth step + per-program partial ``sum(b * out)`` — fuses
+    the PCG ``dot(r, z)`` into the V-cycle's final post-smooth (both
+    tiles are register-resident; saves the separate 0.75 GB dot pass per
+    outer iteration)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    g = i * nj + j
+    slot = jax.lax.rem(g, jnp.int32(2))
+    nslot = jax.lax.rem(g + 1, jnp.int32(2))
+
+    sx = i * tx
+    sy = pl.multiple_of(j * ty, sub)
+    bufs = (xg_lo, xg_hi, yg_lo, yg_hi)
+
+    @pl.when(g == 0)
+    def _():
+        for c in _ghost_copies(
+            x_any, slot, sx, sy, tx, ty, nx, ny, bufs, sems, sub
+        ):
+            c.start()
+
+    j2 = jax.lax.rem(j + 1, jnp.int32(nj))
+    i2 = i + (j + 1) // nj
+    last = g == pl.num_programs(0) * nj - 1
+
+    @pl.when(jnp.logical_not(last))
+    def _():
+        sx2 = i2 * tx
+        sy2 = pl.multiple_of(j2 * ty, sub)
+        for c in _ghost_copies(
+            x_any, nslot, sx2, sy2, tx, ty, nx, ny, bufs, sems, sub
+        ):
+            c.start()
+
+    gy_lo = _mod(sy - 1, ny)
+    gy_hi = _mod(sy + ty, ny)
+    gy_lo_blk = pl.multiple_of((gy_lo // sub) * sub, sub)
+    gy_hi_blk = pl.multiple_of((gy_hi // sub) * sub, sub)
+    for c in _ghost_copies(
+        x_any, slot, sx, sy, tx, ty, nx, ny, bufs, sems, sub
+    ):
+        c.wait()
+
+    cdt = jnp.promote_types(body.dtype, jnp.float32)
+    xc = body[:, :, :].astype(cdt)
+    nz = xc.shape[2]
+
+    xids = jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0)
+    xm = jnp.where(xids == 0, xg_lo[slot].astype(cdt), pltpu.roll(xc, 1, 0))
+    xp = jnp.where(
+        xids == tx - 1, xg_hi[slot].astype(cdt), pltpu.roll(xc, tx - 1, 0)
+    )
+
+    g_lo = _select_row(yg_lo[slot].astype(cdt), gy_lo - gy_lo_blk, 1)
+    g_hi = _select_row(yg_hi[slot].astype(cdt), gy_hi - gy_hi_blk, 1)
+    yids = jax.lax.broadcasted_iota(jnp.int32, (1, ty, 1), 1)
+    ym = jnp.where(yids == 0, g_lo, pltpu.roll(xc, 1, 1))
+    yp = jnp.where(yids == ty - 1, g_hi, pltpu.roll(xc, ty - 1, 1))
+
+    ax = inv_dx2[0] * (xp + xm - 2.0 * xc)
+    ax += inv_dx2[1] * (yp + ym - 2.0 * xc)
+    ax += inv_dx2[2] * (
+        pltpu.roll(xc, nz - 1, 2) + pltpu.roll(xc, 1, 2) - 2.0 * xc
+    )
+
+    bv = b_blk[:, :, :].astype(cdt)
+    upd = bv - ax
+    if 0 in mask_axes:
+        gx = xids + sx
+        upd = jnp.where((gx == 0) | (gx == nx - 1), 0.0, upd)
+    if 1 in mask_axes:
+        gy = yids + sy
+        upd = jnp.where((gy == 0) | (gy == ny - 1), 0.0, upd)
+    if 2 in mask_axes:
+        zids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nz), 2)
+        upd = jnp.where((zids == 0) | (zids == nz - 1), 0.0, upd)
+
+    out = alpha * xc + beta * upd
+    out_ref[:, :, :] = out.astype(out_ref.dtype)
+    dot_ref[pl.program_id(0), pl.program_id(1)] = jnp.sum(bv * out)
+
+
+def pallas_jacobi3d_dot_db(
+    x, b, inv_dx2, alpha, beta, mask_axes, interpret: bool = False
+):
+    """Double-buffered fused Jacobi step that also returns
+    ``sum(b * out)`` per component (``dots`` shaped ``(vdim,)``)."""
+    gs = x.shape[1:]
+    assert len(gs) == 3 and _v2_supported(gs, x.dtype)
+    itemsize = max(4, np.dtype(x.dtype).itemsize)
+    sub = _sublane(x.dtype)
+    nx, ny, nz = gs
+    tx, ty = _tiles_3d(gs, itemsize * 2, sub)
+    ddt = jnp.promote_types(x.dtype, jnp.float32)
+    gi, gj = nx // tx, ny // ty
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec((tx, ty, nz), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tx, ty, nz), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((tx, ty, nz), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gi, gj), lambda i, j: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    call = pl.pallas_call(
+        partial(
+            _jacobi3d_dot_db_kernel,
+            tx=tx, ty=ty, nx=nx, ny=ny,
+            inv_dx2=tuple(float(v) for v in inv_dx2),
+            alpha=float(alpha), beta=float(beta),
+            mask_axes=tuple(mask_axes), sub=sub,
+        ),
+        grid=(gi, gj),
+        out_shape=[
+            jax.ShapeDtypeStruct(gs, x.dtype),
+            jax.ShapeDtypeStruct((gi, gj), ddt),
+        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, ty, nz), x.dtype),
+            pltpu.VMEM((2, 1, ty, nz), x.dtype),
+            pltpu.VMEM((2, tx, sub, nz), x.dtype),
+            pltpu.VMEM((2, tx, sub, nz), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        interpret=interpret,
+    )
+    outs, dots = [], []
+    for d in range(x.shape[0]):
+        o, p = call(x[d], x[d], b[d])
+        outs.append(o)
+        dots.append(jnp.sum(p))
+    return jnp.stack(outs), jnp.stack(dots)

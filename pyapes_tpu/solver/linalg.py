@@ -678,6 +678,18 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
 
         if method == "cg":
             precond = mg_spec.preconditioner() if mg_spec is not None else None
+            # fused dot(r, z): only when the interior mask is exactly the
+            # MG mask (no obstacles, no torus reduction) so the in-kernel
+            # dot equals vsum(r * z * M)
+            precond_dot = None
+            if (
+                mg_spec is not None
+                and mg_spec.can_fuse_rz()
+                and excluded is None
+                and not paxes
+                and not obn
+            ):
+                precond_dot = mg_spec.preconditioner_dot()
             fmg_init = (
                 mg_spec.fmg_initializer()
                 if (mg_spec is not None and mg_spec.fmg_init)
@@ -687,6 +699,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 Aop, apply_bcs, M, tol, max_it, criterion, precond,
                 project_mean=bool(config.get("nullspace") == "mean"),
                 Aop_dot=Aop_dot, fmg_init=fmg_init,
+                precond_dot=precond_dot,
             )
         else:
             precond = mg_spec.preconditioner() if mg_spec is not None else None
@@ -757,7 +770,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
 
 def _build_cg(
     Aop, apply_bcs, M, tolerance, max_it, criterion, precond=None,
-    project_mean=False, Aop_dot=None, fmg_init=None,
+    project_mean=False, Aop_dot=None, fmg_init=None, precond_dot=None,
 ):
     """(Preconditioned) conjugate gradient as a ``lax.while_loop``
     (reference ``linalg.py:74-159``; the reference has no preconditioning).
@@ -795,9 +808,15 @@ def _build_cg(
             r0n = jnp.maximum(
                 jnp.max(_l2_per_dim(r)), jnp.finfo(x.dtype).tiny
             )
-        z = precond(r) * M_ if precond is not None else r
+        if precond_dot is not None:
+            # the V-cycle output is already interior-masked and the final
+            # post-smooth kernel emits sum(r * z) from register-resident
+            # tiles (saves re-reading r and z every iteration)
+            z, rz = precond_dot(r)
+        else:
+            z = precond(r) * M_ if precond is not None else r
+            rz = _vsum(r * z)
         d = z
-        rz = _vsum(r * z)
 
         def cond(s):
             x, r, d, rz, tol, itr, hist = s
@@ -822,8 +841,11 @@ def _build_cg(
                 tol_new = jnp.max(_l2_per_dim(x_new - x))
             else:
                 tol_new = jnp.max(_l2_per_dim(r_new)) / r0n
-            z_new = precond(r_new) * M_ if precond is not None else r_new
-            rz_new = _vsum(r_new * z_new)
+            if precond_dot is not None:
+                z_new, rz_new = precond_dot(r_new)
+            else:
+                z_new = precond(r_new) * M_ if precond is not None else r_new
+                rz_new = _vsum(r_new * z_new)
             beta = _nan0(rz_new / rz)
             d_new = z_new + beta * d
             hist = hist.at[itr].set(tol_new.astype(jnp.float32))

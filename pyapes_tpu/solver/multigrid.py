@@ -64,6 +64,7 @@ class MGSpec:
         cycle_dtype=None,
         smoother: str = "jacobi",
         fmg: bool = False,
+        fuse_rz: bool = False,
     ):
         self.shape = tuple(shape)
         self.lengths = tuple(float(l) for l in lengths)
@@ -90,6 +91,11 @@ class MGSpec:
         assert smoother in ("jacobi", "rbgs", "chebyshev")
         self.smoother = smoother
         self.fmg_init = bool(fmg)
+        # Fuse the PCG dot(r, z) into the level-0 post-smooth kernel
+        # (jacobi smoother, n_post == 1, Pallas path only): the dot tiles
+        # are register-resident, saving the separate r+z read-back pass
+        # every outer iteration.
+        self.fuse_rz = bool(fuse_rz)
         self.shapes = _level_shapes(self.shape)
 
     # hashable (used in the compiled-solver cache key)
@@ -98,7 +104,7 @@ class MGSpec:
             (self.shape, self.lengths, self.paxes, str(self.dtype),
              str(self.cdtype), self.n_pre, self.n_post, self.n_coarse,
              self.omega, self.use_pallas, self.rz, self.r_lower,
-             self.smoother, self.fmg_init)
+             self.smoother, self.fmg_init, self.fuse_rz)
         )
 
     def __eq__(self, other):
@@ -318,6 +324,43 @@ class MGSpec:
         x = self._smooth(x, b, shape, mask, self.n_post, order=1)
         return x
 
+    def can_fuse_rz(self) -> bool:
+        """Whether the dot-emitting level-0 post-smooth is available
+        (CPU runs it in interpret mode for tests)."""
+        if not (self.fuse_rz and not self.rz):
+            return False
+        if self.smoother != "jacobi" or self.n_post != 1:
+            return False
+        if len(self.shape) != 3:
+            return False
+        from pyapes_tpu.ops.pallas_stencil import _v2_supported
+
+        return _v2_supported(tuple(self.shape), self.cdtype)
+
+    def _vcycle_dot(self, b):
+        """Level-0 V-cycle whose final post-smooth also emits
+        ``sum(b * out)`` (= the PCG ``dot(r, z)`` up to the caller's
+        scaling). Requires ``can_fuse_rz()``."""
+        from pyapes_tpu.ops.pallas_stencil_db import pallas_jacobi3d_dot_db
+
+        shape = self.shapes[0]
+        mask = self._mask(shape)
+        b = b * mask
+        x = self._first_smooth(b, shape, mask, self.n_pre, order=0)
+        r = self._residual(x, b, shape, mask)
+        r_c = self._resize(r, self.shapes[1])
+        e_c = self._vcycle(r_c, 1)
+        x = x + self._resize(e_c, shape) * mask
+        mask_axes = tuple(
+            j for j in range(len(shape)) if j not in self.paxes
+        )
+        x, dots = pallas_jacobi3d_dot_db(
+            x, b, tuple(self._inv_dx2(shape)), 1.0,
+            self.omega / self._diag(shape), mask_axes,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return x, dots
+
     def fmg(self, b, n_cycles: int = 1):
         """Full-multigrid pass: restrict b through the hierarchy, solve on
         the coarsest level, then prolong upward with one V-cycle correction
@@ -373,5 +416,26 @@ class MGSpec:
             s = jnp.where(s > 0, s, 1.0)
             z = self._vcycle((r / s).astype(self.cdtype), 0)
             return z.astype(r.dtype) * s
+
+        return precond
+
+    def preconditioner_dot(self):
+        """Returns ``(z, rz) = P(r)`` with ``rz = sum(r * z)`` computed
+        inside the final post-smooth kernel (``can_fuse_rz`` required).
+        The scaled-bf16 shell folds the scale into ``rz = s^2 * dot``."""
+        assert self.can_fuse_rz()
+        nd = len(self.shape)
+
+        def precond(r):
+            if self.cdtype == r.dtype:
+                z, dots = self._vcycle_dot(r)
+                rz = dots.astype(r.dtype)
+            else:
+                s = jnp.max(jnp.abs(r))
+                s = jnp.where(s > 0, s, 1.0)
+                z, dots = self._vcycle_dot((r / s).astype(self.cdtype))
+                z = z.astype(r.dtype) * s
+                rz = dots.astype(r.dtype) * (s * s)
+            return z, rz.reshape((r.shape[0],) + (1,) * nd)
 
         return precond
