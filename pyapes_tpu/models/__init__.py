@@ -7,6 +7,7 @@ notebooks, ``demos/*.ipynb``)."""
 from pyapes_tpu.models.poisson import PoissonSolver
 from pyapes_tpu.models.advection_diffusion import AdvectionDiffusion
 from pyapes_tpu.models.burgers import Burgers1D, BurgersND
+from pyapes_tpu.models.natural_convection import NaturalConvection
 from pyapes_tpu.models.navier_stokes import ChannelFlow, LidDrivenCavity
 from pyapes_tpu.models.rfp_evolution import RFPEvolution
 from pyapes_tpu.models.rosenbluth import RosenbluthPotentials
@@ -18,6 +19,7 @@ __all__ = [
     "BurgersND",
     "ChannelFlow",
     "LidDrivenCavity",
+    "NaturalConvection",
     "RFPEvolution",
     "RosenbluthPotentials",
 ]

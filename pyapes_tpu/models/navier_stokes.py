@@ -196,6 +196,11 @@ class LidDrivenCavity:
             out = out + self.vel[j]()[0] * g[j]
         return out
 
+    def _extra_momentum_rhs(self, component: int):
+        """Per-component explicit momentum source hook (e.g. buoyancy in
+        ``NaturalConvection``); returns an ``(*nx)`` array or 0.0."""
+        return 0.0
+
     def step(self, dt: float) -> None:
         mesh = self.mesh
         dim = mesh.dim
@@ -212,6 +217,9 @@ class LidDrivenCavity:
             rhs_pg = [-gp_old[j] for j in range(dim)]
         else:
             rhs_pg = [0.0] * dim
+        rhs_pg = [
+            rhs_pg[j] + self._extra_momentum_rhs(j) for j in range(dim)
+        ]
         if self.implicit_advection:
             uvec = jnp.concatenate([v() for v in self.vel], axis=0)
             for j, var in enumerate(self.vel):

@@ -388,3 +388,23 @@ def test_channel_duct_3d() -> None:
     v = np.asarray(model.v()[0])
     w = np.asarray(model.w()[0])
     assert np.abs(v).max() < 0.3 and np.abs(w).max() < 0.3
+
+
+def test_natural_convection_davis_ra1e3() -> None:
+    """Differentially-heated cavity (de Vahl Davis 1983), Ra=1e3, Pr=0.71:
+    hot-wall Nusselt number vs the benchmark value 1.118 (buoyancy-coupled
+    NS + implicit heat transport — the reference has no coupled physics)."""
+    from pyapes_tpu.models import NaturalConvection
+
+    mesh = Mesh(Box[0:1, 0:1], None, [33, 33])
+    model = NaturalConvection(mesh, ra=1e3, pr=0.71)
+    model.run(dt=0.0125, n_steps=60)  # t = 0.75, steady at this Ra
+
+    nu_wall = model.nusselt_hot_wall()
+    assert abs(nu_wall - 1.118) < 0.03 * 1.118, nu_wall
+    # circulation: single clockwise-ish roll driven by the hot wall
+    v = np.asarray(model.v()[0])
+    assert v.max() > 0.5 and v.min() < -0.5
+    # temperature bounded by the wall values (maximum principle)
+    T = np.asarray(model.T()[0])
+    assert T.max() <= 1.0 + 1e-8 and T.min() >= -1e-8
