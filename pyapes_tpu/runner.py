@@ -148,6 +148,32 @@ def _run_channel(args) -> dict:
     return out
 
 
+def _run_convection(args) -> dict:
+    """Boussinesq natural convection (de Vahl Davis benchmark cavity)."""
+    from pyapes_tpu.geometry import Box
+    from pyapes_tpu.mesh import Mesh
+    from pyapes_tpu.models import NaturalConvection
+
+    mesh = Mesh(Box[0:1, 0:1], None, [args.n, args.n], dtype=args.dtype)
+    model = NaturalConvection(mesh, ra=args.ra, pr=args.pr)
+    _maybe_resume(args, model, model.vel + [model.p, model.T])
+    tic = time.perf_counter()
+    model.run(dt=args.dt, n_steps=args.steps)
+    wall = time.perf_counter() - tic
+    _maybe_save(args, model.vel + [model.p, model.T])
+    out = {
+        "wall_s": wall,
+        "steps": args.steps,
+        "t": model.t,
+        "nusselt_hot_wall": model.nusselt_hot_wall(),
+    }
+    fields = {v.name: v()[0] for v in model.vel}
+    fields["p"] = model.p()[0]
+    fields["T"] = model.T()[0]
+    out.update(_maybe_vtk(args, mesh, fields))
+    return out
+
+
 def _run_rfp(args) -> dict:
     """Self-consistent Rosenbluth-Fokker-Planck relaxation of an
     anisotropic Maxwellian (see ``models/rosenbluth.py``)."""
@@ -235,6 +261,12 @@ def main(argv=None) -> None:
     sch.add_argument("--obstacle", action="store_true",
                      help="immersed square body in the channel")
 
+    sv = sub.add_parser("convection", parents=[common])
+    sv.add_argument("--ra", type=float, default=1e3)
+    sv.add_argument("--pr", type=float, default=0.71)
+    sv.add_argument("--dt", type=float, default=0.01)
+    sv.add_argument("--steps", type=int, default=100)
+
     sr = sub.add_parser("rfp", parents=[common])
     sr.add_argument("--dt", type=float, default=2e-4)
     sr.add_argument("--steps", type=int, default=100)
@@ -256,6 +288,8 @@ def main(argv=None) -> None:
         out = _run_channel(args)
     elif args.case == "rfp":
         out = _run_rfp(args)
+    elif args.case == "convection":
+        out = _run_convection(args)
     else:
         out = _run_burgers(args)
     print(json.dumps(out))
