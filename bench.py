@@ -82,23 +82,27 @@ def solve_poisson(n: int, tol: float, max_it: int):
     solver.solve()
     t_compile = time.perf_counter() - t_compile
 
-    # Timed run from scratch.
-    var2 = var.zeros_like()
-    solver.set_eq(fdm.laplacian(1.0, var2) == rhs)
-    jax.block_until_ready(var2())
-    tic = time.perf_counter()
-    report = solver.solve()
-    jax.block_until_ready(var2())
-    wall = time.perf_counter() - tic
+    # Timed runs from scratch: best of 3 (the tunneled chip shows ~10%
+    # run-to-run variance; the minimum is the reproducible kernel time).
+    walls = []
+    for _ in range(3):
+        var2 = var.zeros_like()
+        solver.set_eq(fdm.laplacian(1.0, var2) == rhs)
+        jax.block_until_ready(var2())
+        tic = time.perf_counter()
+        report = solver.solve()
+        jax.block_until_ready(var2())
+        walls.append(time.perf_counter() - tic)
+    wall = min(walls)
 
     return {
         "n": n,
         "wall_s": wall,
+        "wall_s_all": [round(w, 4) for w in walls],
         "compile_s": t_compile,
         "itr": report["itr"],
         "tol": report["tol"],
         "converge": report["converge"],
-        
         "dof_per_s": n**3 / wall,
     }
 
