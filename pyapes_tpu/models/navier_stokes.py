@@ -231,11 +231,18 @@ class LidDrivenCavity:
                 )
                 self.mom_solver.solve()
         else:
+            # advection RHS from the TIME-n velocities for ALL components
+            # BEFORE any momentum solve overwrites them (computing inside
+            # the loop would mix u* of earlier components into later
+            # components' advection — order-dependent and off-scheme)
+            rhs_all = [
+                (-self._advect(var) + rhs_pg[j])[None]
+                for j, var in enumerate(self.vel)
+            ]
             for j, var in enumerate(self.vel):
-                rhs_j = (-self._advect(var) + rhs_pg[j])[None]
                 self.mom_solver.set_eq(
                     self.fdm.ddt(var) - self.fdm.laplacian(self.nu, var)
-                    == rhs_j
+                    == rhs_all[j]
                 )
                 self.mom_solver.solve()
 

@@ -17,8 +17,6 @@ constraint, plus the full 128 MB of physical VMEM on v5e-class chips
     iota-select VPU work on the x axis,
   * full y/z extents live in the tile, so y/z neighbor access is an exact
     in-register ``pltpu.roll`` wrap — no ghost DMAs at all,
-  * the three central coefficient vectors are folded into one broadcast
-    sum, saving two multiplies per point,
   * stage DMAs are double-buffered across grid steps (program i starts
     program i+1's fetches before computing).
 
@@ -307,22 +305,12 @@ def ext_supported(out_shape: tuple[int, ...], ext: tuple[int, ...],
                   dtype=jnp.float32) -> bool:
     """Gate for ``pallas_axis_stencil_ext``: 3-D, lane dim unextended and
     128-aligned (an extended lane dim would pad every row by a full vreg),
-    and the extended slab fits VMEM."""
+    and the extended slab fits VMEM (same budget search as ``_ext_tile``)."""
     if len(out_shape) != 3 or len(ext) != 3:
         return False
     if ext[2] != 0 or out_shape[2] % 128 != 0:
         return False
-    nx, ny, nz = out_shape
-    itemsize = np.dtype(dtype).itemsize
-    plane = (ny + 2 * ext[1]) * nz * itemsize
-    tx = 0
-    for t in range(1, min(16, nx) + 1):
-        if nx % t:
-            continue
-        declared = 2 * (t + 2) * plane + 2 * t * ny * nz * itemsize
-        if declared <= _DECLARED_BUDGET:
-            tx = t
-    return tx >= 1
+    return _ext_tile(out_shape, ext, np.dtype(dtype).itemsize) >= 1
 
 
 def _ext_tile(out_shape, ext, itemsize) -> int:

@@ -49,7 +49,10 @@ class DifferentiableSolve:
     def __init__(self, mesh, bcs, tol: float = 1e-8, max_it: int = 2000):
         for bc in bcs or []:
             v = getattr(bc, "bc_val", 0.0)
-            assert v in (0.0, 0, None), (
+            homogeneous = v is None or (
+                isinstance(v, (int, float)) and float(v) == 0.0
+            )
+            assert homogeneous, (
                 "DifferentiableSolve: BCs must be homogeneous (linear); "
                 f"got {bc.bc_face}={v!r}"
             )

@@ -195,51 +195,80 @@ def clear_cache() -> None:
     _SOLVER_CACHE.clear()
 
 
-def _content_token(val):
+def _content_token(val, _seen=None):
     """Stable, content-based hash token for a BC value.
 
     The compiled solver closes over the BC objects, so the cache key must
     change whenever the *traced computation* would: ``id()`` is unsafe (a
     GC'd callable's id can be reused by a different one — advisor finding
     r1). Callables are keyed by bytecode + constants + closure contents
-    (recursively), arrays by shape/dtype/bytes; as a result two freshly
-    constructed but identical lambdas share one compiled solver, while
-    changing a closed-over value forces a recompile.
+    (recursively, with a cycle guard for self-referential closures;
+    callable *objects* by their ``__call__`` code + instance ``__dict__``),
+    arrays by shape/dtype/bytes; as a result two freshly constructed but
+    identical lambdas share one compiled solver, while changing a
+    closed-over value forces a recompile.
     """
     if isinstance(val, (int, float, str, bool)) or val is None:
         return ("scalar", val)
+    if _seen is None:
+        _seen = set()
+    if id(val) in _seen:
+        return ("cycle",)
+    _seen = _seen | {id(val)}
     if isinstance(val, (list, tuple)):
-        return ("seq", tuple(_content_token(v) for v in val))
+        return ("seq", tuple(_content_token(v, _seen) for v in val))
     if isinstance(val, dict):
         return (
             "dict",
-            tuple(sorted((k, _content_token(v)) for k, v in val.items())),
+            tuple(sorted(
+                (str(k), _content_token(v, _seen)) for k, v in val.items()
+            )),
         )
     if callable(val):
         import functools
+        import inspect
 
         if isinstance(val, functools.partial):
             return (
                 "partial",
-                _content_token(val.func),
-                _content_token(val.args),
-                _content_token(val.keywords),
+                _content_token(val.func, _seen),
+                _content_token(val.args, _seen),
+                _content_token(val.keywords, _seen),
             )
         code = getattr(val, "__code__", None)
         if code is None:
-            # builtins / callable objects: fall back to type + repr-free id
+            # bound methods / callable objects: key by the __call__ code
+            # plus the instance state (id() would reintroduce the
+            # GC'd-id-reuse staleness this function exists to prevent)
+            call = getattr(val, "__call__", None)
+            fn = getattr(call, "__func__", None)
+            if fn is not None and getattr(fn, "__code__", None) is not None:
+                state = getattr(val, "__dict__", None)
+                return (
+                    "callable_obj",
+                    type(val).__qualname__,
+                    fn.__code__.co_code,
+                    _content_token(state, _seen) if state else (),
+                )
+            if inspect.isbuiltin(val) or inspect.isclass(val):
+                mod = getattr(val, "__module__", "")
+                return ("callable_named", mod, getattr(
+                    val, "__qualname__", repr(type(val))
+                ))
             return ("callable_opaque", type(val).__qualname__, id(val))
         cells = ()
         if getattr(val, "__closure__", None):
             cells = tuple(
-                _content_token(c.cell_contents) for c in val.__closure__
+                _content_token(c.cell_contents, _seen)
+                for c in val.__closure__
             )
         consts = tuple(
-            c.co_code if hasattr(c, "co_code") else _content_token(c)
+            c.co_code if hasattr(c, "co_code") else _content_token(c, _seen)
             for c in (code.co_consts or ())
         )
         defaults = tuple(
-            _content_token(d) for d in (getattr(val, "__defaults__", None) or ())
+            _content_token(d, _seen)
+            for d in (getattr(val, "__defaults__", None) or ())
         )
         return ("callable", code.co_code, consts, cells, defaults)
     try:
@@ -565,13 +594,31 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 for j in range(mesh.dim)
             )
             reduced = []
+
+            def _check_seam(mask):
+                # the reduction drops the duplicate seam plane; a body
+                # intersecting it would silently lose solid cells
+                for j in paxes:
+                    seam = tuple(
+                        -1 if k == j else slice(None)
+                        for k in range(mesh.dim)
+                    )
+                    if mask[seam].any():
+                        raise NotImplementedError(
+                            "obstacle touches the periodic seam plane of "
+                            f"axis {j}; place bodies off the duplicate "
+                            "endpoint plane"
+                        )
+
             for bc in bcs_kept:
                 kind = getattr(bc, "bc_type", "")
                 if kind == "obstacle_dirichlet":
+                    _check_seam(bc.bc_mask)
                     b2 = _copy.copy(bc)
                     b2.bc_mask = bc.bc_mask[red_np]
                     reduced.append(b2)
                 elif kind == "obstacle_neumann":
+                    _check_seam(bc.bc_mask)
                     b2 = _copy.copy(bc)
                     b2.bc_mask = bc.bc_mask[red_np]
                     b2.faces = [
@@ -713,10 +760,12 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             bc for bc in obn if getattr(bc, "bc_val", 0.0) != 0.0
         )
         if affine_obn:
-            def rhs_shift(tp, shape, dtype, _raw=raw_Aop, _bcs=affine_obn):
-                e = jnp.zeros(shape, dtype)
+            @jax.jit
+            def rhs_shift(tp, _raw=raw_Aop, _bcs=affine_obn,
+                          _shape=x0.shape, _dtype=x0.dtype):
+                e = jnp.zeros(_shape, _dtype)
                 for bc in _bcs:
-                    e = e + bc.affine_field(shape, dtype)
+                    e = e + bc.affine_field(_shape, _dtype)
                 return _raw(e, tp)
         else:
             rhs_shift = None
@@ -745,7 +794,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
 
     fn_c, rhs_shift = _SOLVER_CACHE[key]
     if rhs_shift is not None:
-        rhs_r = rhs_r - rhs_shift(tparams, x0.shape, x0.dtype)
+        rhs_r = rhs_r - rhs_shift(tparams)
     x_final, itr, tol_final, hist = fn_c(x0, rhs_r, tparams)
     if paxes:
         x_final = _restore_periodic(x_final, paxes)
