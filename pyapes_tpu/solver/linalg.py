@@ -536,6 +536,20 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             rz=(mesh.coord_sys == "rz"),
             r_lower=float(mesh._lower_np[0]),
             cycle_dtype=cycle_dtype,
+            # under a decomposition the finest V-cycle levels ride the
+            # shard_map+Pallas operator (coarse levels: GSPMD jnp)
+            decomp=(
+                decomp
+                if (
+                    decomp is not None
+                    and kernel in ("auto", "pallas")
+                    and (
+                        kernel == "pallas"
+                        or jax.default_backend() == "tpu"
+                    )
+                )
+                else None
+            ),
             **mg_opts,
         )
 

@@ -65,6 +65,7 @@ class MGSpec:
         smoother: str = "jacobi",
         fmg: bool = False,
         fuse_rz: bool = False,
+        decomp=None,
     ):
         self.shape = tuple(shape)
         self.lengths = tuple(float(l) for l in lengths)
@@ -96,6 +97,12 @@ class MGSpec:
         # are register-resident, saving the separate r+z read-back pass
         # every outer iteration.
         self.fuse_rz = bool(fuse_rz)
+        # Domain decomposition: level operators whose shard-local blocks
+        # support the halo-extended kernel ride shard_map + ppermute +
+        # Pallas (the finest levels — ~90% of cycle cost); coarser levels
+        # fall back to jnp rolls under GSPMD automatically.
+        self.decomp = decomp
+        self._sharded_applies: dict = {}
         self.shapes = _level_shapes(self.shape)
 
     # hashable (used in the compiled-solver cache key)
@@ -104,7 +111,7 @@ class MGSpec:
             (self.shape, self.lengths, self.paxes, str(self.dtype),
              str(self.cdtype), self.n_pre, self.n_post, self.n_coarse,
              self.omega, self.use_pallas, self.rz, self.r_lower,
-             self.smoother, self.fmg_init, self.fuse_rz)
+             self.smoother, self.fmg_init, self.fuse_rz, self.decomp)
         )
 
     def __eq__(self, other):
@@ -150,15 +157,53 @@ class MGSpec:
             )
         return tuple(coeffs)
 
+    def _level_coeffs(self, shape, dtype):
+        inv = self._inv_dx2(shape)
+        return tuple(
+            (
+                jnp.full((n,), inv[j], dtype=dtype),
+                jnp.full((n,), -2.0 * inv[j], dtype=dtype),
+                jnp.full((n,), inv[j], dtype=dtype),
+            )
+            for j, n in enumerate(shape)
+        )
+
+    def _sharded_apply(self, shape, dtype):
+        """shard_map + ppermute + halo-extended Pallas apply for this
+        level, or None when the decomposition/shape does not support it."""
+        if self.decomp is None:
+            return None
+        key = (tuple(shape), str(dtype))
+        if key in self._sharded_applies:
+            return self._sharded_applies[key]
+        from pyapes_tpu.parallel.halo import (
+            make_sharded_pallas_apply,
+            sharded_pallas_supported,
+        )
+
+        fn = None
+        if sharded_pallas_supported(self.decomp, tuple(shape), dtype):
+            fn = make_sharded_pallas_apply(
+                self.decomp, len(shape),
+                interpret=jax.default_backend() != "tpu",
+            )
+        self._sharded_applies[key] = fn
+        return fn
+
     def _apply_A(self, x, shape):
         """Central Laplacian at this level (per-axis wrap via roll — exact
         on periodic axes, masked on the others); rz levels carry the 1/r
-        terms. Uses the fused Pallas kernel on supported shapes."""
+        terms. Uses the fused Pallas kernel on supported shapes (under a
+        domain decomposition: the shard_map + ppermute tier)."""
         inv = self._inv_dx2(shape)
         if self.rz:
             from pyapes_tpu.ops.stencil import apply_axis_stencil
 
             return apply_axis_stencil(self._rz_axis_coeffs(shape), x)
+        if self.decomp is not None:
+            fn = self._sharded_apply(shape, x.dtype)
+            if fn is not None:
+                return fn(self._level_coeffs(shape, x.dtype), x)
         if self.use_pallas:
             from pyapes_tpu.ops.pallas_stencil import (
                 pallas_axis_stencil,
@@ -191,6 +236,8 @@ class MGSpec:
         kernel when supported; None otherwise."""
         if not self.use_pallas or len(shape) != 3 or self.rz:
             return None
+        if self.decomp is not None:
+            return None  # smooths go through the sharded _apply_A
         from pyapes_tpu.ops.pallas_stencil import (
             pallas_jacobi3d,
             pallas_supported,

@@ -271,3 +271,41 @@ def test_sharded_pallas_solve_matches_single_device() -> None:
     out, rep1 = run(DomainDecomposition((4, 2, 1)), "pallas")
     assert rep1["converge"]
     assert_allclose(out, ref, atol=1e-8)
+
+
+@needs_8
+def test_sharded_mg_pallas_levels() -> None:
+    """MG-PCG under a decomposition with kernel='pallas': the finest
+    V-cycle levels ride the shard_map+Pallas operator (coarse levels fall
+    back to GSPMD jnp when their lane dim drops below 128); the solve
+    reproduces the single-device result."""
+
+    def run(decomp, kernel):
+        mesh = Mesh(Box[0:1, 0:1, 0:1], None, [16, 16, 128])
+        from pyapes_tpu.variables.bcs import homogeneous_bcs
+
+        var = Field(
+            "p", 1, mesh,
+            {"domain": homogeneous_bcs(3, 0.0, "dirichlet"),
+             "obstacle": None},
+            init_val=0.0,
+        )
+        rng = np.random.default_rng(9)
+        rhs = jnp.asarray(rng.standard_normal((1, 16, 16, 128)))
+        cfg = {"method": "cg", "tol": 1e-9, "max_it": 300,
+               "report": False, "criterion": "residual",
+               "precond": "mg", "mg_opts": {"n_pre": 1, "n_post": 1},
+               "kernel": kernel}
+        if decomp is not None:
+            cfg["decomp"] = decomp
+        solver = Solver({"fdm": cfg})
+        fdm = FDM()
+        solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+        solver.solve()
+        return np.asarray(var()[0]), solver.report
+
+    ref, rep0 = run(None, "jnp")
+    out, rep1 = run(DomainDecomposition((4, 2, 1)), "pallas")
+    assert rep1["converge"]
+    assert abs(rep1["itr"] - rep0["itr"]) <= 2
+    assert_allclose(out, ref, atol=1e-7)
