@@ -64,6 +64,7 @@ class MGSpec:
         cycle_dtype=None,
         smoother: str = "jacobi",
         fmg: bool = False,
+        fmg_cycles: int = 1,
         fuse_rz: bool = False,
         decomp=None,
     ):
@@ -92,6 +93,7 @@ class MGSpec:
         assert smoother in ("jacobi", "rbgs", "chebyshev")
         self.smoother = smoother
         self.fmg_init = bool(fmg)
+        self.fmg_cycles = int(fmg_cycles)
         # Fuse the PCG dot(r, z) into the level-0 post-smooth kernel
         # (jacobi smoother, n_post == 1, Pallas path only): the dot tiles
         # are register-resident, saving the separate r+z read-back pass
@@ -111,7 +113,8 @@ class MGSpec:
             (self.shape, self.lengths, self.paxes, str(self.dtype),
              str(self.cdtype), self.n_pre, self.n_post, self.n_coarse,
              self.omega, self.use_pallas, self.rz, self.r_lower,
-             self.smoother, self.fmg_init, self.fuse_rz, self.decomp)
+             self.smoother, self.fmg_init, self.fmg_cycles, self.fuse_rz,
+             self.decomp)
         )
 
     def __eq__(self, other):
@@ -439,10 +442,10 @@ class MGSpec:
 
         def init(r):
             if self.cdtype == r.dtype:
-                return self.fmg(r)
+                return self.fmg(r, self.fmg_cycles)
             s = jnp.max(jnp.abs(r))
             s = jnp.where(s > 0, s, 1.0)
-            z = self.fmg((r / s).astype(self.cdtype))
+            z = self.fmg((r / s).astype(self.cdtype), self.fmg_cycles)
             return z.astype(r.dtype) * s
 
         return init
