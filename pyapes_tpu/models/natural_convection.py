@@ -99,7 +99,9 @@ class NaturalConvection(LidDrivenCavity):
 
         T = np.asarray(self.T()[0])
         dx = float(self.mesh.dx_np[0])
-        dy = float(self.mesh.dx_np[1])
-        # second-order one-sided derivative at x=0
-        dTdx = (-1.5 * T[0, :] + 2.0 * T[1, :] - 0.5 * T[2, :]) / dx
-        return float(-np.trapezoid(dTdx, dx=dy))
+        # second-order one-sided derivative at x=0, integrated over the
+        # wall (all transverse axes; works in 2-D and 3-D)
+        dTdx = (-1.5 * T[0] + 2.0 * T[1] - 0.5 * T[2]) / dx
+        for j in range(1, self.mesh.dim):
+            dTdx = np.trapezoid(dTdx, dx=float(self.mesh.dx_np[j]), axis=0)
+        return float(-dTdx)

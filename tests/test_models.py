@@ -408,3 +408,19 @@ def test_natural_convection_davis_ra1e3() -> None:
     # temperature bounded by the wall values (maximum principle)
     T = np.asarray(model.T()[0])
     assert T.max() <= 1.0 + 1e-8 and T.min() >= -1e-8
+
+
+def test_natural_convection_3d_smoke() -> None:
+    """3-D heated cavity: the Boussinesq model generalizes with the NS
+    base (vertical = z); temperature bounded, circulation develops."""
+    from pyapes_tpu.models import NaturalConvection
+
+    mesh = Mesh(Box[0:1, 0:1, 0:1], None, [17, 17, 17])
+    model = NaturalConvection(mesh, ra=1e3, pr=0.71)
+    model.run(dt=0.02, n_steps=15)
+    T = np.asarray(model.T()[0])
+    w = np.asarray(model.w()[0])
+    assert np.all(np.isfinite(T)) and np.all(np.isfinite(w))
+    assert T.max() <= 1.0 + 1e-8 and T.min() >= -1e-8
+    assert np.abs(w).max() > 0.5  # buoyant circulation
+    assert 0.9 < model.nusselt_hot_wall() < 1.5
