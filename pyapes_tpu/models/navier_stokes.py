@@ -85,11 +85,14 @@ class LidDrivenCavity:
     Args:
         mesh: Box mesh on [0, L]^2 (optionally with obstacles).
         nu: kinematic viscosity.
-        lid_velocity: x-velocity of the top (yu) wall.
+        lid_velocity: x-velocity of the top (yu) wall — a float, or a
+            callable ``U(t)`` for a time-varying (e.g. oscillating) lid.
+            Time-varying values stream into the one compiled solver as
+            runtime operands: the whole run compiles once.
         config: FDM solver config overrides.
     """
 
-    def __init__(self, mesh: Mesh, nu: float = 0.01, lid_velocity: float = 1.0,
+    def __init__(self, mesh: Mesh, nu: float = 0.01, lid_velocity=1.0,
                  config=None, implicit_advection: bool = False,
                  rhie_chow: bool = True, incremental: bool = True):
         assert mesh.dim in (2, 3) and mesh.coord_sys == "xyz"
@@ -106,13 +109,19 @@ class LidDrivenCavity:
         faces = FDIR[: 2 * dim]
         lid_face = faces[2 * dim - 1]  # yu (2-D) / zu (3-D): the top wall
 
+        if callable(lid_velocity):
+            def lid_val(grid, mask, var, opt, t):
+                return float(lid_velocity(0.0 if t is None else t))
+        else:
+            lid_val = float(lid_velocity)
+
         def vel_bc(component: int):
             return [
                 {
                     "bc_face": f,
                     "bc_type": "dirichlet",
                     "bc_val": (
-                        float(lid_velocity)
+                        lid_val
                         if (f == lid_face and component == 0)
                         else 0.0
                     ),
@@ -212,6 +221,11 @@ class LidDrivenCavity:
             if var._dt is None:
                 var.set_time(dt, self.t)
             var.save_old()
+            # advance the field clock FIRST: the implicit solves and BC
+            # applications of this step belong to the NEW time level
+            # (backward Euler), so a time-varying lid U(t) is evaluated
+            # at t^{n+1}, not lagged one step.
+            var.update_time(dt)
         if self.incremental:
             gp_old = self._grad(self.p)
             rhs_pg = [-gp_old[j] for j in range(dim)]
@@ -320,7 +334,6 @@ class LidDrivenCavity:
         for var, nv in zip(self.vel, new_vals):
             var.set_var_tensor(nv[None])
             var.apply_bcs()
-            var.update_time(dt)
 
         self.t += dt
 

@@ -415,7 +415,10 @@ def apply_conv_field(
         adv: advecting velocity ``(mesh.dim, *nx)`` (component per axis).
         base_coeffs: per-axis geometry-only vectors from
             ``div_axis_coeffs(..., gamma=1.0, limiter="none")``.
-        limiter: "none" | "upwind".
+        limiter: "none" | "upwind" | "quick" (3rd-order upwind-biased,
+            first-order fallback on boundary-adjacent rows — the scheme
+            the reference advertises but never implemented,
+            ``fdc.py:659-660``).
         surgery: ``div_surgery_info`` output.
     """
     ndim_mesh = x.ndim - 1
@@ -429,16 +432,37 @@ def apply_conv_field(
         amb = am0.reshape(shape)
         inv_2dx = jnp.abs(apb)
         a = adv[j]
+        app = amm = None
         if limiter == "none":
             ap = apb * a
             ac = acb * a
             am = amb * a
-        else:
+        elif limiter == "upwind":
             g_min = jnp.minimum(a, 0.0)
             g_max = jnp.maximum(a, 0.0)
             ap = 2.0 * inv_2dx * g_min
             ac = 2.0 * inv_2dx * (g_max - g_min) + acb * a
             am = -2.0 * inv_2dx * g_max
+        else:  # quick (3rd-order upwind-biased; mirrors apply_div_field)
+            g_min = jnp.minimum(a, 0.0)
+            g_max = jnp.maximum(a, 0.0)
+            s = 2.0 * inv_2dx  # == 1/dx
+            app = -s * g_min / 8.0
+            ap = s * (3 * g_max + 7 * g_min) / 8.0
+            ac = s * 3 * (g_max - g_min) / 8.0 + acb * a
+            am = -s * (7 * g_max + 3 * g_min) / 8.0
+            amm = s * g_max / 8.0
+            # boundary-adjacent rows: first-order upwind fallback (the
+            # +-2 reach would cross the boundary face)
+            for idx in (1, -2):
+                sel = _row_sel(j, idx)
+                ap = ap.at[sel].set((2.0 * inv_2dx * g_min)[sel])
+                ac = ac.at[sel].set(
+                    (2.0 * inv_2dx * (g_max - g_min) + acb * a)[sel]
+                )
+                am = am.at[sel].set((-2.0 * inv_2dx * g_max)[sel])
+                app = app.at[sel].set(0.0)
+                amm = amm.at[sel].set(0.0)
         lo_kind, up_kind = surgery[j]
         if lo_kind == "neumann":
             sel = _row_sel(j, 1)
@@ -456,9 +480,16 @@ def apply_conv_field(
             ap = ap.at[sel].set(0.0)
         elif up_kind == "periodic":
             ap = ap.at[_row_sel(j, -2)].set(0.0)
-        out = out + (
+        term = (
             ap[None] * jnp.roll(x, -1, 1 + j)
             + ac[None] * x
             + am[None] * jnp.roll(x, 1, 1 + j)
         )
+        if app is not None:
+            term = (
+                term
+                + app[None] * jnp.roll(x, -2, 1 + j)
+                + amm[None] * jnp.roll(x, 2, 1 + j)
+            )
+        out = out + term
     return out

@@ -311,8 +311,6 @@ class Conv(Operators):
 
         config = self.config or {"div": {"limiter": "none", "edge": False}}
         limiter = config.get("div", {}).get("limiter", "none")
-        if limiter == "quick":
-            limiter = "upwind"  # QUICK conv not implemented; fall back
 
         mesh = var.mesh
         base = div_axis_coeffs(mesh, None, 1.0, "none")

@@ -8,24 +8,81 @@ the single biggest lever on the 512^3 north-star benchmark.
 Design (all jnp; runs on CPU and TPU, compiled into the same
 ``lax.while_loop`` as the Krylov iteration):
 
-  * Level hierarchy by ~2x node coarsening; level operator is the plain
-    central Laplacian at that level's spacing, restricted to the active
-    (interior / torus) nodes. Boundary-adjacent coefficient surgery is
-    deliberately dropped — the preconditioner only needs the right
-    spectrum, and the mismatch is a single row per face.
+  * Level hierarchy by ~2x node coarsening; level operator is the central
+    Laplacian rediscretized at that level's spacing, restricted to the
+    active (interior / torus) nodes, **with the same boundary-node
+    elimination surgery as the fine operator** (``face_kinds``): Neumann/
+    Symmetry faces get the 4/3 / -1/3 row edit of
+    ``ops/stencil._eliminate_boundary_node`` at every level, AND the
+    surgered rows are scaled by 3/2 per axis (``_dvec_np``) — the
+    eliminated Neumann system is nonsymmetric, and this separable
+    diagonal scale restores exact symmetry, making the level operators
+    SPD with the CONSTANT as true null vector. (Round-2 VERDICT item 1;
+    exact 2-D spectral analysis: naive surgery+E transfers DIVERGE at 4
+    levels (rho 1.19), symmetrized cycle is depth-stable at rho 0.27.)
   * Damped Jacobi smoothing (omega = 2/3), symmetric pre/post counts so
-    the cycle is (approximately) SPD, as PCG requires.
-  * Transfers via ``jax.image.resize`` (linear): handles arbitrary node
-    counts, keeps everything fused under jit.
+    the cycle is (approximately) SPD, as PCG requires. Under surgery the
+    Jacobi diagonal is the true spatially-varying one (broadcast-summed
+    per-axis center vectors; XLA fuses it into the update).
+  * Transfers are **endpoint-aligned** per-axis linear interpolation
+    matrices applied as MXU tensordots: prolongation P interpolates at
+    the vertex positions ``i L/(n-1)`` (grid nodes INCLUDE the domain
+    endpoints), restriction is the scaled transpose ``(n_c-1)/(n_f-1)
+    P^T`` (full weighting), keeping the cycle symmetric for PCG. On
+    Neumann faces both fold in the zero-flux boundary reconstruction
+    (``_bc_extend_matrix_np``): the coarse correction then carries the
+    zero-SLOPE near-face error shape instead of being pinned to 0.
+    ``jax.image.resize`` — the round-1/2 choice — samples at half-pixel
+    CENTERS, misaligning every node of a vertex-centered grid; measured
+    standalone V(2,2) rate at 65^3: ~0.65 (resize) vs 0.35 (aligned);
+    512^3 bench: 14 -> 8 PCG iterations — the "boundary-layer stall" of
+    ROADMAP r2 was transfer misalignment, not smoothing.
+  * Singular (no-Dirichlet) hierarchies project each level RHS onto the
+    compatible zero-mean range (``_demean``) — restriction leaks an
+    O(surface) incompatible component that Jacobi on a singular level
+    grows linearly otherwise.
 """
 from __future__ import annotations
 
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from pyapes_tpu.mesh.tools import interior_mask_device
+
+
+@lru_cache(maxsize=None)
+def _interp_matrix_np(n_c: int, n_f: int):
+    """Endpoint-aligned 1-D linear interpolation matrix ``P`` of shape
+    ``(n_f, n_c)``: row i samples the coarse hat functions at the fine
+    vertex position ``i (n_c-1)/(n_f-1)`` (both grids include the domain
+    endpoints — node 0 -> node 0, node n-1 -> node n-1 exactly)."""
+    P = np.zeros((n_f, n_c), np.float64)
+    for i in range(n_f):
+        t = i * (n_c - 1) / (n_f - 1)
+        j = min(int(np.floor(t)), n_c - 2)
+        w = t - j
+        P[i, j] += 1.0 - w
+        P[i, j + 1] += w
+    return P
+
+
+@lru_cache(maxsize=None)
+def _interp_matrix_periodic_np(n_c: int, n_f: int):
+    """Wrap-aware 1-D linear interpolation matrix for torus axes: the
+    active nodes are ``i L/n`` spanning ``[0, L)`` (the duplicate endpoint
+    is dropped by the periodic reduction), so sampling positions and the
+    neighbor index wrap modulo the period."""
+    P = np.zeros((n_f, n_c), np.float64)
+    for i in range(n_f):
+        t = i * n_c / n_f
+        j = int(np.floor(t))
+        w = t - j
+        P[i, j % n_c] += 1.0 - w
+        P[i, (j + 1) % n_c] += w
+    return P
 
 
 def _level_shapes(shape, min_size=4, max_levels=8):
@@ -67,6 +124,7 @@ class MGSpec:
         fmg_cycles: int = 1,
         fuse_rz: bool = False,
         decomp=None,
+        face_kinds=None,
     ):
         self.shape = tuple(shape)
         self.lengths = tuple(float(l) for l in lengths)
@@ -105,6 +163,33 @@ class MGSpec:
         # fall back to jnp rolls under GSPMD automatically.
         self.decomp = decomp
         self._sharded_applies: dict = {}
+        # Per-axis (lower, upper) BC kind for the level-operator surgery:
+        # "dirichlet" (no row edit — the eliminated boundary value is zero
+        # in the error equation) or "neumann" (Neumann/Symmetry boundary-
+        # node elimination at every level). Periodic axes are handled by
+        # ``paxes`` (wrap stencil, full mask) and need no surgery.
+        if face_kinds is None:
+            face_kinds = tuple(
+                ("dirichlet", "dirichlet") for _ in self.shape
+            )
+        self.face_kinds = tuple(tuple(fk) for fk in face_kinds)
+        self._surgery = any(
+            k != "dirichlet"
+            for j, fk in enumerate(self.face_kinds)
+            if j not in self.paxes
+            for k in fk
+        )
+        # No Dirichlet face anywhere -> every level operator is singular
+        # (constant nullspace). The restricted residual then needs
+        # per-level re-projection onto the compatible (zero-mean) range:
+        # interpolation column sums are not exactly 1 over the masked
+        # interior, so restriction leaks an O(surface) incompatible mean
+        # that Jacobi on the singular level grows linearly (measured:
+        # standalone rate 1.97 without the projection, 0.3 with).
+        self._singular = all(
+            j in self.paxes or all(k == "neumann" for k in fk)
+            for j, fk in enumerate(self.face_kinds)
+        )
         self.shapes = _level_shapes(self.shape)
 
     # hashable (used in the compiled-solver cache key)
@@ -114,7 +199,7 @@ class MGSpec:
              str(self.cdtype), self.n_pre, self.n_post, self.n_coarse,
              self.omega, self.use_pallas, self.rz, self.r_lower,
              self.smoother, self.fmg_init, self.fmg_cycles, self.fuse_rz,
-             self.decomp)
+             self.decomp, self.face_kinds)
         )
 
     def __eq__(self, other):
@@ -138,38 +223,107 @@ class MGSpec:
         )
         return interior_mask_device(shape, slicer, self.cdtype)
 
+    def _surger(self, ap, ac, am, axis):
+        """Boundary-node elimination on a level's numpy coefficient
+        vectors (the fine operator's ``_eliminate_boundary_node`` rule,
+        ``ops/stencil.py:66-93``, rediscretized at every level)."""
+        if axis in self.paxes:
+            return
+        from pyapes_tpu.ops.stencil import _eliminate_boundary_node
+
+        lo, up = self.face_kinds[axis]
+        if lo == "neumann":
+            _eliminate_boundary_node(ap, ac, am, True)
+        if up == "neumann":
+            _eliminate_boundary_node(ap, ac, am, False)
+
     def _rz_axis_coeffs(self, shape):
         """Axis-0 (radial) level coefficients with the 1/r geometric terms,
-        rediscretized at each level (mirrors ``laplacian_axis_coeffs``)."""
+        rediscretized at each level (mirrors ``laplacian_axis_coeffs``),
+        incl. the per-level boundary-node surgery."""
         inv = self._inv_dx2(shape)
         n0 = shape[0]
         dr = 1.0 / np.sqrt(inv[0])
-        r = self.r_lower + dr * jnp.arange(n0, dtype=self.cdtype)
-        s = jnp.nan_to_num(dr / (2.0 * r), nan=0.0, posinf=0.0, neginf=0.0)
+        r = self.r_lower + dr * np.arange(n0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.nan_to_num(dr / (2.0 * r), nan=0.0, posinf=0.0, neginf=0.0)
         ap = (1.0 + s) * inv[0]
-        ac = -2.0 * jnp.ones(n0, dtype=self.cdtype) * inv[0]
+        ac = -2.0 * np.ones(n0) * inv[0]
         am = (1.0 - s) * inv[0]
-        coeffs = [(ap.astype(self.cdtype), ac, am.astype(self.cdtype))]
+        self._surger(ap, ac, am, 0)
+        coeffs = [tuple(jnp.asarray(c, dtype=self.cdtype) for c in (ap, ac, am))]
         for j in range(1, len(shape)):
+            n = shape[j]
+            apj = inv[j] * np.ones(n)
+            acj = -2.0 * inv[j] * np.ones(n)
+            amj = inv[j] * np.ones(n)
+            self._surger(apj, acj, amj, j)
             coeffs.append(
-                (
-                    jnp.full((shape[j],), inv[j], dtype=self.cdtype),
-                    jnp.full((shape[j],), -2.0 * inv[j], dtype=self.cdtype),
-                    jnp.full((shape[j],), inv[j], dtype=self.cdtype),
+                tuple(
+                    jnp.asarray(c, dtype=self.cdtype) for c in (apj, acj, amj)
                 )
             )
         return tuple(coeffs)
 
     def _level_coeffs(self, shape, dtype):
         inv = self._inv_dx2(shape)
-        return tuple(
-            (
-                jnp.full((n,), inv[j], dtype=dtype),
-                jnp.full((n,), -2.0 * inv[j], dtype=dtype),
-                jnp.full((n,), inv[j], dtype=dtype),
+        out = []
+        for j, n in enumerate(shape):
+            ap = inv[j] * np.ones(n)
+            ac = -2.0 * inv[j] * np.ones(n)
+            am = inv[j] * np.ones(n)
+            self._surger(ap, ac, am, j)
+            out.append(
+                tuple(jnp.asarray(c, dtype=dtype) for c in (ap, ac, am))
             )
-            for j, n in enumerate(shape)
+        return tuple(out)
+
+    def _dvec_np(self, n: int, axis: int):
+        """Per-axis symmetrization row scale: the Neumann boundary-node
+        elimination makes the surgered row nonsymmetric
+        (``A[1,2] = 2/3`` vs ``A[2,1] = 1``); scaling that row by 3/2
+        restores exact symmetry, and the scale separates over axes
+        (``D = kron_j D_j``), so the scaled N-D operator ``D A`` is SPD
+        with the CONSTANT as its true null vector — which is what makes
+        the V-cycle a depth-stable symmetric preconditioner (measured 2-D
+        exact spectral radii: 0.27 at 4 levels vs 1.19 unscaled)."""
+        d = np.ones(n)
+        if axis in self.paxes:
+            return d
+        lo, up = self.face_kinds[axis]
+        if lo == "neumann":
+            d[1] = 1.5
+        if up == "neumann":
+            d[n - 2] = 1.5
+        return d
+
+    def _dfield(self, shape, dtype):
+        """Broadcast product of the per-axis symmetrization scales
+        (shape ``(1, *shape)``; XLA fuses the tiny-vector product into
+        consumers)."""
+        out = None
+        for j, n in enumerate(shape):
+            v = jnp.asarray(self._dvec_np(n, j), dtype=dtype)
+            v = v.reshape(tuple(-1 if k == j else 1 for k in range(len(shape))))
+            out = v if out is None else out * v
+        return out[None]
+
+    def _diag_field(self, shape, dtype):
+        """True diagonal of the SCALED level operator ``D A``:
+        ``sum_j ac_j (prod_{k != j} d_k) = D * sum_j ac_j / d_j`` —
+        separable broadcast sums, never materialized standalone."""
+        coeffs = (
+            self._rz_axis_coeffs(shape) if self.rz
+            else self._level_coeffs(shape, dtype)
         )
+        acc = None
+        for j, n in enumerate(shape):
+            ac = coeffs[j][1] / jnp.asarray(self._dvec_np(n, j), dtype=dtype)
+            ac = ac.reshape(
+                tuple(-1 if k == j else 1 for k in range(len(shape)))
+            )
+            acc = ac if acc is None else acc + ac
+        return self._dfield(shape, dtype) * acc[None]
 
     def _sharded_apply(self, shape, dtype):
         """shard_map + ppermute + halo-extended Pallas apply for this
@@ -194,6 +348,15 @@ class MGSpec:
         return fn
 
     def _apply_A(self, x, shape):
+        """Scaled level operator ``D A`` (``D = 1`` without surgery): the
+        rediscretized central Laplacian with per-level boundary-node
+        surgery, post-multiplied by the separable symmetrization field."""
+        out = self._apply_A_raw(x, shape)
+        if self._surgery:
+            out = out * self._dfield(shape, x.dtype)
+        return out
+
+    def _apply_A_raw(self, x, shape):
         """Central Laplacian at this level (per-axis wrap via roll — exact
         on periodic axes, masked on the others); rz levels carry the 1/r
         terms. Uses the fused Pallas kernel on supported shapes (under a
@@ -214,15 +377,13 @@ class MGSpec:
             )
 
             if pallas_supported(tuple(shape), x.dtype):
-                coeffs = tuple(
-                    (
-                        jnp.full((n,), inv[j], dtype=x.dtype),
-                        jnp.full((n,), -2.0 * inv[j], dtype=x.dtype),
-                        jnp.full((n,), inv[j], dtype=x.dtype),
-                    )
-                    for j, n in enumerate(shape)
+                return pallas_axis_stencil(
+                    self._level_coeffs(shape, x.dtype), x
                 )
-                return pallas_axis_stencil(coeffs, x)
+        if self._surgery:
+            from pyapes_tpu.ops.stencil import apply_axis_stencil
+
+            return apply_axis_stencil(self._level_coeffs(shape, x.dtype), x)
         out = jnp.zeros_like(x)
         for j in range(len(shape)):
             axis = 1 + j
@@ -231,13 +392,22 @@ class MGSpec:
             )
         return out
 
-    def _diag(self, shape):
+    def _diag(self, shape, dtype=None):
+        """Jacobi scaling diagonal: the interior scalar on unsurgered
+        levels; the TRUE spatially-varying diagonal of the scaled
+        operator on surgered levels (a separable broadcast sum — the
+        exact-analysis rates need it, and XLA fuses it into the smoother
+        update without materializing a full-grid array)."""
+        if self._surgery:
+            return self._diag_field(shape, dtype or self.cdtype)
         return -2.0 * sum(self._inv_dx2(shape))
 
     def _fused(self, x, b, shape, alpha, beta):
         """Fused ``alpha x + beta mask (b - A x)`` via the Pallas Jacobi
-        kernel when supported; None otherwise."""
-        if not self.use_pallas or len(shape) != 3 or self.rz:
+        kernel when supported; None otherwise. The kernel hard-codes the
+        plain central Laplacian, so surgered levels fall back to the
+        vector-coefficient applies."""
+        if not self.use_pallas or len(shape) != 3 or self.rz or self._surgery:
             return None
         if self.decomp is not None:
             return None  # smooths go through the sharded _apply_A
@@ -266,7 +436,7 @@ class MGSpec:
 
     def _color_update(self, x, b, shape, mask, par, color):
         r = (b - self._apply_A(x, shape)) * mask
-        return x + jnp.where(par == color, r / self._diag(shape), 0.0)
+        return x + jnp.where(par == color, r / self._diag(shape, x.dtype), 0.0)
 
     def _rbgs_sweeps(self, x, b, shape, mask, n_iter, order):
         """Red-black Gauss-Seidel sweeps (two stencil applies per sweep).
@@ -293,7 +463,7 @@ class MGSpec:
         theta = 0.5 * (lmax + lmin)
         delta = 0.5 * (lmax - lmin)
         sigma = theta / delta
-        dinv = 1.0 / self._diag(shape)
+        dinv = 1.0 / self._diag(shape, b.dtype)
 
         if x_is_zero:
             z = dinv * (b * mask)
@@ -315,7 +485,7 @@ class MGSpec:
             return self._cheby_smooth(x, b, shape, mask, n_iter)
         if self.smoother == "rbgs":
             return self._rbgs_sweeps(x, b, shape, mask, n_iter, order)
-        om_over_diag = self.omega / self._diag(shape)
+        om_over_diag = self.omega / self._diag(shape, b.dtype)
 
         def body(_, x):
             fused = self._fused(x, b, shape, 1.0, om_over_diag)
@@ -332,10 +502,65 @@ class MGSpec:
             return fused
         return (b - self._apply_A(x, shape)) * mask
 
+    def _bc_extend_matrix_np(self, n: int, axis: int):
+        """Boundary-reconstruction matrix ``E`` (n x n): identity on
+        interior rows; boundary rows rebuilt from the face's BC. Neumann/
+        Symmetry faces use the zero-flux second-order extrapolation
+        ``v_0 = 4/3 v_1 - 1/3 v_2`` (``variables/bcs.py``), Dirichlet
+        faces use the error value 0. Folding ``E`` into the transfers
+        (``P_eff = P E``, ``R_eff = c E^T P^T`` — still a symmetric pair)
+        lets the coarse correction carry the zero-slope near-face error
+        shape Neumann problems have; without it the correction is pinned
+        to 0 at the face and boundary modes stall (measured all-Neumann
+        standalone rate: 0.93 without, ~0.3 with)."""
+        E = np.eye(n)
+        lo, up = self.face_kinds[axis]
+        E[0, 0] = 0.0
+        if lo == "neumann":
+            E[0, 1] = 4.0 / 3.0
+            E[0, 2] = -1.0 / 3.0
+        E[n - 1, n - 1] = 0.0
+        if up == "neumann":
+            E[n - 1, n - 2] = 4.0 / 3.0
+            E[n - 1, n - 3] = -1.0 / 3.0
+        return E
+
+    def _transfer_matrix_np(self, n_s: int, n_t: int, axis: int):
+        """1-D transfer matrix of shape ``(n_s, n_t)`` (ready to contract
+        against the source axis): endpoint-aligned BC-extended
+        prolongation ``P E`` when upsizing, scaled-transpose full
+        weighting ``c E^T P^T`` when downsizing (``c = (n_c-1)/(n_f-1)``
+        so smooth residual magnitudes are preserved; the scalar scale
+        keeps the pair symmetric, hence an SPD V-cycle for PCG). Torus
+        axes use the wrap-aware matrices (no boundary, no ``E``)."""
+        if axis in self.paxes:
+            if n_t > n_s:
+                return _interp_matrix_periodic_np(n_s, n_t).T
+            return _interp_matrix_periodic_np(n_t, n_s) * (n_t / n_s)
+        if n_t > n_s:
+            return (
+                _interp_matrix_np(n_s, n_t) @ self._bc_extend_matrix_np(n_s, axis)
+            ).T
+        return (
+            _interp_matrix_np(n_t, n_s) @ self._bc_extend_matrix_np(n_t, axis)
+        ) * ((n_t - 1) / (n_s - 1))
+
     def _resize(self, x, shape):
-        return jax.image.resize(
-            x, (x.shape[0],) + tuple(shape), method="linear"
-        )
+        """Per-axis matrix transfers applied as tensordots (MXU matmuls —
+        the same machinery ``jax.image.resize`` lowers to, but sampling at
+        the VERTEX positions of the grid instead of half-pixel centers;
+        see the module docstring for the measured rate difference)."""
+        for j, n_t in enumerate(shape):
+            n_s = x.shape[1 + j]
+            if n_s == n_t:
+                continue
+            Mj = jnp.asarray(
+                self._transfer_matrix_np(n_s, n_t, j), dtype=x.dtype
+            )
+            x = jnp.moveaxis(
+                jnp.tensordot(x, Mj, axes=[[1 + j], [0]]), -1, 1 + j
+            )
+        return x
 
     def _first_smooth(self, b, shape, mask, n_iter, order=0):
         """Smooth starting from x = 0: the first (half-)step is A-free —
@@ -346,20 +571,30 @@ class MGSpec:
             )
         if self.smoother == "rbgs":
             par = self._parity(shape)
-            x = jnp.where(par == order, b / self._diag(shape) * mask, 0.0)
+            x = jnp.where(par == order, b / self._diag(shape, b.dtype) * mask, 0.0)
             x = self._color_update(x, b, shape, mask, par, 1 - order)
             if n_iter > 1:
                 x = self._rbgs_sweeps(x, b, shape, mask, n_iter - 1, order)
             return x
-        x = (self.omega / self._diag(shape)) * b * mask
+        x = (self.omega / self._diag(shape, b.dtype)) * b * mask
         if n_iter > 1:
             x = self._smooth(x, b, shape, mask, n_iter - 1)
         return x
 
+    def _demean(self, v, mask):
+        """Project a level RHS onto the singular operator's compatible
+        (zero-mean-over-active-nodes) range; identity for nonsingular
+        levels."""
+        if not self._singular:
+            return v
+        axes = tuple(range(1, v.ndim))
+        m = jnp.sum(v * mask, axis=axes, keepdims=True) / jnp.sum(mask)
+        return (v - m) * mask
+
     def _vcycle(self, b, level):
         shape = self.shapes[level]
         mask = self._mask(shape)
-        b = b * mask
+        b = self._demean(b * mask, mask)
         if level == len(self.shapes) - 1:
             return self._first_smooth(b, shape, mask, self.n_coarse)
 
@@ -379,6 +614,8 @@ class MGSpec:
         (CPU runs it in interpret mode for tests)."""
         if not (self.fuse_rz and not self.rz):
             return False
+        if self._surgery:
+            return False  # the dot kernel hard-codes the central stencil
         if self.smoother != "jacobi" or self.n_post != 1:
             return False
         if len(self.shape) != 3:
@@ -395,7 +632,7 @@ class MGSpec:
 
         shape = self.shapes[0]
         mask = self._mask(shape)
-        b = b * mask
+        b = self._demean(b * mask, mask)
         x = self._first_smooth(b, shape, mask, self.n_pre, order=0)
         r = self._residual(x, b, shape, mask)
         r_c = self._resize(r, self.shapes[1])
@@ -425,12 +662,14 @@ class MGSpec:
 
         shape = self.shapes[-1]
         mask = self._mask(shape)
-        x = self._first_smooth(bs[-1] * mask, shape, mask, self.n_coarse)
+        x = self._first_smooth(
+            self._demean(bs[-1] * mask, mask), shape, mask, self.n_coarse
+        )
         for lvl in range(L - 2, -1, -1):
             shape = self.shapes[lvl]
             mask = self._mask(shape)
             x = self._resize(x, shape) * mask
-            bl = bs[lvl] * mask
+            bl = self._demean(bs[lvl] * mask, mask)
             for _ in range(n_cycles):
                 r = self._residual(x, bl, shape, mask)
                 x = x + self._vcycle(r, lvl)

@@ -144,12 +144,29 @@ class BC(ABC):
         return self._bc_type
 
     # -- value resolution --------------------------------------------------
-    def _value_row(self, var: jnp.ndarray, grid, var_dim: int, row_idx: int):
+    def _call_val(self, v, grid, var, t):
+        """Invoke a callable BC value. Signature ``f(grid, mask, var, opt)``
+        (reference ``bcs.py:204``); callables that also take a ``t``
+        parameter (5th positional or keyword) receive the target field's
+        current time — the hook for time-varying BCs."""
+        import inspect
+
+        try:
+            params = inspect.signature(v).parameters
+            wants_t = "t" in params or len(params) >= 5
+        except (TypeError, ValueError):
+            wants_t = False
+        if wants_t:
+            return v(grid, self.bc_mask, var, self.bc_val_opt, t)
+        return v(grid, self.bc_mask, var, self.bc_val_opt)
+
+    def _value_row(
+        self, var: jnp.ndarray, grid, var_dim: int, row_idx: int, t=None
+    ):
         """Resolve ``bc_val`` to something broadcastable to the face row."""
         v = self.bc_val
         if callable(v):
-            full = v(grid, self.bc_mask, var, self.bc_val_opt)
-            full = jnp.asarray(full)
+            full = jnp.asarray(self._call_val(v, grid, var, t))
             if full.ndim == self.mesh_dim:
                 return full[_face_index(self._bc_face_dim, row_idx, 0)]
             return full
@@ -164,9 +181,41 @@ class BC(ABC):
             return arr[_face_index(self._bc_face_dim, row_idx, 0)]
         return arr
 
+    @property
+    def streamable(self) -> bool:
+        """Whether the BC value can be resolved once per solve call and
+        streamed into the compiled solver as a runtime operand (no
+        recompile when the value changes). Opt out — for callables that
+        must see the evolving Krylov iterate — with
+        ``bc_val_opt={"per_iteration": True}``."""
+        if self._bc_type in ("symmetry", "periodic"):
+            return False  # no value
+        if self.bc_val is None:
+            return False
+        if callable(self.bc_val) and (
+            (self.bc_val_opt or {}).get("per_iteration")
+        ):
+            return False
+        return True
+
+    def stream_values(self, var: jnp.ndarray, grid, t=None):
+        """Resolve the BC value per component into runtime operands for the
+        compiled solver (``None`` when not streamable). Callables are
+        evaluated HERE — once per solve call, outside the jitted loop —
+        with the entry iterate and the field's current time."""
+        if not self.streamable:
+            return None
+        i0 = 0 if self._bc_n_dir < 0 else -1
+        return tuple(
+            jnp.asarray(
+                self._value_row(var, grid, d, i0, t), dtype=var.dtype
+            )
+            for d in range(var.shape[0])
+        )
+
     # -- application -------------------------------------------------------
     def apply(
-        self, var: jnp.ndarray, grid, var_dim: int | None = None
+        self, var: jnp.ndarray, grid, var_dim: int | None = None, vals=None
     ) -> jnp.ndarray:
         """Apply the BC, returning the updated array.
 
@@ -174,6 +223,9 @@ class BC(ABC):
             var: field values, shape ``(var_dim, *nx)``.
             grid: mesh grid tuple.
             var_dim: apply to this component only; ``None`` applies to all.
+            vals: optional pre-resolved per-component value operands
+                (``stream_values`` output) — the runtime-streamed path
+                used inside the compiled solver.
         """
         if not self._is_slab:
             raise NotImplementedError(
@@ -182,11 +234,15 @@ class BC(ABC):
             )
         dims = range(var.shape[0]) if var_dim is None else [var_dim]
         for d in dims:
-            var = self._apply_one(var, grid, d)
+            var = self._apply_one(
+                var, grid, d, None if vals is None else vals[d]
+            )
         return var
 
     @abstractmethod
-    def _apply_one(self, var: jnp.ndarray, grid, d: int) -> jnp.ndarray:
+    def _apply_one(
+        self, var: jnp.ndarray, grid, d: int, val=None
+    ) -> jnp.ndarray:
         ...
 
 
@@ -197,10 +253,11 @@ def _row(var: jnp.ndarray, d: int, axis: int, i: int) -> jnp.ndarray:
 class Dirichlet(BC):
     """Dirichlet BC (reference ``bcs.py:197-213``)."""
 
-    def _apply_one(self, var, grid, d):
+    def _apply_one(self, var, grid, d, val=None):
         a = self._bc_face_dim
         i0 = 0 if self._bc_n_dir < 0 else -1
-        val = self._value_row(var, grid, d, i0)
+        if val is None:
+            val = self._value_row(var, grid, d, i0)
         return var.at[(d,) + _face_index(a, i0, 0)].set(val)
 
 
@@ -208,13 +265,14 @@ class Neumann(BC):
     """Neumann BC, 2nd-order one-sided (reference ``bcs.py:216-253``):
     ``p_face = 4/3 p1 - 1/3 p2 + 2/3 V dx`` (outward-normal convention)."""
 
-    def _apply_one(self, var, grid, d):
+    def _apply_one(self, var, grid, d, val=None):
         a = self._bc_face_dim
         if self._bc_n_dir < 0:
             i0, i1, i2 = 0, 1, 2
         else:
             i0, i1, i2 = -1, -2, -3
-        val = self._value_row(var, grid, d, i0)
+        if val is None:
+            val = self._value_row(var, grid, d, i0)
         p = _row(var, d, a, i1)
         pp = _row(var, d, a, i2)
         new = 4.0 / 3.0 * p - 1.0 / 3.0 * pp + 2.0 / 3.0 * val * self.dx_face
@@ -224,7 +282,7 @@ class Neumann(BC):
 class Symmetry(BC):
     """Symmetry BC: copy the adjacent interior row (reference ``bcs.py:256-262``)."""
 
-    def _apply_one(self, var, grid, d):
+    def _apply_one(self, var, grid, d, val=None):
         a = self._bc_face_dim
         i0, i1 = (0, 1) if self._bc_n_dir < 0 else (-1, -2)
         return var.at[(d,) + _face_index(a, i0, 0)].set(_row(var, d, a, i1))
@@ -234,7 +292,7 @@ class Periodic(BC):
     """Periodic BC (reference ``bcs.py:265-280``): the lower side takes
     ``p1 - p[-1] + p[-2]``; the upper side copies the lower boundary."""
 
-    def _apply_one(self, var, grid, d):
+    def _apply_one(self, var, grid, d, val=None):
         a = self._bc_face_dim
         if self._bc_n_dir < 0:
             new = (
@@ -357,7 +415,8 @@ class ObstacleDirichlet:
     def type(self) -> str:
         return self.bc_type
 
-    def apply(self, var: jnp.ndarray, grid, var_dim: int | None = None):
+    def apply(self, var: jnp.ndarray, grid, var_dim: int | None = None,
+              vals=None):
         mask = jnp.asarray(self.bc_mask)
         v = self.bc_val
         if callable(v):
@@ -454,7 +513,8 @@ class ObstacleNeumann:
     def type(self) -> str:
         return self.bc_type
 
-    def apply(self, var: jnp.ndarray, grid, var_dim: int | None = None):
+    def apply(self, var: jnp.ndarray, grid, var_dim: int | None = None,
+              vals=None):
         # second-order one-sided gradient (the 4/3 rule used for domain
         # Neumann faces): v_shell = (4 v1 - v2)/3 + (2/3) V dx with
         # v1, v2 the first/second fluid-side neighbors
@@ -513,9 +573,12 @@ def apply_bcs_fn(bcs: list[BC_type], grid) -> Callable[[jnp.ndarray], jnp.ndarra
     so the whole solve stays on device.
     """
 
-    def apply_all(x: jnp.ndarray) -> jnp.ndarray:
-        for bc in bcs:
-            x = bc.apply(x, grid)
+    def apply_all(x: jnp.ndarray, bc_vals=None) -> jnp.ndarray:
+        for i, bc in enumerate(bcs):
+            x = bc.apply(
+                x, grid,
+                vals=None if bc_vals is None else bc_vals[i],
+            )
         return x
 
     return apply_all

@@ -406,10 +406,17 @@ class Field:
 
     def apply_bcs(self) -> "Field":
         """Apply all BCs to the current values (pure; returns self with
-        updated payload — convenience over the reference's per-BC loop)."""
+        updated payload — convenience over the reference's per-BC loop).
+        Streamable values (incl. time-dependent callables) resolve against
+        the field's current time."""
         var = self._VAR
         for bc in self.bcs:
-            var = bc.apply(var, self.mesh.grid)
+            vals = (
+                bc.stream_values(var, self.mesh.grid, t=self.t)
+                if hasattr(bc, "stream_values")
+                else None
+            )
+            var = bc.apply(var, self.mesh.grid, vals=vals)
         self._VAR = var
         return self
 

@@ -301,3 +301,49 @@ def test_advect_solve_pallas_matches_jnp() -> None:
         ref = solve("jnp", limiter)
         out = solve("pallas", limiter)
         assert_allclose(out, ref, atol=1e-7)
+
+
+def test_transient_fused_dot_matches_jnp() -> None:
+    """Generalized fused operator+dot (round 3): a TRANSIENT equation
+    (ddt + laplacian — the NS/heat hot loop) takes the in-kernel CG
+    alpha-dot path by folding the ddt identity into the axis-0 center
+    coefficient vector; iterations and solution bit-match the jnp path."""
+    from pyapes_tpu.geometry import Box
+    from pyapes_tpu.mesh import Mesh
+    from pyapes_tpu.solver.fdm import FDM
+    from pyapes_tpu.solver.ops import Solver
+    from pyapes_tpu.variables import Field
+    from pyapes_tpu.variables.bcs import homogeneous_bcs
+
+    def solve(kernel):
+        mesh = Mesh(Box[0:1, 0:1, 0:1], None, [8, 16, 128], dtype="double")
+        var = Field(
+            "T", 1, mesh,
+            {"domain": homogeneous_bcs(3, 0.0, "dirichlet"),
+             "obstacle": None},
+            init_val=0.0,
+        )
+        rng = np.random.default_rng(7)
+        var.set_var_tensor(jnp.asarray(rng.standard_normal(var().shape)))
+        var.set_time(0.05, 0.0)
+        solver = Solver(
+            {"fdm": {"method": "cg", "tol": 1e-11, "max_it": 500,
+                     "report": False, "criterion": "residual",
+                     "kernel": kernel}}
+        )
+        fdm = FDM()
+        reps = []
+        for _ in range(3):
+            var.save_old()
+            solver.set_eq(
+                fdm.ddt(var) - fdm.laplacian(0.3, var)
+                == jnp.zeros_like(var())
+            )
+            reps.append(solver.solve())
+            var.update_time()
+        return np.asarray(var()[0]), [r["itr"] for r in reps]
+
+    out_j, it_j = solve("none")
+    out_p, it_p = solve("pallas")
+    assert it_p == it_j, (it_p, it_j)
+    assert_allclose(out_p, out_j, rtol=1e-9, atol=1e-9)

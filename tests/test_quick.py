@@ -103,3 +103,38 @@ def test_quick_burgers() -> None:
     err_central = run("none")
     assert np.isfinite(err_quick)
     assert err_quick < max(2.0 * err_central, 0.05), (err_quick, err_central)
+
+
+def test_conv_quick_accuracy() -> None:
+    """``fdm.conv`` with the QUICK limiter (round-3: previously silently
+    downgraded to upwind): 3rd-order interior accuracy beats 1st-order
+    upwind by orders of magnitude on a smooth field."""
+    from pyapes_tpu.variables.bcs import homogeneous_bcs
+
+    n = 65
+    mesh = Mesh(Box[0:1, 0:1], None, [n, n])
+    X, Y = mesh.X, mesh.Y
+    phi = jnp.sin(2 * pi * X) * jnp.cos(2 * pi * Y)
+    # constant advecting velocity (1, 0.5): exact u . grad(phi)
+    u = jnp.stack([jnp.ones_like(phi), 0.5 * jnp.ones_like(phi)])
+    exact = (
+        2 * pi * jnp.cos(2 * pi * X) * jnp.cos(2 * pi * Y)
+        + 0.5 * (-2 * pi) * jnp.sin(2 * pi * X) * jnp.sin(2 * pi * Y)
+    )
+
+    errs = {}
+    for lim in ("upwind", "quick"):
+        f = Field("phi", 1, mesh,
+                  {"domain": homogeneous_bcs(2, 0.0, "dirichlet")})
+        f.set_var_tensor(phi[None])
+        fdm = FDM({"div": {"limiter": lim, "edge": False}})
+        op = fdm.conv(u, f)
+        rec = op.ops[0]
+        assert rec["limiter"] == lim  # no silent downgrade
+        out = rec["Aop"](rec, f())
+        interior = (slice(0, 1), slice(3, -3), slice(3, -3))
+        errs[lim] = float(
+            jnp.max(jnp.abs(out[interior] - exact[None][interior]))
+        )
+        fdm.conv.ops = {}
+    assert errs["quick"] < errs["upwind"] / 20, errs

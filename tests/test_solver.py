@@ -477,10 +477,10 @@ def test_negated_equation_sign_aware_neumann() -> None:
 
 
 def test_callable_bc_content_cache_key() -> None:
-    """Two freshly constructed but identical lambdas must share ONE compiled
-    solver, and changing a closed-over value must force a new entry with the
-    new boundary values (id()-keyed caching either recompiled every call or
-    could silently serve stale values after id reuse — advisor finding r1)."""
+    """Streamed callable BC values (round 3): fresh lambdas — even with
+    DIFFERENT closed-over values — share ONE compiled solver, and each
+    solve sees its own resolved boundary values (no stale-value serving;
+    the round-2 content-keyed design recompiled per value change)."""
     from pyapes_tpu.solver import linalg
 
     def run(c: float):
@@ -511,14 +511,15 @@ def test_callable_bc_content_cache_key() -> None:
     assert len(linalg._SOLVER_CACHE) == n1, "identical lambda recompiled"
     assert_allclose(a1, a2, atol=1e-14)
     a3 = run(2.0)
-    assert len(linalg._SOLVER_CACHE) == n1 + 1, "closure change not keyed"
+    # value change STREAMS into the same executable (round-3 item 2)
+    assert len(linalg._SOLVER_CACHE) == n1, "streamed value recompiled"
     assert abs(a1[0, 8] - 1.0) < 1e-8
     assert abs(a3[0, 8] - 2.0) < 1e-8, "stale BC value served from cache"
 
 
 def test_array_bc_content_cache_key() -> None:
-    """Array BC values key by content: equal arrays hit the cache, different
-    values miss (id()-keying recompiled for every freshly built array)."""
+    """Array BC values stream (round 3): equal AND different value arrays
+    re-use the one compiled solver; solutions follow the values."""
     from pyapes_tpu.solver import linalg
 
     def run(vals: np.ndarray):
@@ -544,8 +545,10 @@ def test_array_bc_content_cache_key() -> None:
     a2 = run(row.copy())
     assert len(linalg._SOLVER_CACHE) == n1, "equal array recompiled"
     assert_allclose(a1, a2, atol=1e-14)
-    run(row * 2.0)
-    assert len(linalg._SOLVER_CACHE) == n1 + 1
+    a3 = run(row * 2.0)
+    assert len(linalg._SOLVER_CACHE) == n1, "streamed array recompiled"
+    # corners belong to the later-applied y-face BCs (apply order)
+    assert_allclose(a3[0][1:-1], (row * 2.0)[1:-1], atol=1e-8)
 
 
 def test_debug_nan_checkify() -> None:
