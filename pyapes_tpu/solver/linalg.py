@@ -113,6 +113,7 @@ def _make_Aop(
     stencil_fn=apply_axis_stencil,
     advect_pallas: bool = False,
     advect_interpret: bool = False,
+    sharded_advect: dict | None = None,
 ) -> Callable:
     def _div_field(x, tp, limiter, surgery, form):
         if advect_pallas and limiter in ("none", "upwind"):
@@ -151,7 +152,7 @@ def _make_Aop(
 
     def Aop(x, tparams):
         out = jnp.zeros_like(x)
-        for desc, tp in zip(term_descs, tparams):
+        for ti, (desc, tp) in enumerate(zip(term_descs, tparams)):
             kind, _, sign, limiter, surgery, has_param, form, cfn = desc
             if kind == "axis":
                 if any(len(cs) != 3 for cs in tp["axis"]):
@@ -162,9 +163,15 @@ def _make_Aop(
                 if has_param:
                     r = r * tp["param"]
             elif kind == "div_field":
-                r = _div_field(x, tp, limiter, surgery, form)
+                if sharded_advect and ti in sharded_advect:
+                    r = sharded_advect[ti](x, tp["adv"], tp["base"])
+                else:
+                    r = _div_field(x, tp, limiter, surgery, form)
             elif kind == "conv_field":
-                r = _conv_field(x, tp, limiter, surgery)
+                if sharded_advect and ti in sharded_advect:
+                    r = sharded_advect[ti](x, tp["adv"], tp["base"])
+                else:
+                    r = _conv_field(x, tp, limiter, surgery)
             elif kind == "custom":
                 r = cfn(x, *tp["cparams"])
             else:  # ddt
@@ -517,7 +524,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     # feeding the fused kernel per shard (closes the round-1 gap where a
     # decomposition forced the jnp roll-sum; VERDICT r1 item 2).
     use_sharded_pallas = False
-    if decomp is not None and x0.ndim - 1 == 3 and kernel in (
+    if decomp is not None and x0.ndim - 1 in (2, 3) and kernel in (
         "auto", "pallas"
     ):
         from pyapes_tpu.parallel.halo import sharded_pallas_supported
@@ -705,13 +712,34 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 advect_interpret=interp,
             )
         elif use_sharded_pallas:
-            from pyapes_tpu.parallel.halo import make_sharded_pallas_apply
-
-            sp_apply = make_sharded_pallas_apply(
-                decomp, mesh.dim,
-                interpret=jax.default_backend() != "tpu",
+            from pyapes_tpu.parallel.halo import (
+                make_sharded_advect_apply,
+                make_sharded_pallas_apply,
+                sharded_advect_supported,
             )
-            Aop = _make_Aop(term_descs, sp_apply)
+
+            interp = jax.default_backend() != "tpu"
+            sp_apply = make_sharded_pallas_apply(
+                decomp, mesh.dim, interpret=interp,
+            )
+            # nonlinear Div/Conv ride shard_map + ppermute too (halo
+            # overlap + per-shard fused kernels where the block fits)
+            sadv: dict = {}
+            for ti, desc in enumerate(term_descs):
+                if desc[0] in ("div_field", "conv_field"):
+                    if sharded_advect_supported(
+                        decomp, x0.shape[1:], x0.dtype, desc[3]
+                    ):
+                        sadv[ti] = make_sharded_advect_apply(
+                            decomp,
+                            "div" if desc[0] == "div_field" else "conv",
+                            x0.shape[0],
+                            desc[3],
+                            desc[4],
+                            desc[6],
+                            interpret=interp,
+                        )
+            Aop = _make_Aop(term_descs, sp_apply, sharded_advect=sadv)
         else:
             Aop = _make_Aop(
                 term_descs,

@@ -309,3 +309,131 @@ def test_sharded_mg_pallas_levels() -> None:
     assert rep1["converge"]
     assert abs(rep1["itr"] - rep0["itr"]) <= 2
     assert_allclose(out, ref, atol=1e-7)
+
+
+@needs_8
+def test_sharded_pallas_2d_solve() -> None:
+    """2-D decomposed solve on the shard_map+Pallas path (round 3: the
+    round-2 gate was 3-D-only) reproduces the single-device solution."""
+    from pyapes_tpu.parallel.halo import sharded_pallas_supported
+    from pyapes_tpu.variables.bcs import homogeneous_bcs
+
+    def run(decomp, kernel):
+        mesh = Mesh(Box[0:1, 0:1], None, [32, 128])
+        var = Field(
+            "p", 1, mesh,
+            {"domain": homogeneous_bcs(2, 0.0, "dirichlet"),
+             "obstacle": None},
+            init_val=0.0,
+        )
+        rng = np.random.default_rng(12)
+        rhs = jnp.asarray(rng.standard_normal((1, 32, 128)))
+        cfg = {"method": "cg", "tol": 1e-10, "max_it": 900,
+               "report": False, "criterion": "residual", "kernel": kernel}
+        if decomp is not None:
+            cfg["decomp"] = decomp
+        solver = Solver({"fdm": cfg})
+        fdm = FDM()
+        solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+        solver.solve()
+        return np.asarray(var()[0]), solver.report
+
+    dd = DomainDecomposition((4, 1))
+    assert sharded_pallas_supported(dd, (32, 128), jnp.float64)
+    ref, _ = run(None, "jnp")
+    out, rep = run(dd, "pallas")
+    assert rep["converge"]
+    assert_allclose(out, ref, atol=1e-8)
+
+
+@needs_8
+def test_sharded_advect_matches_single_device() -> None:
+    """Sharded varying-advection (shard_map + ppermute + overlap patches +
+    rank-gated surgery): implicit div/conv solves under a decomposition
+    match the single-device jnp solution for central and upwind limiters
+    with mixed Dirichlet/Neumann BCs (round-3 VERDICT item 3)."""
+    from pyapes_tpu.variables.bcs import homogeneous_bcs
+
+    def run(decomp, limiter, op):
+        mesh = Mesh(Box[0:1, 0:1, 0:1], None, [16, 16, 128])
+        f_bc = mixed_bcs(
+            [0.0, 0.0, 1.0, 0.0, 0.0, 0.0],
+            ["dirichlet", "neumann", "dirichlet", "dirichlet",
+             "neumann", "dirichlet"],
+        )
+        var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None},
+                    init_val=0.0)
+        rng = np.random.default_rng(11)
+        advv = jnp.asarray(
+            rng.standard_normal((mesh.dim if op == "conv" else 1,)
+                                + tuple(mesh.nx))
+        )
+        rng = np.random.default_rng(4)
+        rhs = jnp.asarray(rng.standard_normal((1, 16, 16, 128)))
+        cfg = {"method": "bicgstab", "tol": 1e-10, "max_it": 900,
+               "report": False, "criterion": "residual"}
+        if decomp is not None:
+            cfg["decomp"] = decomp
+            cfg["kernel"] = "pallas"
+        solver = Solver({"fdm": cfg})
+        fdm = FDM({"div": {"limiter": limiter, "edge": False}})
+        if op == "conv":
+            eq = fdm.conv(advv, var) - fdm.laplacian(1.0, var) == rhs
+        else:
+            eq = fdm.div(advv, var) - fdm.laplacian(1.0, var) == rhs
+        solver.set_eq(eq)
+        rep = solver.solve()
+        assert rep["tol"] < 1e-9, rep
+        return np.asarray(var()[0])
+
+    for op in ("div", "conv"):
+        for limiter in ("none", "upwind"):
+            ref = run(None, limiter, op)
+            out = run(DomainDecomposition((2, 2, 1)), limiter, op)
+            assert_allclose(out, ref, atol=2e-7, err_msg=f"{op}/{limiter}")
+
+
+@needs_8
+def test_sharded_advect_apply_unit() -> None:
+    """Operator-level check: the shard_map advect apply equals the
+    single-device ``apply_div_field`` / ``apply_conv_field`` for every
+    (limiter, form, surgery) combination, including the rank-gated
+    Neumann/periodic surgery rows."""
+    from pyapes_tpu.ops.stencil import (
+        apply_conv_field,
+        apply_div_field,
+        div_axis_coeffs,
+    )
+    from pyapes_tpu.parallel.halo import make_sharded_advect_apply
+
+    mesh = Mesh(Box[0:1, 0:1, 0:1], None, [16, 16, 128])
+    rng = np.random.default_rng(3)
+    x1 = jnp.asarray(rng.standard_normal((1,) + tuple(mesh.nx)))
+    x3 = jnp.asarray(rng.standard_normal((3,) + tuple(mesh.nx)))
+    a1 = jnp.asarray(rng.standard_normal((1,) + tuple(mesh.nx)))
+    a3 = jnp.asarray(rng.standard_normal((3,) + tuple(mesh.nx)))
+    base = div_axis_coeffs(mesh, None, 1.0, "none")
+    surgery = (("neumann", "none"), ("none", "neumann"), ("none", "none"))
+    dd = DomainDecomposition((2, 2, 1))
+
+    cases = []
+    for limiter in ("none", "upwind"):
+        for form in ("conservative", "advective"):
+            cases.append(("div", x1, a1, limiter, form, 1))
+            cases.append(("div", x3, a3, limiter, form, 3))
+        cases.append(("conv", x3, a3, limiter, None, 3))
+    for kind, x, a, limiter, form, vdim in cases:
+        if kind == "div":
+            expected = apply_div_field(x, a, base, limiter, surgery, form)
+        else:
+            expected = apply_conv_field(x, a, base, limiter, surgery)
+        fn = make_sharded_advect_apply(
+            dd, kind, vdim, limiter, surgery, form, interpret=True
+        )
+        xs = jax.device_put(x, dd.sharding(4))
+        as_ = jax.device_put(a, dd.sharding(4))
+        out = jax.jit(lambda u, v: fn(u, v, base))(xs, as_)
+        assert_allclose(
+            np.asarray(out), np.asarray(expected), atol=1e-11,
+            err_msg=f"{kind}/{limiter}/{form}/vdim{vdim}",
+        )
