@@ -62,13 +62,16 @@ def solve_poisson(n: int, tol: float, max_it: int):
     precond = os.environ.get("PYAPES_BENCH_PRECOND", "mg")
     if precond and precond != "none":
         cfg["precond"] = precond
-        # Measured best at 512^3 on v5lite: bf16 V(1,1) cycle, omega=6/7
-        # damping, FMG initial guess, fused alpha-dot — 0.386 s / 14 it
-        # (vs f32 V(2,2) 0.71 s / 13 it; plain CG 16.1 s / 1264 it).
+        # Measured best at 512^3 on v5lite (round 3, with the endpoint-
+        # aligned transfers): bf16 V(2,2), omega=6/7, FMG init — 0.271 s /
+        # 5 it = 496 M DOF/s/chip. Round-3 sweep: V(1,1) 0.308/8;
+        # V(1,1)+fuse_rz 0.291/8; V(2,1) 0.313/8; V(3,3) 0.316/5.
+        # (r2 numbers, misaligned resize transfers: V(1,1) 0.386 s / 14
+        # it; plain CG 16.1 s / 1264 it.)
         # Override with e.g. PYAPES_BENCH_MG_OPTS='{"dtype":"float32"}'.
         mg_opts = os.environ.get(
             "PYAPES_BENCH_MG_OPTS",
-            '{"dtype": "bfloat16", "n_pre": 1, "n_post": 1,'
+            '{"dtype": "bfloat16", "n_pre": 2, "n_post": 2,'
             ' "omega": 0.857, "fmg": true}',
         )
         if mg_opts:
@@ -132,10 +135,77 @@ def _attempt_subprocess(n_try: int, budget_s: int):
     return None
 
 
+def bench_rz(nr: int = 512, nz: int = 1024, n_steps: int = 5):
+    """rz-at-scale benchmark (round-3 VERDICT item 6): the flagship
+    special-purpose physics — MG-BiCGSTAB Rosenbluth potential solves
+    (H then G) plus ``n_steps`` implicit RFP steps on an ``nr x nz``
+    cylinder velocity mesh (the reference runs this stack at 32 x 64 on
+    CPU, ``tests/test_ops.py:32``). The rz MG levels and the fine
+    operator ride the 2-D fused Pallas kernel on TPU."""
+    import jax.numpy as jnp
+
+    from pyapes_tpu.geometry import Cylinder
+    from pyapes_tpu.models.rfp_evolution import RFPEvolution
+    from pyapes_tpu.models.rosenbluth import RosenbluthPotentials
+    from pyapes_tpu.variables import Field
+
+    enable_compilation_cache()
+    mesh = Mesh(Cylinder[0:4, -4:4], None, [nr, nz], device="tpu",
+                dtype="single")
+    R, Z = mesh.R, mesh.Z
+    f0 = jnp.exp(-(R**2 + Z**2) / 2.0) / (2 * np.pi) ** 1.5
+    pots = RosenbluthPotentials(mesh, np.asarray(f0))
+
+    pdf = Field("pdf", 1, mesh, None)
+    pdf.set_var_tensor(f0[None])
+
+    def once():
+        H, G = pots.solve(pdf())
+        model = RFPEvolution(mesh, H, G)
+        for _ in range(n_steps):
+            model.step_implicit(pdf, 1e-3)
+        return float(jnp.sum(pdf()))
+
+    t0 = time.perf_counter()
+    once()
+    compile_s = time.perf_counter() - t0
+    walls = []
+    for _ in range(3):
+        pdf.set_var_tensor(f0[None])
+        tic = time.perf_counter()
+        once()
+        walls.append(time.perf_counter() - tic)
+    wall = min(walls)
+    solves = 2 + n_steps  # H, G, and the implicit steps
+    return {
+        "nr": nr,
+        "nz": nz,
+        "wall_s": wall,
+        "wall_s_all": [round(w, 4) for w in walls],
+        "compile_s": compile_s,
+        "dof_per_s": nr * nz * solves / wall,
+    }
+
+
 def main() -> None:
     n = int(os.environ.get("PYAPES_BENCH_N", "512"))
     tol = float(os.environ.get("PYAPES_BENCH_TOL", "1e-6"))
     max_it = int(os.environ.get("PYAPES_BENCH_MAXIT", "4000"))
+
+    if os.environ.get("PYAPES_BENCH_CASE") == "rz":
+        result = bench_rz()
+        print(
+            f"# rz {result['nr']}x{result['nz']} wall={result['wall_s']:.3f}s "
+            f"compile={result['compile_s']:.1f}s",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": "rfp_rz_dof_per_s_chip",
+            "value": round(result["dof_per_s"], 1),
+            "unit": "DOF/s/chip",
+            "vs_baseline": 0.0,
+        }))
+        return
 
     single = os.environ.get("PYAPES_BENCH_SINGLE")
     if single is not None:

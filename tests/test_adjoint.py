@@ -82,11 +82,10 @@ def test_grad_wrt_coefficients() -> None:
     assert_allclose(g, -x_sum / 2.0, rtol=1e-6)
 
 
-def test_grad_nonlinear_loss_and_bc_gate() -> None:
+def test_grad_nonlinear_loss_and_value_gate() -> None:
     """A nonlinear functional of the solution still matches finite
-    differences; Neumann/periodic are rejected with a clear message
-    (their one-sided applications break the operator symmetry the
-    adjoint reuses)."""
+    differences; non-homogeneous BC values are rejected with a clear
+    message (the solve must be a linear map for the IFT adjoint)."""
     import pytest
 
     mesh, var, coeffs, dsolve, rhs = _setup()
@@ -102,12 +101,11 @@ def test_grad_nonlinear_loss_and_bc_gate() -> None:
     )
     assert_allclose(g[0, 7, 9], fd, rtol=5e-5, atol=1e-8)
 
-    for bad in ("neumann", "periodic"):
-        mesh2 = Mesh(Box[0:1, 0:1], None, [17, 17])
-        f_bc = mixed_bcs([0.0] * 4, [bad, bad, "dirichlet", "dirichlet"])
-        var2 = Field("p", 1, mesh2, {"domain": f_bc, "obstacle": None})
-        with pytest.raises(AssertionError, match="symmetric"):
-            DifferentiableSolve(mesh2, var2.bcs)
+    mesh2 = Mesh(Box[0:1, 0:1], None, [17, 17])
+    f_bc = mixed_bcs([1.0, 0.0, 0.0, 0.0], ["dirichlet"] * 4)
+    var2 = Field("p", 1, mesh2, {"domain": f_bc, "obstacle": None})
+    with pytest.raises(AssertionError, match="homogeneous"):
+        DifferentiableSolve(mesh2, var2.bcs)
 
 
 def test_inverse_problem_source_recovery() -> None:
@@ -130,3 +128,99 @@ def test_inverse_problem_source_recovery() -> None:
     for _ in range(200):
         a = a - lr * g_fn(a)
     assert_allclose(np.asarray(a), np.asarray(a_true), atol=1e-2)
+
+
+def test_transpose_axis_coeffs_is_exact() -> None:
+    """The analytic stencil transpose equals jax.linear_transpose of the
+    roll-based apply (the math the adjoint pass relies on)."""
+    from pyapes_tpu.ops.stencil import apply_axis_stencil
+    from pyapes_tpu.solver.adjoint import transpose_axis_coeffs
+
+    rng = np.random.default_rng(5)
+    coeffs = tuple(
+        tuple(jnp.asarray(rng.standard_normal(n)) for _ in range(3))
+        for n in (9, 11)
+    )
+    x = jnp.asarray(rng.standard_normal((1, 9, 11)))
+    y = jnp.asarray(rng.standard_normal((1, 9, 11)))
+    f = lambda v: apply_axis_stencil(coeffs, v)
+    fT = jax.linear_transpose(f, x)
+    (via_jax,) = fT(y)
+    via_analytic = apply_axis_stencil(transpose_axis_coeffs(coeffs), y)
+    assert_allclose(np.asarray(via_analytic), np.asarray(via_jax),
+                    atol=1e-12)
+
+
+def test_grad_mixed_neumann_poisson() -> None:
+    """Round-3 scope extension: mixed Dirichlet/Neumann Poisson solves
+    differentiate correctly (the surgered operator is nonsymmetric; the
+    adjoint uses the transpose solve). Grad vs finite differences."""
+    from pyapes_tpu.ops.stencil import laplacian_axis_coeffs
+
+    mesh = Mesh(Box[0:1, 0:1], None, [17, 17])
+    f_bc = mixed_bcs(
+        [0.0, 0.0, 0.0, 0.0],
+        ["neumann", "dirichlet", "neumann", "dirichlet"],
+    )
+    var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None})
+    coeffs = laplacian_axis_coeffs(mesh, var.bcs)
+    dsolve = DifferentiableSolve(mesh, var.bcs, tol=1e-12)
+    rng = np.random.default_rng(2)
+    rhs = jnp.asarray(rng.standard_normal((1, 17, 17)))
+
+    def loss(b):
+        return jnp.sum(dsolve(coeffs, b) ** 2)
+
+    g = np.asarray(jax.grad(loss)(rhs))
+    eps = 1e-6
+    for idx in ((0, 5, 7), (0, 1, 8), (0, 15, 3)):
+        e = jnp.zeros_like(rhs).at[idx].set(1.0)
+        fd = (float(loss(rhs + eps * e)) - float(loss(rhs - eps * e))) / (
+            2 * eps
+        )
+        assert_allclose(g[idx], fd, rtol=2e-4, atol=1e-7)
+
+
+def test_grad_advection_diffusion_transport_step() -> None:
+    """Round-3 scope extension: a FULL implicit advection-diffusion
+    transport step ``(I/dt + u d/dx - nu lap) x = b/dt`` (nonsymmetric)
+    differentiates; grads w.r.t. the previous state match finite
+    differences — the building block for adjoint optimization of
+    transient transport."""
+    from pyapes_tpu.ops.stencil import (
+        div_axis_coeffs,
+        laplacian_axis_coeffs,
+    )
+
+    mesh = Mesh(Box[0:1, 0:1], None, [17, 17])
+    f_bc = mixed_bcs([0.0] * 4, ["dirichlet"] * 4)
+    var = Field("c", 1, mesh, {"domain": f_bc, "obstacle": None})
+    nu, u, dt = 0.05, 1.0, 0.1
+    lap = laplacian_axis_coeffs(mesh, var.bcs)
+    div = div_axis_coeffs(mesh, var.bcs, u, "none")
+    # (I/dt + u d/dx - nu lap): fold 1/dt into axis-0 center vector
+    coeffs = tuple(
+        (
+            div[j][0] - nu * lap[j][0],
+            div[j][1] - nu * lap[j][1]
+            + (1.0 / dt if j == 0 else 0.0),
+            div[j][2] - nu * lap[j][2],
+        )
+        for j in range(2)
+    )
+    dsolve = DifferentiableSolve(mesh, var.bcs, tol=1e-12)
+    rng = np.random.default_rng(8)
+    c0 = jnp.asarray(rng.standard_normal((1, 17, 17)))
+
+    def step_loss(c):
+        c1 = dsolve(coeffs, c / dt)
+        return jnp.sum((c1 - 0.3) ** 2)
+
+    g = np.asarray(jax.grad(step_loss)(c0))
+    eps = 1e-6
+    for idx in ((0, 8, 8), (0, 3, 12)):
+        e = jnp.zeros_like(c0).at[idx].set(1.0)
+        fd = (
+            float(step_loss(c0 + eps * e)) - float(step_loss(c0 - eps * e))
+        ) / (2 * eps)
+        assert_allclose(g[idx], fd, rtol=2e-4, atol=1e-7)

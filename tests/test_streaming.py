@@ -205,3 +205,47 @@ def test_oscillating_lid_cavity_model() -> None:
     # the lid actually follows U(t): boundary value of u == cos(2 pi t)
     lid_u = float(model.u()[0, n // 2, -1])
     assert abs(lid_u - np.cos(2 * np.pi * model.t)) < 1e-6
+
+
+def test_dynamic_obstacle_mask_no_recompile() -> None:
+    """Moving-body obstacles (round-3 item 10): a dynamic
+    ObstacleDirichlet's mask streams as a runtime operand — translating
+    the body re-uses the one compiled solver and the solution pins the
+    NEW cells."""
+    from pyapes_tpu.variables.bcs import ObstacleDirichlet
+
+    linalg.clear_cache()
+    n = 33
+    mesh = Mesh(Box[0:1, 0:1], None, [n, n])
+    f = Field("u", 1, mesh, {"domain": homogeneous_bcs(2, 0.0, "dirichlet")})
+    body = np.zeros((n, n), dtype=bool)
+    body[8:13, 8:13] = True
+    obc = ObstacleDirichlet("body", 2.0, body, dynamic=True)
+    f.bcs.append(obc)
+
+    fdm = FDM()
+    s = Solver({"fdm": {"method": "cg", "tol": 1e-8, "max_it": 500,
+                        "criterion": "residual"}})
+
+    sols = []
+    for shift in (0, 6, 12):
+        m = np.zeros((n, n), dtype=bool)
+        m[8 + shift:13 + shift, 8:13] = True
+        obc.bc_mask = m
+        s.set_eq(fdm.laplacian(1.0, f) == jnp.zeros((1, n, n)))
+        s.solve()
+        sol = np.asarray(f()[0])
+        # body cells pinned at the CURRENT position
+        np.testing.assert_allclose(sol[m], 2.0, atol=1e-7)
+        # previous position is free field again (solution decays there)
+        sols.append(sol)
+    assert len(linalg._SOLVER_CACHE) == 1
+    fn_c = next(iter(linalg._SOLVER_CACHE.values()))[0]
+    assert _jit_cache_size(fn_c) in (1, -1)
+    # moving the body really changed the solution
+    assert np.abs(sols[0] - sols[2]).max() > 0.5
+    # old body cells are no longer pinned once the body moved on
+    old_only = np.zeros((n, n), dtype=bool)
+    old_only[8:13, 8:13] = True
+    old_only[20:25, 8:13] = False
+    assert np.abs(sols[2][8:13, 8:13] - 2.0).max() > 0.1
