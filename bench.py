@@ -63,16 +63,18 @@ def solve_poisson(n: int, tol: float, max_it: int):
     if precond and precond != "none":
         cfg["precond"] = precond
         # Measured best at 512^3 on v5lite (round 3, with the endpoint-
-        # aligned transfers): bf16 V(2,2), omega=6/7, FMG init — 0.271 s /
-        # 5 it = 496 M DOF/s/chip. Round-3 sweep: V(1,1) 0.308/8;
-        # V(1,1)+fuse_rz 0.291/8; V(2,1) 0.313/8; V(3,3) 0.316/5.
+        # aligned transfers): bf16 V(2,2), omega=6/7, FMG init, fused
+        # dot(r,z) in the final post-smooth — 0.258 s / 5 it = 520 M
+        # DOF/s/chip. Round-3 sweep: V(2,2) 0.271/5; V(1,1)+fuse_rz
+        # 0.291/8; V(1,1) 0.308/8; V(2,1) 0.313/8; V(3,3) 0.316/5;
+        # cheb(2,2) 0.285/5; fmg_cycles=2 0.300/5.
         # (r2 numbers, misaligned resize transfers: V(1,1) 0.386 s / 14
         # it; plain CG 16.1 s / 1264 it.)
         # Override with e.g. PYAPES_BENCH_MG_OPTS='{"dtype":"float32"}'.
         mg_opts = os.environ.get(
             "PYAPES_BENCH_MG_OPTS",
             '{"dtype": "bfloat16", "n_pre": 2, "n_post": 2,'
-            ' "omega": 0.857, "fmg": true}',
+            ' "omega": 0.857, "fmg": true, "fuse_rz": true}',
         )
         if mg_opts:
             cfg["mg_opts"] = json.loads(mg_opts)

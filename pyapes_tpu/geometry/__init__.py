@@ -2,5 +2,6 @@
 from pyapes_tpu.geometry.basis import Geometry, GeoTypeIdentifier
 from pyapes_tpu.geometry.box import Box
 from pyapes_tpu.geometry.cylinder import Cylinder
+from pyapes_tpu.geometry.mask import MaskObstacle
 
-__all__ = ["Box", "Cylinder", "Geometry", "GeoTypeIdentifier"]
+__all__ = ["Box", "Cylinder", "Geometry", "GeoTypeIdentifier", "MaskObstacle"]

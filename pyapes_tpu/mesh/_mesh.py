@@ -117,6 +117,9 @@ class Mesh:
         if self.obstacle is None:
             return out
         for obj in self.obstacle:
+            if getattr(obj, "type", "") == "mask":
+                out.append(obj.resolve(self._grid_np))
+                continue
             mask = np.zeros(self.nx, dtype=bool)
             slicer = []
             for i in range(self.dim):
@@ -295,9 +298,21 @@ def boundary_mask(mesh: Mesh) -> tuple[dict, dict]:
                     mask = get_box_mask(x, dx, obj.config[o], mask, dim)
                     obj_mask[str(obj.config[o]["face"])] = mask
                 object_mask[i] = obj_mask
+            elif obj.type == "mask":
+                # arbitrary-shape immersed body (beyond the reference,
+                # which raises here): surface shells by neighbor
+                # differencing of the solid mask
+                from pyapes_tpu.geometry.mask import MaskObstacle
+
+                body = obj.resolve(mesh._grid_np)
+                object_mask[i] = {
+                    k: m
+                    for k, m in MaskObstacle.shells(body).items()
+                    if m.any()
+                }
             else:
                 raise NotImplementedError(
-                    "Mask: non box type inner obstacle is not supported yet!"
+                    f"Mask: obstacle type {obj.type!r} is not supported"
                 )
 
     return domain_mask, object_mask

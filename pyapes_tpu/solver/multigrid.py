@@ -634,7 +634,7 @@ class MGSpec:
             return False
         if self._surgery:
             return False  # the dot kernel hard-codes the central stencil
-        if self.smoother != "jacobi" or self.n_post != 1:
+        if self.smoother != "jacobi" or self.n_post < 1:
             return False
         if len(self.shape) != 3:
             return False
@@ -656,6 +656,9 @@ class MGSpec:
         r_c = self._resize(r, self.shapes[1])
         e_c = self._vcycle(r_c, 1)
         x = x + self._resize(e_c, shape) * mask
+        if self.n_post > 1:
+            # regular post-smooths first; the LAST one emits the dot
+            x = self._smooth(x, b, shape, mask, self.n_post - 1, order=1)
         mask_axes = tuple(
             j for j in range(len(shape)) if j not in self.paxes
         )

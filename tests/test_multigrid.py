@@ -326,3 +326,32 @@ def test_mgcg_all_neumann_poisson() -> None:
     sol = sol - jnp.mean(sol)
     err = float(jnp.max(jnp.abs(sol - (exact - jnp.mean(exact)))))
     assert err < 5e-3, err
+
+
+def test_fuse_rz_multi_post_smooth_exact() -> None:
+    """fuse_rz with n_post=2 (round 3: the dot-emitting kernel serves the
+    LAST post-smooth; previously n_post==1 only): identical iterations and
+    1e-9 solutions vs the unfused V(2,2) cycle."""
+    def run(fuse):
+        mesh = Mesh(Box[0:1, 0:1, 0:1], None, [16, 16, 128])
+        var = Field(
+            "p", 1, mesh,
+            {"domain": homogeneous_bcs(3, 0.0, "dirichlet")},
+        )
+        rng = np.random.default_rng(5)
+        rhs = jnp.asarray(rng.standard_normal((1, 16, 16, 128)))
+        mg = {"n_pre": 2, "n_post": 2}
+        if fuse:
+            mg["fuse_rz"] = True
+        s = Solver({"fdm": {"method": "cg", "tol": 1e-10, "max_it": 300,
+                            "criterion": "residual", "precond": "mg",
+                            "mg_opts": mg, "kernel": "pallas"}})
+        fdm = FDM()
+        s.set_eq(fdm.laplacian(1.0, var) == rhs)
+        rep = s.solve()
+        return np.asarray(var()[0]), rep["itr"]
+
+    a, ia = run(False)
+    b, ib = run(True)
+    assert ia == ib
+    assert_allclose(a, b, atol=1e-9)

@@ -422,3 +422,58 @@ def test_obstacle_with_periodic_axis() -> None:
     for m in mesh.o_mask[0].values():
         shell |= m
     assert_allclose(v[shell], 1.0, atol=1e-12)
+
+
+def test_mask_obstacle_cylinder_shells() -> None:
+    """Arbitrary-shape (non-box) immersed bodies (round 3; the reference
+    raises on any non-box obstacle, ``_mesh.py:352-372``): a circular
+    cylinder's shells are consistent — every shell cell is solid with a
+    fluid neighbor on its face side, shells cover the full boundary."""
+    from pyapes_tpu.geometry import Box, MaskObstacle
+    from pyapes_tpu.mesh import Mesh
+
+    body_fn = lambda X, Y: (X - 0.5) ** 2 + (Y - 0.5) ** 2 < 0.15**2
+    mesh = Mesh(Box[0:1, 0:1], [MaskObstacle(body_fn)], [65, 65])
+    body = mesh.obstacle_body_masks[0]
+    assert body.sum() > 100
+    shells = mesh.o_mask[0]
+    assert set(shells) == {"xl", "xu", "yl", "yu"}
+    for key, m in shells.items():
+        axis = 0 if key[0] == "x" else 1
+        shift = 1 if key[1] == "l" else -1
+        assert (m & ~body).sum() == 0  # shell cells are solid
+        fluid_nb = np.roll(m, -shift, axis) & ~body
+        assert (fluid_nb.sum() == m.sum())  # each has a fluid face neighbor
+    # every solid boundary cell is in some shell
+    boundary = body & ~(
+        np.roll(body, 1, 0) & np.roll(body, -1, 0)
+        & np.roll(body, 1, 1) & np.roll(body, -1, 1)
+    )
+    union = np.zeros_like(body)
+    for m in shells.values():
+        union |= m
+    assert (boundary & ~union).sum() == 0
+
+
+def test_mask_obstacle_flow_past_cylinder() -> None:
+    """Channel flow past a circular cylinder (the classic benchmark
+    geometry): no-slip body + zero-flux pressure; mass is conserved
+    through the channel and the wake slows down."""
+    from pyapes_tpu.geometry import Box, MaskObstacle
+    from pyapes_tpu.mesh import Mesh
+    from pyapes_tpu.models import ChannelFlow
+
+    body_fn = lambda X, Y: (X - 0.7) ** 2 + (Y - 0.5) ** 2 < 0.12**2
+    mesh = Mesh(Box[0:3, 0:1], [MaskObstacle(body_fn)], [97, 33])
+    model = ChannelFlow(mesh, nu=0.02, u_in=1.0)
+    model.run(dt=0.005, n_steps=40)
+    fin, fout = model.flux(0), model.flux(-1)
+    assert abs(fin - fout) / abs(fin) < 0.02, (fin, fout)
+    u = np.asarray(model.u()[0])
+    body = mesh.obstacle_body_masks[0]
+    # no-slip inside the body
+    assert np.abs(u[body]).max() < 1e-6
+    # the wake directly behind the cylinder is slower than the free stream
+    iy = 16
+    ix_body = int(np.nonzero(body[:, iy])[0].max())
+    assert u[ix_body + 2, iy] < 0.5 * u[10, iy]
