@@ -64,8 +64,8 @@ def solve_poisson(n: int, tol: float, max_it: int):
         cfg["precond"] = precond
         # Measured best at 512^3 on v5lite (round 3, with the endpoint-
         # aligned transfers): bf16 V(2,2), omega=6/7, FMG init, fused
-        # dot(r,z) in the final post-smooth — 0.258 s / 5 it = 520 M
-        # DOF/s/chip. Round-3 sweep: V(2,2) 0.271/5; V(1,1)+fuse_rz
+        # dot(r,z) in the final post-smooth, double-sweep smoother —
+        # 0.237 s / 5 it = 567 M DOF/s/chip (0.258 without jacobi2). Round-3 sweep: V(2,2) 0.271/5; V(1,1)+fuse_rz
         # 0.291/8; V(1,1) 0.308/8; V(2,1) 0.313/8; V(3,3) 0.316/5;
         # cheb(2,2) 0.285/5; fmg_cycles=2 0.300/5.
         # (r2 numbers, misaligned resize transfers: V(1,1) 0.386 s / 14

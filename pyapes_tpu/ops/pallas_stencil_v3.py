@@ -523,3 +523,256 @@ def pallas_jacobi3d_v3(
     )
     outs = [call(x[d], b[d]) for d in range(x.shape[0])]
     return jnp.stack(outs)
+
+
+# -- double-sweep Jacobi (two smooths per memory pass) -----------------------
+
+
+def _x2_tile(gs: tuple[int, ...], itemsize: int, from_zero: bool) -> int:
+    """Largest x-slab size for the double-sweep kernel. Besides the
+    staged/pipelined buffers (2 x (tx+4) planes of x — skipped in the
+    from-zero variant — 2 x (tx+2) of b, 2 x tx out), the budget must
+    cover the F32 COMPUTE temporaries (upcasted stage views, the
+    intermediate sweep y, the updates): measured on hardware, a
+    stage-only budget OOMs scoped vmem (124M at tx=16 bf16 512^3)."""
+    nx, ny, nz = gs
+    plane = ny * nz * itemsize
+    plane32 = ny * nz * 4
+    best = 0
+    for tx in range(1, min(16, nx) + 1):
+        if nx % tx:
+            continue
+        declared = 2 * (tx + 2) * plane + 2 * 2 * tx * plane
+        if not from_zero:
+            declared += 2 * (tx + 4) * plane
+        # f32 temporaries: upcasted x view (tx+4), b view (tx+2),
+        # y (tx+2), update (tx+2), z (tx)
+        compute = ((0 if from_zero else tx + 4) + 3 * (tx + 2) + tx) * plane32
+        if declared + compute <= _DECLARED_BUDGET:
+            best = tx
+    return best
+
+
+def jacobi2_supported(shape: tuple[int, ...], dtype=jnp.float32,
+                      from_zero: bool = False) -> bool:
+    if len(shape) != 3 or shape[-1] % 128 != 0:
+        return False
+    itemsize = np.dtype(dtype).itemsize
+    return _x2_tile(shape, itemsize, from_zero) >= 1
+
+
+def _x2_copies(any_ref, stage, sems, sx, halo, tx, nx, slt):
+    """Stage rows [sx - halo, sx + tx + halo) with per-row wrapped halo
+    DMAs and one contiguous body DMA."""
+    copies = []
+    n = 2 * halo + 1
+    for h in range(halo):
+        copies.append(pltpu.make_async_copy(
+            any_ref.at[pl.ds(_mod(sx - halo + h, nx), 1)],
+            stage.at[slt, pl.ds(h, 1)],
+            sems.at[slt, h],
+        ))
+    copies.append(pltpu.make_async_copy(
+        any_ref.at[pl.ds(sx, tx)],
+        stage.at[slt, pl.ds(halo, tx)],
+        sems.at[slt, halo],
+    ))
+    for h in range(halo):
+        copies.append(pltpu.make_async_copy(
+            any_ref.at[pl.ds(_mod(sx + tx + h, nx), 1)],
+            stage.at[slt, pl.ds(halo + tx + h, 1)],
+            sems.at[slt, halo + 1 + h],
+        ))
+    assert len(copies) == n
+    return copies
+
+
+def _x2_prologue(refs_halos, stages, sems_list, tx, nx):
+    """Double-buffering prologue over several (ref, halo, stage, sems)
+    streams."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    nslot = jax.lax.rem(i + 1, jnp.int32(2))
+
+    def all_copies(step, slt):
+        out = []
+        for (ref, halo), stage, sems in zip(refs_halos, stages, sems_list):
+            out += _x2_copies(ref, stage, sems, step * tx, halo, tx, nx, slt)
+        return out
+
+    @pl.when(i == 0)
+    def _():
+        for c in all_copies(i, slot):
+            c.start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for c in all_copies(i + 1, nslot):
+            c.start()
+
+    for c in all_copies(i, slot):
+        c.wait()
+    return i, slot
+
+
+def _lap_rows(v, lo, hi, inv_dx2, ny, nz):
+    """Central Laplacian of rows [lo, hi) of a staged block ``v`` (rows
+    lo-1..hi must exist)."""
+    c = -2.0 * (inv_dx2[0] + inv_dx2[1] + inv_dx2[2])
+    xc = v[lo:hi]
+    out = c * xc + inv_dx2[0] * (v[lo + 1:hi + 1] + v[lo - 1:hi - 1])
+    out += inv_dx2[1] * (
+        pltpu.roll(xc, ny - 1, 1) + pltpu.roll(xc, 1, 1)
+    )
+    out += inv_dx2[2] * (
+        pltpu.roll(xc, nz - 1, 2) + pltpu.roll(xc, 1, 2)
+    )
+    return out
+
+
+def _row_mask(upd, gstart, count, nx, ny, nz, mask_axes):
+    """Zero the global-boundary rows of a (count, ny, nz) update whose
+    first row is global row ``gstart`` (wrapped)."""
+    if 0 in mask_axes:
+        gx = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, (count, 1, 1), 0)
+            + jnp.int32(gstart) + jnp.int32(nx),
+            jnp.int32(nx),
+        )
+        upd = jnp.where((gx == 0) | (gx == nx - 1), 0.0, upd)
+    if 1 in mask_axes:
+        gy = jax.lax.broadcasted_iota(jnp.int32, (1, ny, 1), 1)
+        upd = jnp.where((gy == 0) | (gy == ny - 1), 0.0, upd)
+    if 2 in mask_axes:
+        gz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nz), 2)
+        upd = jnp.where((gz == 0) | (gz == nz - 1), 0.0, upd)
+    return upd
+
+
+def _jacobi3d_x2_kernel(
+    x_any, b_any,
+    out_ref,
+    xstage, bstage, xsems, bsems,
+    *, tx: int, nx: int, ny: int, nz: int,
+    inv_dx2: tuple, beta: float, mask_axes: tuple,
+    from_zero: bool, emit_dot: bool, dot_ref=None,
+):
+    """TWO damped-Jacobi sweeps per memory pass, bit-equivalent to two
+    ``pallas_jacobi3d_v3`` calls (wrap + mask semantics each sweep):
+
+        y = x + beta mask (b - A x)     on rows [sx-1, sx+tx+1)
+        z = y + beta mask (b - A y)     on rows [sx, sx+tx)
+
+    ``from_zero`` starts from x = 0 (y = beta mask b; no x staging at
+    all), fusing the V-cycle's ``_first_smooth`` pair. ``emit_dot`` adds
+    the per-program partial ``sum(b_center * z)`` — the PCG ``dot(r, z)``
+    when this is the final post-smooth of the preconditioner."""
+    refs = [((b_any, 1), bstage, bsems)]
+    if not from_zero:
+        refs.append(((x_any, 2), xstage, xsems))
+    i, slot = _x2_prologue(
+        [rh for rh, _, _ in refs],
+        [st for _, st, _ in refs],
+        [sm for _, _, sm in refs],
+        tx, nx,
+    )
+    cdt = jnp.promote_types(bstage.dtype, jnp.float32)
+    sx = i * tx
+    bv = bstage[slot].astype(cdt)  # rows sx-1 .. sx+tx (tx+2 rows)
+
+    # sweep 1: y on tx+2 rows (global sx-1 .. sx+tx)
+    if from_zero:
+        upd1 = bv
+    else:
+        xv = xstage[slot].astype(cdt)  # rows sx-2 .. sx+tx+1 (tx+4)
+        upd1 = bv - _lap_rows(xv, 1, tx + 3, inv_dx2, ny, nz)
+    upd1 = _row_mask(upd1, sx - 1, tx + 2, nx, ny, nz, mask_axes)
+    if from_zero:
+        y = beta * upd1
+    else:
+        y = xv[1:tx + 3] + beta * upd1
+
+    # sweep 2: z on tx rows (global sx .. sx+tx-1)
+    upd2 = bv[1:tx + 1] - _lap_rows(y, 1, tx + 1, inv_dx2, ny, nz)
+    upd2 = _row_mask(upd2, sx, tx, nx, ny, nz, mask_axes)
+    z = y[1:tx + 1] + beta * upd2
+
+    out_ref[:, :, :] = z.astype(out_ref.dtype)
+    if emit_dot:
+        dot_ref[i] = jnp.sum(bv[1:tx + 1] * z)
+
+
+def pallas_jacobi3d_x2(
+    x, b, inv_dx2, beta, mask_axes,
+    from_zero: bool = False, emit_dot: bool = False,
+    interpret: bool = False,
+):
+    """Two fused damped-Jacobi sweeps (slab-resident): halves the smooth
+    pair's HBM traffic vs two single-sweep kernel calls. ``x`` is ignored
+    (may be None) when ``from_zero``. Returns ``z`` or ``(z, dots)``."""
+    gs = b.shape[1:]
+    assert jacobi2_supported(gs, b.dtype, from_zero), gs
+    nx, ny, nz = gs
+    tx = _x2_tile(gs, np.dtype(b.dtype).itemsize, from_zero)
+    ddt = jnp.promote_types(b.dtype, jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    out_shape = [jax.ShapeDtypeStruct(gs, b.dtype)]
+    out_specs = [
+        pl.BlockSpec((tx, ny, nz), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if emit_dot:
+        out_shape.append(jax.ShapeDtypeStruct((nx // tx,), ddt))
+        out_specs.append(
+            pl.BlockSpec((nx // tx,), lambda i: (0,),
+                         memory_space=pltpu.SMEM)
+        )
+    scratch = [
+        # from-zero never stages x: shrink its scratch to a stub
+        pltpu.VMEM((2, 1 if from_zero else tx + 4, ny, nz), b.dtype),
+        pltpu.VMEM((2, tx + 2, ny, nz), b.dtype),
+        pltpu.SemaphoreType.DMA((2, 5)),
+        pltpu.SemaphoreType.DMA((2, 3)),
+    ]
+
+    def kern(x_any, b_any, *rest):
+        if emit_dot:
+            out_ref, dot_ref, xstage, bstage, xsems, bsems = rest
+        else:
+            (out_ref, xstage, bstage, xsems, bsems) = rest
+            dot_ref = None
+        _jacobi3d_x2_kernel(
+            x_any, b_any, out_ref, xstage, bstage, xsems, bsems,
+            tx=tx, nx=nx, ny=ny, nz=nz,
+            inv_dx2=tuple(float(v) for v in inv_dx2),
+            beta=float(beta), mask_axes=tuple(mask_axes),
+            from_zero=from_zero, emit_dot=emit_dot, dot_ref=dot_ref,
+        )
+
+    call = pl.pallas_call(
+        kern,
+        grid=(nx // tx,),
+        out_shape=out_shape if emit_dot else out_shape[0],
+        in_specs=in_specs,
+        out_specs=out_specs if emit_dot else out_specs[0],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    vdim = b.shape[0]
+    zero = jnp.zeros(gs, b.dtype)
+    outs = [
+        call(zero if from_zero else x[d], b[d]) for d in range(vdim)
+    ]
+    if emit_dot:
+        zs = jnp.stack([o[0] for o in outs])
+        dots = jnp.stack([jnp.sum(o[1]) for o in outs]).reshape(
+            (vdim, 1, 1, 1)
+        )
+        return zs, dots
+    return jnp.stack(outs)

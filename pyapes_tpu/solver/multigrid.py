@@ -498,12 +498,41 @@ class MGSpec:
             rho = rho_new
         return x
 
+    def _jacobi2(self, shape, dtype, from_zero=False) -> bool:
+        """Whether the double-sweep (two-smooths-per-memory-pass) kernel
+        serves this level: it halves the smooth pair's HBM traffic — the
+        dominant V(2,2) cost."""
+        if not self.use_pallas or len(shape) != 3 or self.rz:
+            return False
+        if self._surgery or self.decomp is not None:
+            return False
+        from pyapes_tpu.ops.pallas_stencil_v3 import jacobi2_supported
+
+        return jacobi2_supported(tuple(shape), dtype, from_zero)
+
+    def _mask_axes(self, shape):
+        return tuple(j for j in range(len(shape)) if j not in self.paxes)
+
     def _smooth(self, x, b, shape, mask, n_iter, order=0):
         if self.smoother == "chebyshev":
             return self._cheby_smooth(x, b, shape, mask, n_iter)
         if self.smoother == "rbgs":
             return self._rbgs_sweeps(x, b, shape, mask, n_iter, order)
         om_over_diag = self.omega / self._diag(shape, b.dtype)
+
+        remaining = n_iter
+        if remaining >= 2 and self._jacobi2(shape, b.dtype):
+            from pyapes_tpu.ops.pallas_stencil_v3 import pallas_jacobi3d_x2
+
+            interp = jax.default_backend() != "tpu"
+            while remaining >= 2:
+                x = pallas_jacobi3d_x2(
+                    x, b, tuple(self._inv_dx2(shape)), om_over_diag,
+                    self._mask_axes(shape), interpret=interp,
+                )
+                remaining -= 2
+            if remaining == 0:
+                return x
 
         def body(_, x):
             fused = self._fused(x, b, shape, 1.0, om_over_diag)
@@ -512,7 +541,7 @@ class MGSpec:
             r = (b - self._apply_A(x, shape)) * mask
             return x + om_over_diag * r
 
-        return jax.lax.fori_loop(0, n_iter, body, x)
+        return jax.lax.fori_loop(0, remaining, body, x)
 
     def _residual(self, x, b, shape, mask):
         fused = self._fused(x, b, shape, 0.0, 1.0)
@@ -594,6 +623,20 @@ class MGSpec:
             if n_iter > 1:
                 x = self._rbgs_sweeps(x, b, shape, mask, n_iter - 1, order)
             return x
+        if (
+            n_iter == 2
+            and self.smoother == "jacobi"
+            and self._jacobi2(shape, b.dtype, from_zero=True)
+        ):
+            # fused pre-pair: (omega/D) b then one sweep, ONE memory pass
+            from pyapes_tpu.ops.pallas_stencil_v3 import pallas_jacobi3d_x2
+
+            return pallas_jacobi3d_x2(
+                None, b, tuple(self._inv_dx2(shape)),
+                self.omega / self._diag(shape, b.dtype),
+                self._mask_axes(shape), from_zero=True,
+                interpret=jax.default_backend() != "tpu",
+            )
         x = (self.omega / self._diag(shape, b.dtype)) * b * mask
         if n_iter > 1:
             x = self._smooth(x, b, shape, mask, n_iter - 1)
@@ -656,16 +699,29 @@ class MGSpec:
         r_c = self._resize(r, self.shapes[1])
         e_c = self._vcycle(r_c, 1)
         x = x + self._resize(e_c, shape) * mask
+        interp = jax.default_backend() != "tpu"
+        if (
+            self.n_post % 2 == 0
+            and self.n_post >= 2
+            and self._jacobi2(shape, x.dtype)
+        ):
+            # final PAIR fused into one memory pass, dot included
+            from pyapes_tpu.ops.pallas_stencil_v3 import pallas_jacobi3d_x2
+
+            if self.n_post > 2:
+                x = self._smooth(x, b, shape, mask, self.n_post - 2, order=1)
+            return pallas_jacobi3d_x2(
+                x, b, tuple(self._inv_dx2(shape)),
+                self.omega / self._diag(shape), self._mask_axes(shape),
+                emit_dot=True, interpret=interp,
+            )
         if self.n_post > 1:
             # regular post-smooths first; the LAST one emits the dot
             x = self._smooth(x, b, shape, mask, self.n_post - 1, order=1)
-        mask_axes = tuple(
-            j for j in range(len(shape)) if j not in self.paxes
-        )
         x, dots = pallas_jacobi3d_dot_db(
             x, b, tuple(self._inv_dx2(shape)), 1.0,
-            self.omega / self._diag(shape), mask_axes,
-            interpret=jax.default_backend() != "tpu",
+            self.omega / self._diag(shape), self._mask_axes(shape),
+            interpret=interp,
         )
         return x, dots
 

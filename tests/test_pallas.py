@@ -347,3 +347,48 @@ def test_transient_fused_dot_matches_jnp() -> None:
     out_p, it_p = solve("pallas")
     assert it_p == it_j, (it_p, it_j)
     assert_allclose(out_p, out_j, rtol=1e-9, atol=1e-9)
+
+
+def test_jacobi3d_x2_matches_two_sweeps() -> None:
+    """Double-sweep Jacobi kernel (two smooths per memory pass, round 3):
+    bit-level agreement with two single-sweep kernel calls for the plain,
+    from-zero, and dot-emitting variants across mask configurations."""
+    from pyapes_tpu.ops.pallas_stencil_v3 import (
+        jacobi2_supported,
+        pallas_jacobi3d_v3,
+        pallas_jacobi3d_x2,
+    )
+
+    gs = (16, 16, 128)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1,) + gs))
+    b = jnp.asarray(rng.standard_normal((1,) + gs))
+    inv = (1.0, 2.0, 0.5)
+    beta = -0.11
+    for mask_axes in ((0, 1, 2), (0, 2), ()):
+        assert jacobi2_supported(gs, x.dtype)
+        y = pallas_jacobi3d_v3(x, b, inv, 1.0, beta, mask_axes,
+                               interpret=True)
+        z_ref = pallas_jacobi3d_v3(y, b, inv, 1.0, beta, mask_axes,
+                                   interpret=True)
+        z = pallas_jacobi3d_x2(x, b, inv, beta, mask_axes, interpret=True)
+        assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-12)
+
+        mask = np.ones(gs)
+        for ax in mask_axes:
+            sl = [slice(None)] * 3
+            sl[ax] = 0
+            mask[tuple(sl)] = 0
+            sl[ax] = -1
+            mask[tuple(sl)] = 0
+        y0 = beta * jnp.asarray(mask)[None] * b
+        z0_ref = pallas_jacobi3d_v3(y0, b, inv, 1.0, beta, mask_axes,
+                                    interpret=True)
+        z0 = pallas_jacobi3d_x2(None, b, inv, beta, mask_axes,
+                                from_zero=True, interpret=True)
+        assert_allclose(np.asarray(z0), np.asarray(z0_ref), atol=1e-12)
+
+        zd, dots = pallas_jacobi3d_x2(x, b, inv, beta, mask_axes,
+                                      emit_dot=True, interpret=True)
+        assert_allclose(np.asarray(zd), np.asarray(z_ref), atol=1e-12)
+        assert abs(float(dots.ravel()[0]) - float(jnp.sum(b * z_ref))) < 1e-9
