@@ -225,6 +225,13 @@ class LidDrivenCavity:
         )
         if self._singular_pressure:
             p_cfg["nullspace"] = "mean"
+        # The round-3 BC-aware multigrid handles the all-Neumann pressure
+        # system (symmetrized levels, E-extended transfers, compatibility
+        # projection): O(10) PCG iterations instead of O(N). Obstacle
+        # cases keep plain CG — the V-cycle has no notion of the excluded
+        # cells and a mismatched preconditioner slows those solves down.
+        if "precond" not in p_cfg and self.mesh.obstacle is None:
+            p_cfg["precond"] = "mg"
         self.p_solver = Solver({"fdm": p_cfg})
         # Incremental pressure-correction (Goda/van Kan): the momentum
         # step carries the explicit old-pressure gradient and the Poisson
