@@ -998,8 +998,12 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     if paxes:
         x_final = _restore_periodic(x_final, paxes)
 
-    itr = int(itr)
-    tol_final = float(tol_final)
+    # ONE device->host transfer for both scalars: on a tunneled backend
+    # each fetch costs a full RTT (~35 ms on axon), so fetching ``itr``
+    # and ``tol`` separately used to add a second RTT to every solve.
+    itr_np, tol_np = jax.device_get((itr, tol_final))
+    itr = int(itr_np)
+    tol_final = float(tol_np)
     if np.isnan(tol_final) or np.isinf(tol_final):
         raise RuntimeError(f"Invalid tolerance detected! tol: {tol_final}")
 
@@ -1103,7 +1107,15 @@ def _build_cg(
                 Ad = Aop(d, tparams) * M_
                 dAd = _vsum(d * Ad)
             alpha = _nan0(rz / dAd)
-            x_new = apply_bcs_(x + alpha * d)
+            # No per-iteration BC application: every search direction is
+            # interior-masked (z is masked by the preconditioner shell, d
+            # inductively), so the iterate's boundary/shell values are
+            # INVARIANT inside the loop — and nothing in the loop reads
+            # them (the operator only ever applies to d; r updates
+            # incrementally). BCs are applied once on entry and once at
+            # exit. Dropping the six per-face dynamic-update-slices from
+            # the hot loop saves their serialized kernel launches.
+            x_new = x + alpha * d
             if project_mean:
                 x_new = x_new - _vsum(x_new * M_) / jnp.sum(M_)
             r_new = demean(r - alpha * Ad)
@@ -1125,7 +1137,10 @@ def _build_cg(
         hist0 = jnp.full((max_it,), jnp.nan, dtype=jnp.float32)
         state = (x, r, d, rz, tol0, jnp.asarray(0, dtype=jnp.int32), hist0)
         x, r, d, rz, tol, itr, hist = jax.lax.while_loop(cond, body, state)
-        return x, itr, tol, hist
+        # Exit-time BC application (boundary + obstacle-shell values were
+        # loop-invariant; reconstruct the affine shells from the final
+        # interior iterate here).
+        return apply_bcs_(x), itr, tol, hist
 
     return cg_fn
 
@@ -1216,7 +1231,10 @@ def _build_bicgstab(
                 return st
 
             def do_early(_):
-                x_new = apply_bcs_(s["x"] + alpha * p_hat)
+                # BCs are applied at loop exit (see the CG builder: search
+                # vectors are interior-masked, so boundary values are
+                # loop-invariant and unread inside the loop).
+                x_new = s["x"] + alpha * p_hat
                 return track_best({
                     "x": x_new,
                     "r": s_vec,
@@ -1239,7 +1257,7 @@ def _build_bicgstab(
                 t = Aop(s_hat, tparams) * M_
                 omega = _nan0(_vsum(t * s_vec) / _vsum(t * t))
                 rho_next = -omega * _vsum(r0 * t)
-                x_new = apply_bcs_(s["x"] + alpha * p_hat + omega * s_hat)
+                x_new = s["x"] + alpha * p_hat + omega * s_hat
                 r_new = s_vec - omega * t
                 tol2 = tol_of(r_new)
                 # Stagnation == attainable accuracy passed; once BiCGSTAB
@@ -1283,11 +1301,12 @@ def _build_bicgstab(
             "hist": jnp.full((max_it,), jnp.nan, dtype=jnp.float32),
         }
         out = jax.lax.while_loop(cond, body, state)
-        # Return the best iterate seen (last == best in healthy runs).
+        # Return the best iterate seen (last == best in healthy runs),
+        # with the loop-deferred BC application at exit.
         use_best = out["best_tol"] < out["tol"]
         x_out = jnp.where(use_best, out["best_x"], out["x"])
         tol_out = jnp.minimum(out["best_tol"], out["tol"])
-        return x_out, out["itr"], tol_out, out["hist"]
+        return apply_bcs_(x_out), out["itr"], tol_out, out["hist"]
 
     return bicg_fn
 
