@@ -189,10 +189,85 @@ def bench_rz(nr: int = 512, nz: int = 1024, n_steps: int = 5):
     }
 
 
+def bench_cavity(n: int = 128, n_steps: int = 5):
+    """Navier-Stokes step throughput: 3-D lid-driven cavity at ``n^3``
+    (Re=100, regularized lid). Each step = ``dim`` implicit-diffusion
+    momentum BiCGSTAB solves + one all-Neumann pressure MG-PCG solve +
+    projection — the flagship-model hot loop. Metric is cell-steps/s
+    (grid cells advanced one time step per second per chip)."""
+    from pyapes_tpu.models.navier_stokes import LidDrivenCavity
+
+    enable_compilation_cache()
+    mesh = Mesh(Box[0:1, 0:1, 0:1], None, [n, n, n], device="tpu",
+                dtype="single")
+    dt = 0.25 / n  # convective CFL ~0.25 at U=1
+
+    def fresh():
+        # sync=False: solves return device scalars without host fetches,
+        # so a whole step (3 momentum + 1 pressure solve + projection)
+        # enqueues with zero host round-trips.
+        return LidDrivenCavity(mesh, nu=0.01, lid_velocity=1.0,
+                               lid_profile="regularized",
+                               config={"sync": False})
+
+    def settle(model):
+        # force completion by a value readback (jax.block_until_ready
+        # does NOT synchronize on the tunneled axon backend)
+        return float(model.p()[0].ravel()[0])
+
+    model = fresh()
+    t0 = time.perf_counter()
+    model.run(dt, 1)  # compile every solver structure
+    settle(model)
+    compile_s = time.perf_counter() - t0
+
+    walls = []
+    for _ in range(3):
+        model = fresh()
+        model.run(dt, 1)  # warm first-step structures (fresh fields)
+        settle(model)
+        tic = time.perf_counter()
+        model.run(dt, n_steps)
+        settle(model)
+        walls.append(time.perf_counter() - tic)
+    wall = min(walls)
+    div = float(jnp.max(jnp.abs(model.divergence())))
+    if not np.isfinite(div):
+        raise RuntimeError(f"cavity bench diverged: max_div={div}")
+    return {
+        "n": n,
+        "n_steps": n_steps,
+        "wall_s": wall,
+        "wall_s_all": [round(w, 4) for w in walls],
+        "compile_s": compile_s,
+        "max_div": div,
+        "cell_steps_per_s": n**3 * n_steps / wall,
+    }
+
+
 def main() -> None:
     n = int(os.environ.get("PYAPES_BENCH_N", "512"))
     tol = float(os.environ.get("PYAPES_BENCH_TOL", "1e-6"))
     max_it = int(os.environ.get("PYAPES_BENCH_MAXIT", "4000"))
+
+    if os.environ.get("PYAPES_BENCH_CASE") == "cavity":
+        result = bench_cavity(
+            n=int(os.environ.get("PYAPES_BENCH_CAVITY_N", "128")),
+            n_steps=int(os.environ.get("PYAPES_BENCH_CAVITY_STEPS", "5")),
+        )
+        print(
+            f"# cavity {result['n']}^3 x{result['n_steps']} "
+            f"wall={result['wall_s']:.3f}s compile={result['compile_s']:.1f}s "
+            f"max_div={result['max_div']:.2e}",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": "ns_cavity3d_cell_steps_per_s_chip",
+            "value": round(result["cell_steps_per_s"], 1),
+            "unit": "cell-steps/s/chip",
+            "vs_baseline": 0.0,
+        }))
+        return
 
     if os.environ.get("PYAPES_BENCH_CASE") == "rz":
         result = bench_rz()

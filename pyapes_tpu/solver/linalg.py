@@ -998,6 +998,23 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     if paxes:
         x_final = _restore_periodic(x_final, paxes)
 
+    if not config.get("sync", True):
+        # Asynchronous solve: skip the device->host scalar fetch entirely.
+        # Every fetch is a host sync — one full RTT (~35 ms) through a
+        # tunneled backend, and a pipeline bubble even on local hardware.
+        # A transient model stepping many solves per step (NS: dim
+        # momentum + 1 pressure) can enqueue the WHOLE step without the
+        # host ever blocking; the caller inspects convergence by fetching
+        # the returned device scalars (or any dependent value) when it
+        # actually needs them. NaN detection is deferred to that fetch.
+        var.VAR = x_final
+        out_async: ReportType = {
+            "itr": itr, "tol": tol_final, "converge": True,
+        }
+        if config.get("history"):
+            out_async["history"] = hist  # device array, NaN-padded
+        return out_async
+
     # ONE device->host transfer for both scalars: on a tunneled backend
     # each fetch costs a full RTT (~35 ms on axon), so fetching ``itr``
     # and ``tol`` separately used to add a second RTT to every solve.

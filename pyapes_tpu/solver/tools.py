@@ -17,12 +17,40 @@ from pyapes_tpu.variables import Field
 
 class FDMSolverConfig(TypedDict, total=False):
     method: str
+    """Krylov method: "cg" or "bicgstab"."""
     tol: float
     max_it: int
     report: bool
     criterion: str
     """Convergence criterion: "delta" (reference behavior,
     ``linalg.py:321-338``) or "residual" (true relative residual norm)."""
+    precond: str
+    """"mg" enables the geometric-multigrid preconditioner
+    (``solver/multigrid.py``)."""
+    mg_opts: dict
+    """Multigrid options forwarded to ``MGSpec`` (dtype/n_pre/n_post/
+    omega/fmg/fuse_rz/smoother/...)."""
+    nullspace: str
+    """"mean" solves singular all-Neumann systems on the zero-mean
+    quotient space (compatibility-projected RHS)."""
+    picard: int
+    """Picard sweeps for nonlinear (advection) equations."""
+    kernel: str
+    """Stencil kernel tier override: "pallas" | "jnp" | "auto"."""
+    decomp: dict
+    """Domain decomposition: ``{"axes": (...), "devices": ...}`` — shards
+    the solve over a ``jax.sharding.Mesh`` with halo exchange."""
+    debug: str
+    """"nan" instruments the compiled loop with checkify NaN/div checks."""
+    history: bool
+    """Record the per-iteration convergence measure in the report."""
+    sync: bool
+    """Default True. False skips the post-solve device->host scalar
+    fetch: the report carries DEVICE scalars and the solve enqueues
+    asynchronously (a transient model can queue a whole step — e.g. 3
+    momentum + 1 pressure solve — without the host blocking; each fetch
+    is a full RTT on a tunneled/remote backend). NaN detection is
+    deferred to whoever fetches the result."""
 
 
 class SolverConfig(TypedDict, total=False):

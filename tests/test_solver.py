@@ -605,3 +605,39 @@ def test_solver_residual_history() -> None:
         assert abs(h[-1] - rep["tol"]) < 1e-12
         # overall reduction by >= 6 orders
         assert h[-1] < 1e-6 * np.nanmax(h)
+
+
+def test_async_solve_sync_false() -> None:
+    """config {'sync': False}: the solve returns WITHOUT any device->host
+    transfer (itr/tol stay device scalars) and the solution is identical
+    to the synchronous path — the lever that lets a transient model
+    enqueue a whole step (momentum solves + pressure solve) with zero
+    host round-trips (each is a full RTT on a tunneled backend)."""
+    import jax
+
+    mesh = Mesh(Box[0:1, 0:1], None, [33, 33])
+    rng = np.random.default_rng(7)
+    rhs = jnp.asarray(rng.standard_normal((1, 33, 33)))
+    fdm = FDM()
+
+    def run(sync):
+        var = Field("p", 1, mesh,
+                    {"domain": homogeneous_bcs(2, 0.0, "dirichlet")},
+                    init_val=0.0)
+        cfg = {"method": "cg", "tol": 1e-8, "max_it": 500,
+               "report": False, "criterion": "residual"}
+        if not sync:
+            cfg["sync"] = False
+        solver = Solver({"fdm": cfg})
+        solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+        rep = solver.solve()
+        return var()[0], rep
+
+    x_sync, rep_sync = run(True)
+    x_async, rep_async = run(False)
+    # async report: device scalars, no Python coercion happened
+    assert isinstance(rep_async["itr"], jax.Array)
+    assert isinstance(rep_async["tol"], jax.Array)
+    assert int(rep_async["itr"]) == rep_sync["itr"]
+    _close(float(rep_async["tol"]), rep_sync["tol"], rtol=1e-12, atol=0.0)
+    _close(x_async, x_sync, rtol=0.0, atol=0.0)
