@@ -279,6 +279,11 @@ class LidDrivenCavity:
         for var in self.vel:
             if var._dt is None:
                 var.set_time(dt, self.t)
+            else:
+                # dt may change between steps (run_adaptive); it streams
+                # into the compiled solver as a runtime operand, so this
+                # never recompiles.
+                var._dt = dt
             var.save_old()
             # advance the field clock FIRST: the implicit solves and BC
             # applications of this step belong to the NEW time level
@@ -399,6 +404,57 @@ class LidDrivenCavity:
     def run(self, dt: float, n_steps: int) -> None:
         for _ in range(n_steps):
             self.step(dt)
+
+    def max_velocity(self) -> jnp.ndarray:
+        """``max_j max|u_j|`` as a DEVICE scalar (fetch it to sync)."""
+        m = jnp.max(jnp.abs(self.vel[0]()))
+        for v in self.vel[1:]:
+            m = jnp.maximum(m, jnp.max(jnp.abs(v())))
+        return m
+
+    def run_adaptive(self, cfl: float, t_end: float, *,
+                     dt_max: float | None = None,
+                     dt_min: float = 1e-12,
+                     max_steps: int = 100_000) -> int:
+        """CFL-adaptive transient loop: ``dt_n = cfl min(dx) / max|u^n|``.
+
+        Variable dt is exact for the backward-Euler ``ddt`` this model
+        uses (no multi-step history-coefficient correction needed), and
+        dt streams into the compiled solvers as a runtime operand
+        (``linalg._ddt_params``) — dt changes NEVER recompile. Cost: one
+        device->host fetch (``max|u|``) per step, so prefer fixed-dt
+        ``run`` with ``sync=False`` when throughput matters more than
+        step-count economy.
+
+        Args:
+            cfl: advective Courant number target (explicit-advection
+                stability needs <~0.5; implicit advection tolerates more
+                and uses this purely for temporal accuracy).
+            t_end: integrate until ``self.t >= t_end`` (the last step is
+                shortened to land exactly on it).
+            dt_max: cap while the flow is still at rest (``max|u| ~ 0``
+                gives an unbounded CFL dt). Defaults to
+                ``cfl * min(dx)`` — the CFL step at unit velocity scale.
+            dt_min: floor; a required dt below this raises (stalled run).
+
+        Returns the number of steps taken.
+        """
+        dx_min = min(float(d) for d in self.mesh.dx_np)
+        if dt_max is None:
+            dt_max = cfl * dx_min
+        n = 0
+        while self.t < t_end - 1e-12 and n < max_steps:
+            umax = float(self.max_velocity())
+            dt = cfl * dx_min / umax if umax > 0 else dt_max
+            dt = min(dt, dt_max, t_end - self.t)
+            if dt < dt_min:
+                raise RuntimeError(
+                    f"run_adaptive: required dt {dt:.3e} < dt_min "
+                    f"({dt_min:.3e}) at t={self.t:.6f} (max|u|={umax:.3e})"
+                )
+            self.step(dt)
+            n += 1
+        return n
 
     def divergence(self) -> jnp.ndarray:
         out = self._grad(self.vel[0])[0]

@@ -76,8 +76,13 @@ def _run_cavity(args) -> dict:
         implicit_advection=getattr(args, "implicit_advection", False),
     )
     _maybe_resume(args, model, model.vel + [model.p])
+    cfl = getattr(args, "adaptive_cfl", None)
     tic = time.perf_counter()
-    model.run(dt=args.dt, n_steps=args.steps)
+    if cfl:
+        n_steps = model.run_adaptive(cfl, t_end=args.dt * args.steps)
+    else:
+        n_steps = args.steps
+        model.run(dt=args.dt, n_steps=args.steps)
     wall = time.perf_counter() - tic
     _maybe_save(args, model.vel + [model.p])
     import numpy as np
@@ -86,7 +91,7 @@ def _run_cavity(args) -> dict:
     mid = (u.shape[0] // 2,) * (dim - 1)
     out = {
         "wall_s": wall,
-        "steps": args.steps,
+        "steps": n_steps,
         "u_centerline_min": float(u[mid].min()),
         "t": model.t,
     }
@@ -249,6 +254,11 @@ def main(argv=None) -> None:
     sc.add_argument("--steps", type=int, default=500)
     sc.add_argument("--dim", type=int, default=2, choices=[2, 3])
     sc.add_argument("--implicit-advection", action="store_true")
+    sc.add_argument(
+        "--adaptive-cfl", type=float, default=None, metavar="CFL",
+        help="CFL-adaptive dt (integrates to t_end = dt * steps; "
+        "dt streams as a runtime operand, so dt changes never recompile)",
+    )
 
     sb = sub.add_parser("burgers", parents=[common])
     sb.add_argument("--dt", type=float, default=0.01)

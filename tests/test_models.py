@@ -487,3 +487,41 @@ def test_cavity_regularized_lid_corner_divergence() -> None:
     assert c_reg < c_uni / 10, (c_reg, c_uni)
     assert c_reg < 0.5, c_reg
     assert b_reg < 5e-3, b_reg
+
+
+def test_cavity_adaptive_dt() -> None:
+    """CFL-adaptive stepping: reaches t_end exactly, shrinks dt as the
+    flow spins up (max|u| grows from 0 toward the lid speed), stays
+    finite, and NEVER recompiles (dt streams as a runtime operand)."""
+    from pyapes_tpu.solver import linalg
+
+    linalg.clear_cache()
+    mesh = Mesh(Box[0:1, 0:1], None, [17, 17])
+    model = LidDrivenCavity(mesh, nu=0.01, lid_velocity=1.0)
+    cfl = 0.4
+    taken = []
+    t_prev = 0.0
+
+    orig_step = model.step
+
+    def record_step(dt):
+        taken.append(dt)
+        orig_step(dt)
+
+    model.step = record_step
+    n = model.run_adaptive(cfl, t_end=0.2, dt_max=0.1)
+    assert n == len(taken)
+    assert abs(model.t - 0.2) < 1e-10
+    # first step is the at-rest cap; once the lid spins the flow up
+    # (max|u| -> lid speed 1), the CFL limit binds: dt -> cfl * dx
+    dx = 1.0 / 16
+    assert abs(taken[0] - 0.1) < 1e-12
+    assert taken[-2] < 0.5 * taken[0]  # (last step may shorten to t_end)
+    assert abs(taken[-2] - cfl * dx) < 0.2 * cfl * dx
+    umax = float(model.max_velocity())
+    assert 0.5 < umax <= 1.0 + 1e-6
+    assert np.all(np.isfinite(np.asarray(model.u()[0])))
+    n_structs = len(linalg._SOLVER_CACHE)
+    # one more pass must not add cache entries (no recompile on dt change)
+    model.run_adaptive(cfl, t_end=0.25)
+    assert len(linalg._SOLVER_CACHE) == n_structs
