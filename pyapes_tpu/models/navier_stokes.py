@@ -462,6 +462,63 @@ class LidDrivenCavity:
             out = out + self._grad(self.vel[j])[j]
         return out
 
+    def body_force(self, idx: int = 0):
+        """Hydrodynamic force on immersed obstacle ``idx`` (per unit
+        density; 2-D: per unit depth) — ``F = ∮ (-p n + μ ∂u/∂n) dS``
+        integrated over the staircase surface of the solid mask.
+
+        First-order immersed-boundary quadrature: for every solid surface
+        cell the pressure is sampled at its fluid neighbor (consistent
+        with the zero-flux obstacle-Neumann pressure BC) and the traction
+        uses the one-sided normal derivative ``u_fluid / dx`` (no-slip
+        ``u = 0`` on the body). Beyond the reference, which cannot apply
+        obstacle BCs at all (``linalg.py:286-292``). Returns a numpy
+        vector of ``mesh.dim`` force components (drag = component 0 for
+        the channel models; lift = component 1).
+        """
+        assert self.mesh.obstacle is not None, "body_force: no obstacles"
+        from pyapes_tpu.geometry.basis import DIR_TO_NUM
+        from pyapes_tpu.geometry.mask import MaskObstacle
+
+        if not hasattr(self, "_force_shells"):
+            self._force_shells = {}
+        if idx not in self._force_shells:
+            import numpy as np_
+
+            body = self.mesh.obstacle_body_masks[idx]
+            faces = []
+            for f, shell in MaskObstacle.shells(body).items():
+                if not shell.any():
+                    continue
+                ax = DIR_TO_NUM[f[0]]
+                sgn = -1 if f[1] == "l" else +1
+                # the fluid cell adjacent to each surface cell, one step
+                # along the outward normal (roll is a bijection, so the
+                # correspondence is exact)
+                fluid = np_.roll(shell, sgn, axis=ax)
+                faces.append((ax, sgn, jnp.asarray(fluid)))
+            self._force_shells[idx] = faces
+
+        dx = [float(d) for d in self.mesh.dx_np]
+        dv = 1.0
+        for d in dx:
+            dv *= d
+        p = self.p()[0]
+        F = jnp.zeros((self.mesh.dim,))
+        for ax, sgn, fluid in self._force_shells[idx]:
+            dS = dv / dx[ax]
+            # pressure: F += -p n dS (n = sgn e_ax, sampled at the fluid
+            # side of the staircase face)
+            F = F.at[ax].add(-sgn * jnp.sum(jnp.where(fluid, p, 0.0)) * dS)
+            # viscous traction mu du_i/dn with u=0 on the body:
+            # du_i/dn = (u_i,fluid - 0)/dx (outward one-sided)
+            for i, v in enumerate(self.vel):
+                ui = jnp.sum(jnp.where(fluid, v()[0], 0.0)) / dx[ax]
+                F = F.at[i].add(self.nu * ui * dS)
+        import numpy as np_
+
+        return np_.asarray(F)
+
 
 class ChannelFlow(LidDrivenCavity):
     """Pressure-projected channel/duct flow with inflow/outflow boundaries

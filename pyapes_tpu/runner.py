@@ -144,6 +144,10 @@ def _run_channel(args) -> dict:
         "flux_out": model.flux(u.shape[0] - 2),
         "u_max": float(np.abs(u).max()),
     }
+    if args.obstacle:
+        drag, lift = model.body_force()
+        out["drag"] = float(drag)
+        out["lift"] = float(lift)
     out.update(
         _maybe_vtk(
             args, mesh,

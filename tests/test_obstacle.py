@@ -477,3 +477,55 @@ def test_mask_obstacle_flow_past_cylinder() -> None:
     iy = 16
     ix_body = int(np.nonzero(body[:, iy])[0].max())
     assert u[ix_body + 2, iy] < 0.5 * u[10, iy]
+
+
+def test_body_force_quadrature_identities() -> None:
+    """Staircase surface-force quadrature: (a) a constant pressure field
+    on a closed body integrates to EXACTLY zero (the staircase normals
+    close); (b) a linear field p = x gives F ~ -V_body e_x (divergence
+    theorem; first-order in dx from the fluid-side sampling offset);
+    (c) zero fields give zero."""
+    from pyapes_tpu.geometry import Box, MaskObstacle
+    from pyapes_tpu.mesh import Mesh
+    from pyapes_tpu.models import ChannelFlow
+
+    body_fn = lambda X, Y: (X - 1.0) ** 2 + (Y - 0.5) ** 2 < 0.2**2
+    mesh = Mesh(Box[0:3, 0:1], [MaskObstacle(body_fn)], [193, 65])
+    model = ChannelFlow(mesh, nu=0.02, u_in=1.0)
+
+    F0 = model.body_force()
+    assert np.allclose(F0, 0.0), F0  # (c) everything starts at zero
+
+    # (a) constant pressure: closed-surface identity, exact
+    model.p.set_var_tensor(jnp.full((1,) + tuple(mesh.nx), 7.3))
+    Fc = model.body_force()
+    assert np.abs(Fc).max() < 1e-4, Fc
+
+    # (b) p = x: F = -∫ grad p dV = -V_body e_x (staircase volume)
+    X = mesh.grid[0]
+    model.p.set_var_tensor(X[None])
+    Fx = model.body_force()
+    body = mesh.obstacle_body_masks[0]
+    dv = float(np.prod([float(d) for d in mesh.dx_np]))
+    v_body = body.sum() * dv
+    assert Fx[0] < 0
+    assert abs(Fx[0] + v_body) < 0.3 * v_body, (Fx[0], -v_body)
+    assert abs(Fx[1]) < 0.05 * v_body, Fx
+
+
+def test_body_force_cylinder_drag_lift() -> None:
+    """Flow past a circular cylinder: positive drag, near-zero lift (the
+    geometry is symmetric about the centerline), and the viscous+pressure
+    split is finite."""
+    from pyapes_tpu.geometry import Box, MaskObstacle
+    from pyapes_tpu.mesh import Mesh
+    from pyapes_tpu.models import ChannelFlow
+
+    body_fn = lambda X, Y: (X - 0.7) ** 2 + (Y - 0.5) ** 2 < 0.12**2
+    mesh = Mesh(Box[0:3, 0:1], [MaskObstacle(body_fn)], [97, 33])
+    model = ChannelFlow(mesh, nu=0.02, u_in=1.0)
+    model.run(dt=0.005, n_steps=40)
+    F = model.body_force()
+    assert np.isfinite(F).all()
+    assert F[0] > 0.0, F  # drag along the flow
+    assert abs(F[1]) < 0.3 * F[0], F  # symmetric: lift ~ 0
