@@ -62,11 +62,21 @@ def main() -> None:
             ob.bc_val = u_body if j == 0 else 0.0
         model.step(dt)
         if (i + 1) % 30 == 0:
+            from pyapes_tpu.models.navier_stokes import staircase_body_force
+
             div = float(jnp.abs(model.divergence()).mean())
+            # hydrodynamic force on the MOVING body (no-slip traction
+            # relative to the body velocity)
+            drag, lift = staircase_body_force(
+                model.p()[0], [v()[0] for v in model.vel], m,
+                [float(d) for d in mesh.dx_np], model.nu,
+                u_body=[u_body, 0.0],
+            )
             print(
                 f"step {i+1}: body at x={x_now:.3f}, "
                 f"flux_in={model.flux(0):.4f} "
                 f"flux_out={model.flux(-1):.4f} mean|div|={div:.2e} "
+                f"drag={drag:+.3f} lift={lift:+.3f} "
                 f"compiled_solvers={len(linalg._SOLVER_CACHE)}"
             )
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from pyapes_tpu.geometry.basis import DIR_TO_NUM
 from pyapes_tpu.mesh import Mesh
 from pyapes_tpu.solver.fdc import FDC
 from pyapes_tpu.solver.fdm import FDM
@@ -66,6 +67,60 @@ def _obstacle_setup(mesh):
             grown |= np.roll(near, 1, ax) | np.roll(near, -1, ax)
         near = grown
     return uv, p, jnp.asarray(body), jnp.asarray(near)
+
+
+def staircase_body_force(p, vels, body, dx, nu, u_body=None):
+    """Hydrodynamic force on an immersed solid (per unit density; 2-D:
+    per unit depth): ``F = ∮ (-p n + μ ∂u/∂n) dS`` over the staircase
+    surface of the boolean ``body`` mask.
+
+    First-order immersed-boundary quadrature: pressure is sampled at the
+    fluid neighbor of each surface cell (consistent with the zero-flux
+    obstacle-Neumann pressure BC) and the traction uses the one-sided
+    normal derivative ``(u_fluid - u_body)/dx`` (no-slip on the body,
+    which may translate with velocity ``u_body``). Satisfies the exact
+    closed-surface identities (constant p integrates to zero) — see
+    ``tests/test_obstacle.py``. Beyond the reference, which cannot apply
+    obstacle BCs at all (``linalg.py:286-292``).
+
+    Args:
+        p: pressure values, shape ``(*nx)``.
+        vels: list of ``mesh.dim`` velocity-component arrays ``(*nx)``.
+        body: boolean solid mask ``(*nx)`` (numpy or jax).
+        dx: grid spacings per axis.
+        nu: kinematic viscosity.
+        u_body: optional body translation velocity (per component).
+
+    Returns a numpy force vector of ``len(dx)`` components.
+    """
+    import numpy as np_
+
+    from pyapes_tpu.geometry.mask import MaskObstacle
+
+    body = np_.asarray(body, dtype=bool)
+    dim = body.ndim
+    ub = [0.0] * dim if u_body is None else [float(c) for c in u_body]
+    dv = 1.0
+    for d in dx:
+        dv *= float(d)
+    F = jnp.zeros((dim,))
+    for f, shell in MaskObstacle.shells(body).items():
+        if not shell.any():
+            continue
+        ax = DIR_TO_NUM[f[0]]
+        sgn = -1 if f[1] == "l" else +1
+        # the fluid cell adjacent to each surface cell, one step along
+        # the outward normal (roll is a bijection, so the correspondence
+        # is exact)
+        fluid = jnp.asarray(np_.roll(shell, sgn, axis=ax))
+        dS = dv / float(dx[ax])
+        # pressure: F += -p n dS (n = sgn e_ax)
+        F = F.at[ax].add(-sgn * jnp.sum(jnp.where(fluid, p, 0.0)) * dS)
+        # viscous traction mu du_i/dn, outward one-sided
+        for i, v in enumerate(vels):
+            dudn = jnp.sum(jnp.where(fluid, v, 0.0) - fluid * ub[i])
+            F = F.at[i].add(nu * dudn / float(dx[ax]) * dS)
+    return np_.asarray(F)
 
 
 class LidDrivenCavity:
@@ -464,60 +519,15 @@ class LidDrivenCavity:
 
     def body_force(self, idx: int = 0):
         """Hydrodynamic force on immersed obstacle ``idx`` (per unit
-        density; 2-D: per unit depth) — ``F = ∮ (-p n + μ ∂u/∂n) dS``
-        integrated over the staircase surface of the solid mask.
-
-        First-order immersed-boundary quadrature: for every solid surface
-        cell the pressure is sampled at its fluid neighbor (consistent
-        with the zero-flux obstacle-Neumann pressure BC) and the traction
-        uses the one-sided normal derivative ``u_fluid / dx`` (no-slip
-        ``u = 0`` on the body). Beyond the reference, which cannot apply
-        obstacle BCs at all (``linalg.py:286-292``). Returns a numpy
-        vector of ``mesh.dim`` force components (drag = component 0 for
-        the channel models; lift = component 1).
-        """
+        density; 2-D: per unit depth) — see ``staircase_body_force``.
+        Returns a numpy vector of ``mesh.dim`` components (drag =
+        component 0 for the channel models; lift = component 1)."""
         assert self.mesh.obstacle is not None, "body_force: no obstacles"
-        from pyapes_tpu.geometry.basis import DIR_TO_NUM
-        from pyapes_tpu.geometry.mask import MaskObstacle
-
-        if not hasattr(self, "_force_shells"):
-            self._force_shells = {}
-        if idx not in self._force_shells:
-            import numpy as np_
-
-            body = self.mesh.obstacle_body_masks[idx]
-            faces = []
-            for f, shell in MaskObstacle.shells(body).items():
-                if not shell.any():
-                    continue
-                ax = DIR_TO_NUM[f[0]]
-                sgn = -1 if f[1] == "l" else +1
-                # the fluid cell adjacent to each surface cell, one step
-                # along the outward normal (roll is a bijection, so the
-                # correspondence is exact)
-                fluid = np_.roll(shell, sgn, axis=ax)
-                faces.append((ax, sgn, jnp.asarray(fluid)))
-            self._force_shells[idx] = faces
-
-        dx = [float(d) for d in self.mesh.dx_np]
-        dv = 1.0
-        for d in dx:
-            dv *= d
-        p = self.p()[0]
-        F = jnp.zeros((self.mesh.dim,))
-        for ax, sgn, fluid in self._force_shells[idx]:
-            dS = dv / dx[ax]
-            # pressure: F += -p n dS (n = sgn e_ax, sampled at the fluid
-            # side of the staircase face)
-            F = F.at[ax].add(-sgn * jnp.sum(jnp.where(fluid, p, 0.0)) * dS)
-            # viscous traction mu du_i/dn with u=0 on the body:
-            # du_i/dn = (u_i,fluid - 0)/dx (outward one-sided)
-            for i, v in enumerate(self.vel):
-                ui = jnp.sum(jnp.where(fluid, v()[0], 0.0)) / dx[ax]
-                F = F.at[i].add(self.nu * ui * dS)
-        import numpy as np_
-
-        return np_.asarray(F)
+        return staircase_body_force(
+            self.p()[0], [v()[0] for v in self.vel],
+            self.mesh.obstacle_body_masks[idx],
+            [float(d) for d in self.mesh.dx_np], self.nu,
+        )
 
 
 class ChannelFlow(LidDrivenCavity):

@@ -529,3 +529,20 @@ def test_body_force_cylinder_drag_lift() -> None:
     assert np.isfinite(F).all()
     assert F[0] > 0.0, F  # drag along the flow
     assert abs(F[1]) < 0.3 * F[0], F  # symmetric: lift ~ 0
+
+
+def test_body_force_moving_body_at_rest_fluid() -> None:
+    """A body translating through quiescent fluid feels a traction
+    OPPOSING its motion (first-order staircase: F_x ~ -nu u_b/dx * A)."""
+    from pyapes_tpu.models.navier_stokes import staircase_body_force
+
+    n = 65
+    x = np.linspace(0, 1, n)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    body = (np.abs(X - 0.5) < 0.15) & (np.abs(Y - 0.5) < 0.15)
+    p = jnp.zeros((n, n))
+    u = jnp.zeros((n, n))
+    F = staircase_body_force(p, [u, u], body, [1 / (n - 1)] * 2,
+                             nu=0.1, u_body=[0.5, 0.0])
+    assert F[0] < 0.0, F       # drag opposes the +x body motion
+    assert abs(F[1]) < 1e-12, F
