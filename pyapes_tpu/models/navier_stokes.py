@@ -282,11 +282,23 @@ class LidDrivenCavity:
             p_cfg["nullspace"] = "mean"
         # The round-3 BC-aware multigrid handles the all-Neumann pressure
         # system (symmetrized levels, E-extended transfers, compatibility
-        # projection): O(10) PCG iterations instead of O(N). Obstacle
-        # cases keep plain CG — the V-cycle has no notion of the excluded
-        # cells and a mismatched preconditioner slows those solves down.
-        if "precond" not in p_cfg and self.mesh.obstacle is None:
-            p_cfg["precond"] = "mg"
+        # projection): O(10) PCG iterations instead of O(N).
+        if "precond" not in p_cfg:
+            if self.mesh.obstacle is None:
+                p_cfg["precond"] = "mg"
+            elif not self._singular_pressure:
+                # Obstacle systems: the obstacle-Neumann shell elimination
+                # is NONSYMMETRIC, so CG's theory breaks — MG-PCG diverges
+                # outright (measured). BiCGSTAB tolerates both the
+                # nonsymmetric operator and the structurally-mismatched
+                # plain-domain V-cycle (the preconditioner simply has no
+                # notion of the excluded cells): 385x129 cylinder channel
+                # pressure solve, 12 iterations vs 756 plain BiCGSTAB vs
+                # 5000+ plain CG. Singular (all-Neumann cavity) obstacle
+                # systems keep plain CG: BiCGSTAB can break down on the
+                # compatibility-projected singular system.
+                p_cfg["precond"] = "mg"
+                p_cfg["method"] = "bicgstab"
         self.p_solver = Solver({"fdm": p_cfg})
         # Incremental pressure-correction (Goda/van Kan): the momentum
         # step carries the explicit old-pressure gradient and the Poisson

@@ -355,3 +355,51 @@ def test_fuse_rz_multi_post_smooth_exact() -> None:
     b, ib = run(True)
     assert ia == ib
     assert_allclose(a, b, atol=1e-9)
+
+
+def test_mg_bicgstab_obstacle_poisson() -> None:
+    """Obstacle systems with the plain-domain MG preconditioner: the
+    obstacle-Neumann elimination is nonsymmetric, so this must ride
+    BiCGSTAB (CG+MG diverges) — converges in O(10) iterations vs O(100s)
+    unpreconditioned, to the same solution."""
+    from pyapes_tpu.geometry import Box, MaskObstacle
+    from pyapes_tpu.solver.fdm import FDM
+    from pyapes_tpu.solver.ops import Solver
+    from pyapes_tpu.variables import Field
+    from pyapes_tpu.variables.bcs import mixed_bcs
+
+    body = MaskObstacle(
+        lambda X, Y: (X - 0.7) ** 2 + (Y - 0.5) ** 2 < 0.12**2
+    )
+    mesh = Mesh(Box[0:3, 0:1], [body], [97, 33])
+    fdm = FDM()
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(rng.standard_normal((1, 97, 33)))
+
+    sols, itrs = [], []
+    for cfg in (
+        {"method": "bicgstab", "tol": 1e-8, "max_it": 3000,
+         "report": False, "criterion": "residual"},
+        {"method": "bicgstab", "tol": 1e-8, "max_it": 3000,
+         "report": False, "criterion": "residual", "precond": "mg"},
+    ):
+        bcs = mixed_bcs(
+            [0.0] * 4, ["neumann", "dirichlet", "neumann", "neumann"]
+        )
+        var = Field("p", 1, mesh,
+                    {"domain": bcs,
+                     "obstacle": [{"bc_type": "neumann", "bc_val": 0.0}]},
+                    init_val=0.0)
+        s = Solver({"fdm": dict(cfg)})
+        s.set_eq(fdm.laplacian(1.0, var) == rhs)
+        rep = s.solve()
+        assert rep["converge"], rep
+        sols.append(np.asarray(var()[0]))
+        itrs.append(rep["itr"])
+    assert itrs[1] <= 25, itrs
+    assert itrs[1] * 5 < itrs[0], itrs
+    # same solution on the fluid cells
+    fluid = ~mesh.obstacle_body_masks[0]
+    np.testing.assert_allclose(
+        sols[0][fluid], sols[1][fluid], rtol=0.0, atol=1e-5
+    )
