@@ -493,3 +493,65 @@ def apply_conv_field(
             )
         out = out + term
     return out
+
+
+def apply_diff_field(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    inv_dx2: Sequence[float],
+    surgery: tuple,
+) -> jnp.ndarray:
+    """Conservative variable-coefficient Laplacian ``∂_j (Γ(x) ∂_j φ)``.
+
+    Face-averaged flux form (exactly symmetric on interior rows):
+
+        out_i = Σ_j [ Γ_{i+½}(φ_{i+1}-φ_i) - Γ_{i-½}(φ_i-φ_{i-1}) ] / dx_j²
+
+    with ``Γ_{i±½} = (Γ_i + Γ_{i±1})/2``. The reference's implicit
+    Laplacian only supports a SCALAR coefficient (``fdm.py:108-169``
+    multiplies the constant-coefficient stencil by Γ, which for varying
+    Γ would be the non-conservative ``Γ ∇²φ``); this is the implicit
+    heterogeneous-diffusivity operator (Darcy/conductivity problems),
+    with Γ streamed as a runtime operand.
+
+    ``surgery``: per-axis ``(lower, upper)`` kinds. "neumann" eliminates
+    the boundary node from the adjacent row via the zero-flux
+    reconstruction ``φ_b = 4/3 φ_1 - 1/3 φ_2`` (the elimination
+    coefficient carries the LOCAL face Γ); "none" reads the neighbor
+    normally (Dirichlet boundary values ride the entry residual).
+    Periodic axes must arrive torus-reduced (surgery "none"; ``roll`` is
+    then the exact periodic stencil, with ``gamma`` reduced too).
+    """
+    g = gamma[None] if gamma.ndim == x.ndim - 1 else gamma
+    out = jnp.zeros_like(x)
+    for j in range(x.ndim - 1):
+        ax = 1 + j
+        gp = 0.5 * (g + jnp.roll(g, -1, ax))
+        gm = 0.5 * (g + jnp.roll(g, 1, ax))
+        term = gp * (jnp.roll(x, -1, ax) - x) - gm * (
+            x - jnp.roll(x, 1, ax)
+        )
+        out = out + term * inv_dx2[j]
+        lo_kind, up_kind = surgery[j]
+        row = lambda idx: (slice(None),) + _row_sel(j, idx)
+        if lo_kind == "neumann":
+            c0 = gm[row(1)] * inv_dx2[j]
+            out = out.at[row(1)].add(
+                c0
+                * (
+                    (4.0 / 3.0) * x[row(1)]
+                    - (1.0 / 3.0) * x[row(2)]
+                    - x[row(0)]
+                )
+            )
+        if up_kind == "neumann":
+            c0 = gp[row(-2)] * inv_dx2[j]
+            out = out.at[row(-2)].add(
+                c0
+                * (
+                    (4.0 / 3.0) * x[row(-2)]
+                    - (1.0 / 3.0) * x[row(-3)]
+                    - x[row(-1)]
+                )
+            )
+    return out

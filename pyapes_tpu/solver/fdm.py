@@ -122,6 +122,14 @@ class Laplacian(Operators):
             raise TypeError("FDM: invalid input type!")
         assert isinstance(var, Field), "FDM Laplacian: var must be a Field!"
 
+        if coeff is not None and getattr(coeff, "ndim", 0) >= var.mesh.dim:
+            # Spatially-varying coefficient: the CONSERVATIVE operator
+            # ``∂_j (Γ(x) ∂_j φ)`` with face-averaged Γ — a per-point
+            # streamed term (``ops/stencil.py::apply_diff_field``). The
+            # reference cannot express this implicitly (its scalar path
+            # would give the non-conservative ``Γ ∇² φ``).
+            return self._call_var_gamma(coeff, var)
+
         axis_coeffs = laplacian_axis_coeffs(var.mesh, var.bcs)
 
         self._var = var
@@ -144,6 +152,78 @@ class Laplacian(Operators):
             }
         }
         return self
+
+    def _call_var_gamma(self, coeff, var: Field) -> "Laplacian":
+        """Variable-coefficient (heterogeneous-diffusivity) Laplacian.
+
+        Supports Dirichlet, zero-flux Neumann/Symmetry, and periodic
+        (torus-reduced) faces on Cartesian meshes. The Neumann
+        boundary-node elimination carries the local face Γ, which makes
+        the surgered rows NONSYMMETRIC — solve Neumann cases with
+        BiCGSTAB (all-Dirichlet/periodic systems stay exactly SPD).
+        """
+        mesh = var.mesh
+        if mesh.coord_sys != "xyz":
+            raise NotImplementedError(
+                "fdm.laplacian(gamma_array, var): rz meshes not supported "
+                "yet (use solver.rfp.Diffusion for axisymmetric "
+                "anisotropic diffusion)"
+            )
+        from pyapes_tpu.ops.stencil import div_surgery_info
+
+        for bc in var.bcs or []:
+            t = getattr(bc, "bc_type", "")
+            if t == "neumann" and getattr(bc, "bc_val", 0.0) not in (
+                None, 0, 0.0,
+            ):
+                raise NotImplementedError(
+                    "fdm.laplacian(gamma_array, var): nonzero Neumann "
+                    "flux values are not wired into the RHS yet"
+                )
+            if t in ("obstacle_dirichlet", "obstacle_neumann"):
+                raise NotImplementedError(
+                    "fdm.laplacian(gamma_array, var): obstacle BCs are "
+                    "not supported yet"
+                )
+        gamma = jnp.asarray(coeff)
+        if gamma.ndim == mesh.dim + 1:
+            gamma = gamma[0]
+        assert gamma.shape == tuple(mesh.nx), (
+            f"gamma shape {gamma.shape} != mesh {tuple(mesh.nx)}"
+        )
+        self._var = var
+        self._ops = {
+            0: {
+                "name": self.__class__.__name__,
+                "Aop": self.Aop_var_gamma,
+                "target": var,
+                "param": (gamma,),
+                "sign": 1.0,
+                "other": {
+                    "var_gamma": True,
+                    "surgery": div_surgery_info(var.bcs, mesh.dim),
+                    "inv_dx2": tuple(
+                        1.0 / float(d) ** 2 for d in mesh.dx_np
+                    ),
+                },
+                "axis_coeffs": None,
+                "A_coeffs": None,
+                "adv": None,
+                "limiter": None,
+                "dt": None,
+                "adjust_rhs": None,
+            }
+        }
+        return self
+
+    @staticmethod
+    def Aop_var_gamma(rec: OPStype, x: jnp.ndarray) -> jnp.ndarray:
+        from pyapes_tpu.ops.stencil import apply_diff_field
+
+        return apply_diff_field(
+            x, rec["param"][0], rec["other"]["inv_dx2"],
+            rec["other"]["surgery"],
+        )
 
     @property
     def var(self) -> Field:

@@ -85,6 +85,11 @@ def _term_descriptor(rec) -> tuple:
         kind = "conv_field"
     elif rec.get("adv") is not None:
         kind = "div_field"
+    elif (rec.get("other") or {}).get("var_gamma"):
+        # conservative variable-coefficient Laplacian: Γ is a streamed
+        # per-point operand; slot 4 carries the per-axis BC surgery and
+        # slot 6 the static 1/dx² tuple (the "form" slot is unused here).
+        kind = "diff_field"
     else:
         kind = "axis"
     has_field = kind in ("div_field", "conv_field")
@@ -93,9 +98,15 @@ def _term_descriptor(rec) -> tuple:
         name,
         float(rec["sign"]),
         rec.get("limiter"),
-        rec["other"]["surgery"] if has_field else None,
-        rec["param"][0] is not None if name in ("laplacian", "grad") else False,
-        rec["other"]["form"] if has_field else None,
+        rec["other"]["surgery"]
+        if (has_field or kind == "diff_field")
+        else None,
+        (rec["param"][0] is not None and kind != "diff_field")
+        if name in ("laplacian", "grad")
+        else False,
+        rec["other"]["form"]
+        if has_field
+        else (rec["other"]["inv_dx2"] if kind == "diff_field" else None),
         rec["other"]["fn"] if kind == "custom" else None,
     )
 
@@ -112,6 +123,8 @@ def _term_params(rec, desc) -> dict:
         return {"cparams": rec.get("custom_params", ())}
     if kind in ("div_field", "conv_field"):
         return {"adv": rec["adv"], "base": rec["other"]["base"]}
+    if kind == "diff_field":
+        return {"gamma": jnp.asarray(rec["param"][0])}
     p = {"axis": rec["axis_coeffs"]}
     if desc[5]:
         p["param"] = jnp.asarray(rec["param"][0])
@@ -182,6 +195,10 @@ def _make_Aop(
                     r = sharded_advect[ti](x, tp["adv"], tp["base"])
                 else:
                     r = _conv_field(x, tp, limiter, surgery)
+            elif kind == "diff_field":
+                from pyapes_tpu.ops.stencil import apply_diff_field
+
+                r = apply_diff_field(x, tp["gamma"], form, surgery)
             elif kind == "custom":
                 r = cfn(x, *tp["cparams"])
             else:  # ddt
@@ -392,6 +409,9 @@ def _reduce_periodic(terms, term_descs, tparams, x0, rhs, bcs, mesh):
         elif kind in ("div_field", "conv_field"):
             tp["adv"] = reduce_full(tp["adv"])
             tp["base"] = fix_vec(tp["base"], None)
+        elif kind == "diff_field":
+            # Γ has no leading vdim axis; drop the duplicate seam nodes.
+            tp["gamma"] = tp["gamma"][red[1:]]
         new_tparams.append(tp)
 
     x0r = reduce_full(x0)
@@ -454,7 +474,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                     ("none", "none") if j in paxes else desc[4][j]
                     for j in range(len(desc[4]))
                 )
-                if desc[0] in ("div_field", "conv_field")
+                if desc[0] in ("div_field", "conv_field", "diff_field")
                 else desc[4],
             )
             + desc[5:]
@@ -482,8 +502,13 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         tparams = tuple(
             {
                 k: (
-                    jax.device_put(v, shard)
-                    if k == "adv"
+                    jax.device_put(
+                        v,
+                        decomp.sharding(v.ndim, leading=0)
+                        if k == "gamma"
+                        else shard,
+                    )
+                    if k in ("adv", "gamma")
                     else jax.tree_util.tree_map(
                         lambda a: jax.device_put(a, repl), v
                     )
@@ -804,6 +829,9 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             method == "cg"
             and mesh.coord_sys == "xyz"
             and all(d[1] in ("laplacian", "ddt") for d in term_descs)
+            # variable-Γ terms excluded: their surgered-row asymmetry is
+            # Γ-dependent, not the fixed 2/3-vs-1 the 3/2 scale repairs
+            and all(d[0] in ("axis", "ddt") for d in term_descs)
             and all(
                 np.ndim(tp.get("param", 0.0)) == 0 for tp in tparams
             )
