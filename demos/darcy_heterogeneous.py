@@ -76,6 +76,9 @@ def main() -> None:
                 "max_it": 8000,
                 "report": True,
                 "criterion": "residual",
+                # K-aware V-cycle (levels carry the restricted K):
+                # 129^2 high-contrast case 1230 -> 11 iterations
+                "precond": "mg",
             }
         }
     )

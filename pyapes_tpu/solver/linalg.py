@@ -593,6 +593,11 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         for bc in var.bcs or []:
             if getattr(bc, "bc_type", "") in ("neumann", "symmetry"):
                 fk[bc.bc_face_dim][0 if bc.bc_n_dir < 0 else 1] = "neumann"
+        # Heterogeneous-diffusivity equations get G-aware level operators
+        # (G restricted through the hierarchy, per-point Jacobi diagonals;
+        # ``MGSpec.set_gamma``); G streams in via the precond_setup hook
+        # below, so G updates never recompile the preconditioned solver.
+        vg_ids = [i for i, d in enumerate(term_descs) if d[0] == "diff_field"]
         mg_spec = MGSpec(
             x0.shape[1:],
             [float(l) for l in np.asarray(mesh._lx_np)],
@@ -619,8 +624,19 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 else None
             ),
             face_kinds=tuple(tuple(p) for p in fk),
+            var_gamma=bool(vg_ids),
             **mg_opts,
         )
+
+    # Trace-time hook: stream the (first) diff_field term's G into the
+    # V-cycle hierarchy before the Krylov loop (loop-invariant level
+    # fields; G stays a runtime operand).
+    precond_setup = None
+    if mg_spec is not None and mg_spec.var_gamma:
+        i_vg = vg_ids[0]
+
+        def precond_setup(tp, _s=mg_spec, _i=i_vg):
+            _s.set_gamma(tp[_i]["gamma"])
 
     # Content-based mesh signature (id() could alias after GC).
     mesh_sig = (
@@ -953,6 +969,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 project_mean=bool(config.get("nullspace") == "mean"),
                 Aop_dot=Aop_dot, fmg_init=fmg_init,
                 precond_dot=precond_dot, null_shift=null_shift,
+                precond_setup=precond_setup,
             )
         else:
             precond = mg_spec.preconditioner() if mg_spec is not None else None
@@ -963,7 +980,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             )
             fn = _build_bicgstab(
                 Aop, apply_bcs, M, tol, max_it, criterion, precond,
-                fmg_init=fmg_init,
+                fmg_init=fmg_init, precond_setup=precond_setup,
             )
         # Nonzero-flux obstacle Neumann: eliminate the affine shell shift
         # ``e`` into the RHS (computed per call — the flux scale is static
@@ -1068,7 +1085,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
 def _build_cg(
     Aop, apply_bcs, M, tolerance, max_it, criterion, precond=None,
     project_mean=False, Aop_dot=None, fmg_init=None, precond_dot=None,
-    null_shift=None,
+    null_shift=None, precond_setup=None,
 ):
     """(Preconditioned) conjugate gradient as a ``lax.while_loop``
     (reference ``linalg.py:74-159``; the reference has no preconditioning).
@@ -1082,6 +1099,11 @@ def _build_cg(
     """
 
     def cg_fn(x0, rhs, tparams, bc_vals=()):
+        if precond_setup is not None:
+            # stream runtime operands (e.g. a diff_field term's G) into
+            # the preconditioner hierarchy — traced BEFORE the loop, so
+            # the derived level fields are loop-invariant
+            precond_setup(tparams)
         M_ = M.build_dynamic(bc_vals)
 
         def apply_bcs_(v):
@@ -1192,7 +1214,7 @@ def _build_cg(
 
 def _build_bicgstab(
     Aop, apply_bcs, M, tolerance, max_it, criterion, precond=None,
-    fmg_init=None,
+    fmg_init=None, precond_setup=None,
 ):
     """BiCGSTAB as a ``lax.while_loop`` (reference ``linalg.py:162-279``,
     after pykrylov). The reference's mid-loop early exit
@@ -1209,6 +1231,8 @@ def _build_bicgstab(
     """
 
     def bicg_fn(x0, rhs, tparams, bc_vals=()):
+        if precond_setup is not None:
+            precond_setup(tparams)
         M_ = M.build_dynamic(bc_vals)
 
         def apply_bcs_(v):

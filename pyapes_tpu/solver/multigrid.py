@@ -125,6 +125,7 @@ class MGSpec:
         fuse_rz: bool = False,
         decomp=None,
         face_kinds=None,
+        var_gamma: bool = False,
     ):
         self.shape = tuple(shape)
         self.lengths = tuple(float(l) for l in lengths)
@@ -139,6 +140,21 @@ class MGSpec:
         self.n_post = n_post
         self.n_coarse = n_coarse
         self.omega = omega
+        # Variable-coefficient (heterogeneous-diffusivity) mode: the level
+        # operators are the conservative ``d_j(G d_j e)`` with G restricted
+        # through the hierarchy (``set_gamma``) and TRUE per-point Jacobi
+        # diagonals. G is a runtime operand streamed in by the solver's
+        # ``precond_setup`` hook, so G updates never recompile. The Pallas
+        # smoother/fused tiers hard-code the constant-coefficient stencil,
+        # so this mode runs the jnp applies (correct under GSPMD too).
+        self.var_gamma = bool(var_gamma)
+        if self.var_gamma:
+            assert not rz, "var_gamma MG: rz meshes not supported"
+            use_pallas = False
+            fuse_rz = False
+            decomp = None
+        self._g_levels = None
+        self._gd_levels = None
         self.use_pallas = use_pallas
         self.rz = rz
         self.r_lower = float(r_lower)
@@ -199,7 +215,7 @@ class MGSpec:
              str(self.cdtype), self.n_pre, self.n_post, self.n_coarse,
              self.omega, self.use_pallas, self.rz, self.r_lower,
              self.smoother, self.fmg_init, self.fmg_cycles, self.fuse_rz,
-             self.decomp, self.face_kinds)
+             self.decomp, self.face_kinds, self.var_gamma)
         )
 
     def __eq__(self, other):
@@ -278,6 +294,86 @@ class MGSpec:
             )
         return tuple(out)
 
+    # -- variable-coefficient (heterogeneous-diffusivity) levels ---------
+    def _vg_surgery(self):
+        """Static per-axis ``(lower, upper)`` kinds for
+        ``ops.stencil.apply_diff_field`` at every level (periodic axes are
+        torus-reduced — plain wrap, no surgery)."""
+        out = []
+        for j in range(len(self.shape)):
+            if j in self.paxes:
+                out.append(("none", "none"))
+            else:
+                lo, up = self.face_kinds[j]
+                out.append(
+                    (
+                        "neumann" if lo == "neumann" else "none",
+                        "neumann" if up == "neumann" else "none",
+                    )
+                )
+        return tuple(out)
+
+    def _downsample_g(self, g, shape_t):
+        """Restrict a level's G to the next level by endpoint-aligned
+        linear SAMPLING (exact subsampling on vertex-aligned 2x levels) —
+        a coefficient field is sampled, not full-weighted like a
+        residual."""
+        for j, n_t in enumerate(shape_t):
+            n_s = g.shape[j]
+            if n_s == n_t:
+                continue
+            M = (
+                _interp_matrix_periodic_np(n_s, n_t)
+                if j in self.paxes
+                else _interp_matrix_np(n_s, n_t)
+            )
+            Mj = jnp.asarray(M, dtype=g.dtype)
+            g = jnp.moveaxis(jnp.tensordot(g, Mj, axes=[[j], [1]]), -1, j)
+        return g
+
+    def _vg_diag(self, g, shape):
+        """True per-point diagonal of the level's conservative
+        variable-G operator (matches ``apply_diff_field`` center
+        coefficients, including the Neumann boundary-node elimination's
+        ``+4/3 c0`` center edit)."""
+        inv = self._inv_dx2(shape)
+        surgery = self._vg_surgery()
+        nd = len(shape)
+        acc = None
+        for j in range(nd):
+            gp = 0.5 * (g + jnp.roll(g, -1, j))
+            gm = 0.5 * (g + jnp.roll(g, 1, j))
+            d = -(gp + gm) * inv[j]
+            lo, up = surgery[j]
+            if lo == "neumann":
+                row = tuple(slice(None) if k != j else 1 for k in range(nd))
+                d = d.at[row].add((4.0 / 3.0) * gm[row] * inv[j])
+            if up == "neumann":
+                row = tuple(
+                    slice(None) if k != j else -2 for k in range(nd)
+                )
+                d = d.at[row].add((4.0 / 3.0) * gp[row] * inv[j])
+            acc = d if acc is None else acc + d
+        return acc[None]
+
+    def set_gamma(self, gamma):
+        """Trace-time hook (the solver's ``precond_setup``): restrict the
+        fine-level G through the hierarchy and precompute each level's
+        per-point Jacobi diagonal. Runs BEFORE the Krylov ``while_loop``,
+        so the level fields are loop-invariant values XLA computes once
+        per solve call — G stays a runtime operand and G updates never
+        recompile."""
+        assert self.var_gamma
+        g = jnp.asarray(gamma).astype(self.cdtype)
+        levels = [g]
+        for shape in self.shapes[1:]:
+            levels.append(self._downsample_g(levels[-1], shape))
+        self._g_levels = levels
+        self._gd_levels = [
+            self._vg_diag(gl, shp)
+            for gl, shp in zip(levels, self.shapes)
+        ]
+
     def _dvec_np(self, n: int, axis: int):
         """Per-axis symmetrization row scale: the Neumann boundary-node
         elimination makes the surgered row nonsymmetric
@@ -352,7 +448,10 @@ class MGSpec:
         rediscretized central Laplacian with per-level boundary-node
         surgery, post-multiplied by the separable symmetrization field."""
         out = self._apply_A_raw(x, shape)
-        if self._surgery:
+        if self._surgery and not self.var_gamma:
+            # var-gamma surgered rows are G-dependent nonsymmetric — the
+            # fixed 3/2 scale does not symmetrize them (those hierarchies
+            # precondition BiCGSTAB, where symmetry is not required)
             out = out * self._dfield(shape, x.dtype)
         return out
 
@@ -362,6 +461,19 @@ class MGSpec:
         terms. Uses the fused Pallas kernel on supported shapes (under a
         domain decomposition: the shard_map + ppermute tier)."""
         inv = self._inv_dx2(shape)
+        if self.var_gamma:
+            from pyapes_tpu.ops.stencil import apply_diff_field
+
+            assert self._g_levels is not None, (
+                "var_gamma MG: set_gamma was not called before the cycle"
+            )
+            lvl = self.shapes.index(tuple(shape))
+            return apply_diff_field(
+                x,
+                self._g_levels[lvl].astype(x.dtype),
+                tuple(inv),
+                self._vg_surgery(),
+            )
         if self.rz:
             coeffs = self._rz_axis_coeffs(shape)
             if self.use_pallas:
@@ -416,6 +528,8 @@ class MGSpec:
         operator on surgered levels (a separable broadcast sum — the
         exact-analysis rates need it, and XLA fuses it into the smoother
         update without materializing a full-grid array)."""
+        if self.var_gamma:
+            return self._gd_levels[self.shapes.index(tuple(shape))]
         if self._surgery:
             return self._diag_field(shape, dtype or self.cdtype)
         return -2.0 * sum(self._inv_dx2(shape))
