@@ -500,19 +500,29 @@ def apply_diff_field(
     gamma: jnp.ndarray,
     inv_dx2: Sequence[float],
     surgery: tuple,
+    avg: str = "arithmetic",
 ) -> jnp.ndarray:
-    """Conservative variable-coefficient Laplacian ``∂_j (Γ(x) ∂_j φ)``.
+    """Conservative variable-coefficient Laplacian ``∂_j (Γ_j(x) ∂_j φ)``.
 
     Face-averaged flux form (exactly symmetric on interior rows):
 
         out_i = Σ_j [ Γ_{i+½}(φ_{i+1}-φ_i) - Γ_{i-½}(φ_i-φ_{i-1}) ] / dx_j²
 
-    with ``Γ_{i±½} = (Γ_i + Γ_{i±1})/2``. The reference's implicit
-    Laplacian only supports a SCALAR coefficient (``fdm.py:108-169``
-    multiplies the constant-coefficient stencil by Γ, which for varying
-    Γ would be the non-conservative ``Γ ∇²φ``); this is the implicit
-    heterogeneous-diffusivity operator (Darcy/conductivity problems),
-    with Γ streamed as a runtime operand.
+    The reference's implicit Laplacian only supports a SCALAR coefficient
+    (``fdm.py:108-169`` multiplies the constant-coefficient stencil by Γ,
+    which for varying Γ would be the non-conservative ``Γ ∇²φ``); this is
+    the implicit heterogeneous-diffusivity operator (Darcy/conductivity
+    problems), with Γ streamed as a runtime operand.
+
+    ``gamma``: isotropic per-point field of shape ``nx`` — or a STACKED
+    ``(dim, *nx)`` array for diagonal-tensor (anisotropic) diffusivity,
+    axis ``j`` diffusing with ``gamma[j]``.
+
+    ``avg``: face value rule. "arithmetic" ``(Γ_i+Γ_{i±1})/2`` (exact
+    for smooth Γ); "harmonic" ``2Γ_iΓ_{i±1}/(Γ_i+Γ_{i±1})`` — the
+    flux-continuous (resistor-series) choice, NODALLY EXACT for
+    piecewise-constant Γ with the interface on a face midpoint (the
+    standard transmissibility in reservoir simulation; requires Γ > 0).
 
     ``surgery``: per-axis ``(lower, upper)`` kinds. "neumann" eliminates
     the boundary node from the adjacent row via the zero-flux
@@ -522,12 +532,20 @@ def apply_diff_field(
     Periodic axes must arrive torus-reduced (surgery "none"; ``roll`` is
     then the exact periodic stencil, with ``gamma`` reduced too).
     """
-    g = gamma[None] if gamma.ndim == x.ndim - 1 else gamma
+    aniso = gamma.ndim == x.ndim and gamma.shape[0] == x.ndim - 1
+
+    def face(a, b):
+        if avg == "harmonic":
+            return (2.0 * a) * b / (a + b)
+        return 0.5 * (a + b)
+
     out = jnp.zeros_like(x)
     for j in range(x.ndim - 1):
         ax = 1 + j
-        gp = 0.5 * (g + jnp.roll(g, -1, ax))
-        gm = 0.5 * (g + jnp.roll(g, 1, ax))
+        gj = gamma[j] if aniso else gamma
+        g = gj[None] if gj.ndim == x.ndim - 1 else gj
+        gp = face(g, jnp.roll(g, -1, ax))
+        gm = face(g, jnp.roll(g, 1, ax))
         term = gp * (jnp.roll(x, -1, ax) - x) - gm * (
             x - jnp.roll(x, 1, ax)
         )

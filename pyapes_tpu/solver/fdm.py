@@ -109,11 +109,15 @@ class Laplacian(Operators):
     r"""Implicit Laplacian :math:`\partial_j (\Gamma \partial_j \Phi)`
     (reference ``fdm.py:108-169``)."""
 
-    def __call__(self, *inputs: Any) -> "Laplacian":
+    def __call__(self, *inputs: Any, avg: str = "arithmetic") -> "Laplacian":
         if len(inputs) == 2:
             coeff = inputs[0]
             if isinstance(coeff, int):
                 coeff = float(coeff)
+            if isinstance(coeff, (tuple, list)):
+                # per-axis (diagonal-tensor) diffusivity: stack to
+                # ``(dim, *nx)`` — axis j diffuses with coeff[j]
+                coeff = jnp.stack([jnp.asarray(c) for c in coeff])
             var = inputs[1]
         elif len(inputs) == 1:
             coeff = None
@@ -128,7 +132,7 @@ class Laplacian(Operators):
             # streamed term (``ops/stencil.py::apply_diff_field``). The
             # reference cannot express this implicitly (its scalar path
             # would give the non-conservative ``Γ ∇² φ``).
-            return self._call_var_gamma(coeff, var)
+            return self._call_var_gamma(coeff, var, avg)
 
         axis_coeffs = laplacian_axis_coeffs(var.mesh, var.bcs)
 
@@ -153,7 +157,9 @@ class Laplacian(Operators):
         }
         return self
 
-    def _call_var_gamma(self, coeff, var: Field) -> "Laplacian":
+    def _call_var_gamma(
+        self, coeff, var: Field, avg: str = "arithmetic"
+    ) -> "Laplacian":
         """Variable-coefficient (heterogeneous-diffusivity) Laplacian.
 
         Supports Dirichlet, zero-flux Neumann/Symmetry, and periodic
@@ -161,7 +167,14 @@ class Laplacian(Operators):
         boundary-node elimination carries the local face Γ, which makes
         the surgered rows NONSYMMETRIC — solve Neumann cases with
         BiCGSTAB (all-Dirichlet/periodic systems stay exactly SPD).
+
+        ``coeff`` of shape ``(dim, *nx)`` (or a tuple of per-axis arrays)
+        selects diagonal-tensor anisotropic diffusivity; ``avg``
+        ("arithmetic" | "harmonic") picks the face-value rule — harmonic
+        is the flux-continuous choice for discontinuous (layered /
+        inclusion) coefficients.
         """
+        assert avg in ("arithmetic", "harmonic"), avg
         mesh = var.mesh
         if mesh.coord_sys != "xyz":
             raise NotImplementedError(
@@ -186,11 +199,17 @@ class Laplacian(Operators):
                     "not supported yet"
                 )
         gamma = jnp.asarray(coeff)
-        if gamma.ndim == mesh.dim + 1:
+        if gamma.ndim == mesh.dim + 1 and gamma.shape[0] == 1:
             gamma = gamma[0]
-        assert gamma.shape == tuple(mesh.nx), (
-            f"gamma shape {gamma.shape} != mesh {tuple(mesh.nx)}"
-        )
+        if gamma.ndim == mesh.dim + 1:
+            assert gamma.shape == (mesh.dim, *mesh.nx), (
+                f"anisotropic gamma shape {gamma.shape} != "
+                f"({mesh.dim}, {tuple(mesh.nx)})"
+            )
+        else:
+            assert gamma.shape == tuple(mesh.nx), (
+                f"gamma shape {gamma.shape} != mesh {tuple(mesh.nx)}"
+            )
         self._var = var
         self._ops = {
             0: {
@@ -205,6 +224,7 @@ class Laplacian(Operators):
                     "inv_dx2": tuple(
                         1.0 / float(d) ** 2 for d in mesh.dx_np
                     ),
+                    "avg": avg,
                 },
                 "axis_coeffs": None,
                 "A_coeffs": None,
@@ -222,7 +242,7 @@ class Laplacian(Operators):
 
         return apply_diff_field(
             x, rec["param"][0], rec["other"]["inv_dx2"],
-            rec["other"]["surgery"],
+            rec["other"]["surgery"], avg=rec["other"]["avg"],
         )
 
     @property

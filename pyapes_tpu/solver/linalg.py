@@ -106,7 +106,11 @@ def _term_descriptor(rec) -> tuple:
         else False,
         rec["other"]["form"]
         if has_field
-        else (rec["other"]["inv_dx2"] if kind == "diff_field" else None),
+        else (
+            (rec["other"]["inv_dx2"], rec["other"]["avg"])
+            if kind == "diff_field"
+            else None
+        ),
         rec["other"]["fn"] if kind == "custom" else None,
     )
 
@@ -198,7 +202,9 @@ def _make_Aop(
             elif kind == "diff_field":
                 from pyapes_tpu.ops.stencil import apply_diff_field
 
-                r = apply_diff_field(x, tp["gamma"], form, surgery)
+                r = apply_diff_field(
+                    x, tp["gamma"], form[0], surgery, avg=form[1]
+                )
             elif kind == "custom":
                 r = cfn(x, *tp["cparams"])
             else:  # ddt
@@ -410,8 +416,13 @@ def _reduce_periodic(terms, term_descs, tparams, x0, rhs, bcs, mesh):
             tp["adv"] = reduce_full(tp["adv"])
             tp["base"] = fix_vec(tp["base"], None)
         elif kind == "diff_field":
-            # Γ has no leading vdim axis; drop the duplicate seam nodes.
-            tp["gamma"] = tp["gamma"][red[1:]]
+            # drop the duplicate seam nodes (anisotropic Γ keeps its
+            # leading stack axis; isotropic has no leading axis at all)
+            g = tp["gamma"]
+            sel = red[1:] if g.ndim == len(red) - 1 else (
+                (slice(None),) + tuple(red[1:])
+            )
+            tp["gamma"] = g[sel]
         new_tparams.append(tp)
 
     x0r = reduce_full(x0)
@@ -504,7 +515,9 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 k: (
                     jax.device_put(
                         v,
-                        decomp.sharding(v.ndim, leading=0)
+                        decomp.sharding(
+                            v.ndim, leading=v.ndim - mesh.dim
+                        )
                         if k == "gamma"
                         else shard,
                     )
@@ -625,6 +638,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             ),
             face_kinds=tuple(tuple(p) for p in fk),
             var_gamma=bool(vg_ids),
+            vg_avg=(term_descs[vg_ids[0]][6][1] if vg_ids else "arithmetic"),
             **mg_opts,
         )
 

@@ -126,6 +126,7 @@ class MGSpec:
         decomp=None,
         face_kinds=None,
         var_gamma: bool = False,
+        vg_avg: str = "arithmetic",
     ):
         self.shape = tuple(shape)
         self.lengths = tuple(float(l) for l in lengths)
@@ -148,6 +149,7 @@ class MGSpec:
         # smoother/fused tiers hard-code the constant-coefficient stencil,
         # so this mode runs the jnp applies (correct under GSPMD too).
         self.var_gamma = bool(var_gamma)
+        self.vg_avg = vg_avg
         if self.var_gamma:
             assert not rz, "var_gamma MG: rz meshes not supported"
             use_pallas = False
@@ -215,7 +217,7 @@ class MGSpec:
              str(self.cdtype), self.n_pre, self.n_post, self.n_coarse,
              self.omega, self.use_pallas, self.rz, self.r_lower,
              self.smoother, self.fmg_init, self.fmg_cycles, self.fuse_rz,
-             self.decomp, self.face_kinds, self.var_gamma)
+             self.decomp, self.face_kinds, self.var_gamma, self.vg_avg)
         )
 
     def __eq__(self, other):
@@ -317,9 +319,11 @@ class MGSpec:
         """Restrict a level's G to the next level by endpoint-aligned
         linear SAMPLING (exact subsampling on vertex-aligned 2x levels) —
         a coefficient field is sampled, not full-weighted like a
-        residual."""
+        residual. Anisotropic (stacked ``(dim, *shape)``) G keeps its
+        leading component axis."""
+        lead = g.ndim - len(shape_t)
         for j, n_t in enumerate(shape_t):
-            n_s = g.shape[j]
+            n_s = g.shape[lead + j]
             if n_s == n_t:
                 continue
             M = (
@@ -328,7 +332,9 @@ class MGSpec:
                 else _interp_matrix_np(n_s, n_t)
             )
             Mj = jnp.asarray(M, dtype=g.dtype)
-            g = jnp.moveaxis(jnp.tensordot(g, Mj, axes=[[j], [1]]), -1, j)
+            g = jnp.moveaxis(
+                jnp.tensordot(g, Mj, axes=[[lead + j], [1]]), -1, lead + j
+            )
         return g
 
     def _vg_diag(self, g, shape):
@@ -339,10 +345,18 @@ class MGSpec:
         inv = self._inv_dx2(shape)
         surgery = self._vg_surgery()
         nd = len(shape)
+        aniso = g.ndim == nd + 1
+
+        def face(a, b):
+            if self.vg_avg == "harmonic":
+                return (2.0 * a) * b / (a + b)
+            return 0.5 * (a + b)
+
         acc = None
         for j in range(nd):
-            gp = 0.5 * (g + jnp.roll(g, -1, j))
-            gm = 0.5 * (g + jnp.roll(g, 1, j))
+            gj = g[j] if aniso else g
+            gp = face(gj, jnp.roll(gj, -1, j))
+            gm = face(gj, jnp.roll(gj, 1, j))
             d = -(gp + gm) * inv[j]
             lo, up = surgery[j]
             if lo == "neumann":
@@ -473,6 +487,7 @@ class MGSpec:
                 self._g_levels[lvl].astype(x.dtype),
                 tuple(inv),
                 self._vg_surgery(),
+                avg=self.vg_avg,
             )
         if self.rz:
             coeffs = self._rz_axis_coeffs(shape)

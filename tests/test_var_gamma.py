@@ -296,3 +296,74 @@ def test_var_gamma_mg_gamma_streams_no_recompile() -> None:
         )
     )[0][1:-1, 1:-1] - rhs2[1:-1, 1:-1]
     assert np.max(np.abs(r)) < 1e-6 * np.max(np.abs(rhs2))
+
+
+def test_var_gamma_anisotropic_mms() -> None:
+    """Diagonal-tensor diffusivity ``fdm.laplacian((gx, gy), var)``:
+    Γx = 1+x, Γy = 2+y, φ = sin(πx) sin(πy), all-Dirichlet, G-aware MG
+    PCG."""
+    n = 65
+    mesh = Mesh(Box[0:1, 0:1], None, [n, n])
+    X, Y = np.asarray(mesh._grid_np[0]), np.asarray(mesh._grid_np[1])
+    gx, gy = 1.0 + X, 2.0 + Y
+    phi = np.sin(np.pi * X) * np.sin(np.pi * Y)
+    rhs = (
+        (np.pi * np.cos(np.pi * X) - (1.0 + X) * np.pi**2 * np.sin(np.pi * X))
+        * np.sin(np.pi * Y)
+        + (np.pi * np.cos(np.pi * Y) - (2.0 + Y) * np.pi**2 * np.sin(np.pi * Y))
+        * np.sin(np.pi * X)
+    )
+    var = Field("t", 1, mesh,
+                {"domain": homogeneous_bcs(2, 0.0, "dirichlet")},
+                init_val=0.0)
+    fdm = FDM()
+    s = Solver({"fdm": {"method": "cg", "tol": 1e-9, "max_it": 200,
+                        "report": False, "criterion": "residual",
+                        "precond": "mg"}})
+    s.set_eq(
+        fdm.laplacian((jnp.asarray(gx), jnp.asarray(gy)), var)
+        == jnp.asarray(rhs)[None]
+    )
+    rep = s.solve()
+    assert rep["converge"], rep
+    assert rep["itr"] <= 25, rep
+    assert _rel_l2(var()[0], phi) < 0.003
+
+
+def test_var_gamma_harmonic_two_layer_exact() -> None:
+    """Piecewise-constant Γ (1 vs 100) with the interface on a face
+    midpoint: harmonic face averaging reproduces the continuum two-layer
+    solution NODALLY EXACTLY (resistor-series transmissibility);
+    arithmetic averaging has an O(1) interface error."""
+    n = 65
+    m = 32  # jump between nodes m and m+1 -> interface at (m+1/2) dx
+    k1, k2 = 1.0, 100.0
+    mesh = Mesh(Box[0:1, 0:1], None, [n, n])
+    X = np.asarray(mesh._grid_np[0])
+    g = np.where(X <= (m + 0.5) / (n - 1), k1, k2)
+
+    dx = 1.0 / (n - 1)
+    xi = (m + 0.5) * dx
+    q = 1.0 / (xi / k1 + (1.0 - xi) / k2)
+    exact = np.where(X <= xi, 1.0 - q * X / k1, q * (1.0 - X) / k2)
+
+    errs = {}
+    for avg in ("harmonic", "arithmetic"):
+        bcs_cfg = mixed_bcs(
+            [1.0, 0.0, 0.0, 0.0],
+            ["dirichlet", "dirichlet", "neumann", "neumann"],
+        )
+        var = Field("p", 1, mesh, {"domain": bcs_cfg}, init_val=0.0)
+        fdm = FDM()
+        s = Solver({"fdm": {"method": "bicgstab", "tol": 1e-12,
+                            "max_it": 400, "report": False,
+                            "criterion": "residual", "precond": "mg"}})
+        s.set_eq(
+            fdm.laplacian(jnp.asarray(g), var, avg=avg)
+            == jnp.zeros((1, n, n))
+        )
+        rep = s.solve()
+        assert rep["converge"], (avg, rep)
+        errs[avg] = float(np.max(np.abs(np.asarray(var()[0]) - exact)))
+    assert errs["harmonic"] < 1e-7, errs
+    assert errs["arithmetic"] > 1e-3, errs  # the wrong face rule is O(1)
