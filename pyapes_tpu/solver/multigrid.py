@@ -127,6 +127,7 @@ class MGSpec:
         face_kinds=None,
         var_gamma: bool = False,
         vg_avg: str = "arithmetic",
+        transfers: str = "matrix",
     ):
         self.shape = tuple(shape)
         self.lengths = tuple(float(l) for l in lengths)
@@ -150,6 +151,10 @@ class MGSpec:
         # so this mode runs the jnp applies (correct under GSPMD too).
         self.var_gamma = bool(var_gamma)
         self.vg_avg = vg_avg
+        # "matrix" (per-axis MXU tensordots) or "strided" (O(n) slice
+        # ops on exactly-2x level pairs, matrix fallback otherwise)
+        assert transfers in ("matrix", "strided")
+        self.transfers = transfers
         if self.var_gamma:
             assert not rz, "var_gamma MG: rz meshes not supported"
             use_pallas = False
@@ -217,7 +222,8 @@ class MGSpec:
              str(self.cdtype), self.n_pre, self.n_post, self.n_coarse,
              self.omega, self.use_pallas, self.rz, self.r_lower,
              self.smoother, self.fmg_init, self.fmg_cycles, self.fuse_rz,
-             self.decomp, self.face_kinds, self.var_gamma, self.vg_avg)
+             self.decomp, self.face_kinds, self.var_gamma, self.vg_avg,
+             self.transfers)
         )
 
     def __eq__(self, other):
@@ -725,10 +731,23 @@ class MGSpec:
         """Per-axis matrix transfers applied as tensordots (MXU matmuls —
         the same machinery ``jax.image.resize`` lowers to, but sampling at
         the VERTEX positions of the grid instead of half-pixel centers;
-        see the module docstring for the measured rate difference)."""
+        see the module docstring for the measured rate difference).
+
+        With ``transfers="strided"``, exactly-2x level pairs
+        (``n_f = 2 n_c - 1`` vertex-aligned; ``n_f = 2 n_c`` wrap-aligned
+        on torus axes) ride O(n) slice/stack ops instead of the O(n_c n_f)
+        banded matmul — same weights, same E fold (axes that are not
+        exactly 2x fall back to the matrix per axis)."""
         for j, n_t in enumerate(shape):
             n_s = x.shape[1 + j]
             if n_s == n_t:
+                continue
+            if self.transfers == "strided" and self._strided_ok(n_s, n_t, j):
+                x = (
+                    self._prolong_axis_strided(x, j, n_t)
+                    if n_t > n_s
+                    else self._restrict_axis_strided(x, j, n_t)
+                )
                 continue
             Mj = jnp.asarray(
                 self._transfer_matrix_np(n_s, n_t, j), dtype=x.dtype
@@ -737,6 +756,91 @@ class MGSpec:
                 jnp.tensordot(x, Mj, axes=[[1 + j], [0]]), -1, 1 + j
             )
         return x
+
+    # -- strided (slice-based) exactly-2x transfers ----------------------
+    def _strided_ok(self, n_s: int, n_t: int, axis: int) -> bool:
+        if axis in self.paxes:
+            return n_s == 2 * n_t or n_t == 2 * n_s
+        return n_s == 2 * n_t - 1 or n_t == 2 * n_s - 1
+
+    def _ax_sel(self, x, j, sl):
+        return x[(slice(None),) * (1 + j) + (sl,)]
+
+    def _prolong_axis_strided(self, x, j, n_t):
+        """``P E`` along axis j as slices: rebuild the boundary rows from
+        the face BC (the E fold), then interleave coarse values with
+        midpoints (torus axes: wrap midpoint, no E)."""
+        ax = 1 + j
+        if j in self.paxes:
+            mid = 0.5 * (x + jnp.roll(x, -1, ax))
+            out = jnp.stack([x, mid], axis=ax + 1)
+            return out.reshape(
+                x.shape[:ax] + (n_t,) + x.shape[ax + 1:]
+            )
+        lo, up = self.face_kinds[j]
+        v0 = (
+            (4.0 / 3.0) * self._ax_sel(x, j, slice(1, 2))
+            - (1.0 / 3.0) * self._ax_sel(x, j, slice(2, 3))
+            if lo == "neumann"
+            else jnp.zeros_like(self._ax_sel(x, j, slice(0, 1)))
+        )
+        vN = (
+            (4.0 / 3.0) * self._ax_sel(x, j, slice(-2, -1))
+            - (1.0 / 3.0) * self._ax_sel(x, j, slice(-3, -2))
+            if up == "neumann"
+            else jnp.zeros_like(self._ax_sel(x, j, slice(-1, None)))
+        )
+        v = jnp.concatenate(
+            [v0, self._ax_sel(x, j, slice(1, -1)), vN], axis=ax
+        )
+        a = self._ax_sel(v, j, slice(None, -1))
+        mid = 0.5 * (a + self._ax_sel(v, j, slice(1, None)))
+        body = jnp.stack([a, mid], axis=ax + 1).reshape(
+            x.shape[:ax] + (n_t - 1,) + x.shape[ax + 1:]
+        )
+        return jnp.concatenate(
+            [body, self._ax_sel(v, j, slice(-1, None))], axis=ax
+        )
+
+    def _restrict_axis_strided(self, x, j, n_t):
+        """``c E^T P^T`` along axis j as slices (c = 1/2 for exactly-2x):
+        full weighting of even/odd fine rows, then fold the boundary
+        row's mass per the face BC (the E^T)."""
+        ax = 1 + j
+        even = self._ax_sel(x, j, slice(0, None, 2))
+        odd = self._ax_sel(x, j, slice(1, None, 2))
+        if j in self.paxes:
+            return 0.5 * even + 0.25 * odd + 0.25 * jnp.roll(odd, 1, ax)
+        out = 0.5 * even
+        out = out.at[(slice(None),) * ax + (slice(1, None),)].add(
+            0.25 * odd
+        )
+        out = out.at[(slice(None),) * ax + (slice(None, -1),)].add(
+            0.25 * odd
+        )
+        lo, up = self.face_kinds[j]
+        # snapshot the boundary masses BEFORE any fold (both folds act on
+        # the same P^T output — matters when the edit windows overlap at
+        # tiny n_c)
+        w_lo = self._ax_sel(out, j, slice(0, 1))
+        w_up = self._ax_sel(out, j, slice(-1, None))
+        if lo == "neumann":
+            out = out.at[(slice(None),) * ax + (slice(1, 2),)].add(
+                (4.0 / 3.0) * w_lo
+            )
+            out = out.at[(slice(None),) * ax + (slice(2, 3),)].add(
+                (-1.0 / 3.0) * w_lo
+            )
+        if up == "neumann":
+            out = out.at[(slice(None),) * ax + (slice(-2, -1),)].add(
+                (4.0 / 3.0) * w_up
+            )
+            out = out.at[(slice(None),) * ax + (slice(-3, -2),)].add(
+                (-1.0 / 3.0) * w_up
+            )
+        out = out.at[(slice(None),) * ax + (slice(0, 1),)].set(0.0)
+        out = out.at[(slice(None),) * ax + (slice(-1, None),)].set(0.0)
+        return out
 
     def _first_smooth(self, b, shape, mask, n_iter, order=0):
         """Smooth starting from x = 0: the first (half-)step is A-free —

@@ -403,3 +403,82 @@ def test_mg_bicgstab_obstacle_poisson() -> None:
     np.testing.assert_allclose(
         sols[0][fluid], sols[1][fluid], rtol=0.0, atol=1e-5
     )
+
+
+def test_strided_transfers_match_matrix() -> None:
+    """``transfers="strided"`` (O(n) slice ops on exactly-2x levels) must
+    reproduce the matrix transfers — same P E / c E^T P^T weights — for
+    Dirichlet, Neumann, and periodic axes, both directions."""
+    import numpy as np
+    from pyapes_tpu.solver.multigrid import MGSpec
+
+    rng = np.random.default_rng(3)
+    cases = [
+        # (shape, paxes, face_kinds)
+        ((65, 33), (), (("dirichlet", "dirichlet"), ("neumann", "dirichlet"))),
+        ((33, 65), (), (("neumann", "neumann"), ("dirichlet", "neumann"))),
+        ((64, 33), (0,), (("dirichlet", "dirichlet"), ("neumann", "neumann"))),
+        ((9, 17, 33), (), (("neumann", "dirichlet"),) * 3),
+    ]
+    for shape, paxes, fk in cases:
+        specs = [
+            MGSpec(shape, [1.0] * len(shape), paxes=paxes,
+                   face_kinds=fk, transfers=t)
+            for t in ("matrix", "strided")
+        ]
+        x = jnp.asarray(rng.standard_normal((1,) + shape))
+        down = specs[0].shapes[1]
+        r_m = specs[0]._resize(x, down)
+        r_s = specs[1]._resize(x, down)
+        np.testing.assert_allclose(
+            np.asarray(r_s), np.asarray(r_m), rtol=1e-12, atol=1e-12
+        )
+        xc = jnp.asarray(rng.standard_normal((1,) + tuple(down)))
+        p_m = specs[0]._resize(xc, shape)
+        p_s = specs[1]._resize(xc, shape)
+        np.testing.assert_allclose(
+            np.asarray(p_s), np.asarray(p_m), rtol=1e-12, atol=1e-12
+        )
+
+
+def test_strided_transfers_full_solve_bitmatch() -> None:
+    """A full MG-PCG solve with strided transfers converges in the SAME
+    iterations to the same solution (the V-cycle is mathematically
+    identical)."""
+    import numpy as np
+    from pyapes_tpu.geometry import Box
+    from pyapes_tpu.mesh import Mesh
+    from pyapes_tpu.solver import linalg
+    from pyapes_tpu.solver.fdm import FDM
+    from pyapes_tpu.solver.ops import Solver
+    from pyapes_tpu.variables import Field
+    from pyapes_tpu.variables.bcs import mixed_bcs
+
+    n = 65
+    mesh = Mesh(Box[0:1, 0:1], None, [n, n])
+    X, Y = np.asarray(mesh._grid_np[0]), np.asarray(mesh._grid_np[1])
+    rhs = jnp.asarray(
+        (-2 * np.pi**2) * np.sin(np.pi * X) * np.sin(np.pi * Y)
+    )[None]
+    outs = {}
+    for t in ("matrix", "strided"):
+        bcs = mixed_bcs(
+            [0.0] * 4, ["neumann", "dirichlet", "dirichlet", "dirichlet"]
+        )
+        var = Field("t", 1, mesh, {"domain": bcs}, init_val=0.0)
+        fdm = FDM()
+        linalg.clear_cache()
+        s = Solver({"fdm": {"method": "cg", "tol": 1e-9, "max_it": 100,
+                            "report": False, "criterion": "residual",
+                            "precond": "mg",
+                            "mg_opts": {"transfers": t}}})
+        s.set_eq(fdm.laplacian(1.0, var) == rhs)
+        rep = s.solve()
+        assert rep["converge"], (t, rep)
+        outs[t] = (rep["itr"], np.asarray(var()[0]))
+    assert outs["matrix"][0] == outs["strided"][0], (
+        outs["matrix"][0], outs["strided"][0],
+    )
+    np.testing.assert_allclose(
+        outs["strided"][1], outs["matrix"][1], rtol=1e-10, atol=1e-12
+    )
