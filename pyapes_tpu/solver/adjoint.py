@@ -198,3 +198,88 @@ class DifferentiableSolve:
             **kwargs,
         )
         return self._apply_bcs(x)
+
+
+class DifferentiableDiffusionSolve:
+    """Differentiable heterogeneous-diffusivity solve
+    ``x = A(Γ)^-1 rhs`` for the conservative variable-coefficient
+    Laplacian (``ops/stencil.py::apply_diff_field``).
+
+    The differentiable parameter is the PER-POINT coefficient field Γ
+    itself — reverse-mode gradients of any functional of the solution
+    flow to Γ through one adjoint solve (implicit function theorem, same
+    ``custom_linear_solve`` machinery as :class:`DifferentiableSolve`;
+    JAX derives the transpose operator by linear transposition of the
+    traced flux form). This is the permeability/conductivity INVERSION
+    primitive: recover Γ(x) from observations of the solution.
+
+    Args:
+        mesh: the mesh (static masks / grid).
+        bcs: homogeneous Dirichlet/Neumann/Symmetry BCs (periodic axes
+            are not supported here — no torus reduction at this layer).
+        avg: face-transmissibility rule ("arithmetic" | "harmonic");
+            both are differentiable in Γ.
+        symmetric: all-Dirichlet operators are exactly SPD (CG inner
+            solver); default False uses BiCGSTAB (required once a
+            Neumann face makes the surgered rows Γ-dependent
+            nonsymmetric).
+    """
+
+    def __init__(self, mesh, bcs, tol: float = 1e-8, max_it: int = 2000,
+                 avg: str = "arithmetic", symmetric: bool = False):
+        from pyapes_tpu.ops.stencil import div_surgery_info
+
+        for bc in bcs or []:
+            v = getattr(bc, "bc_val", 0.0)
+            homogeneous = v is None or (
+                isinstance(v, (int, float)) and float(v) == 0.0
+            )
+            assert homogeneous, (
+                "DifferentiableDiffusionSolve: BCs must be homogeneous; "
+                f"got {bc.bc_face}={v!r}"
+            )
+            assert bc.bc_type in ("dirichlet", "neumann", "symmetry"), (
+                f"DifferentiableDiffusionSolve: unsupported BC "
+                f"{bc.bc_type}"
+            )
+        self.tol = float(tol)
+        self.max_it = int(max_it)
+        self.avg = avg
+        self.symmetric = bool(symmetric)
+        self._surgery = div_surgery_info(bcs, mesh.dim)
+        self._inv_dx2 = tuple(
+            1.0 / float(d) ** 2 for d in mesh.dx_np
+        )
+        slicer = boundary_slicer(mesh.dim, bcs, mesh.coord_sys)
+        self._mask_args = (tuple(mesh.nx), tuple(slicer))
+        self._apply_bcs = apply_bcs_fn(list(bcs or []), mesh.grid)
+        # reuse the inner Krylov programs
+        self._cg = DifferentiableSolve._cg.__get__(self)
+        self._bicgstab = DifferentiableSolve._bicgstab.__get__(self)
+
+    def __call__(self, gamma, rhs: jnp.ndarray) -> jnp.ndarray:
+        """Solve ``A(Γ) x = rhs`` differentiably (gradients w.r.t. both
+        ``gamma`` — isotropic ``nx`` or stacked anisotropic
+        ``(dim, *nx)`` — and ``rhs``)."""
+        from pyapes_tpu.ops.stencil import apply_diff_field
+
+        M = interior_mask_device(*self._mask_args, rhs.dtype)
+
+        def matvec(x):
+            return M * apply_diff_field(
+                M * x, gamma, self._inv_dx2, self._surgery, avg=self.avg
+            )
+
+        if self.symmetric:
+            x = jax.lax.custom_linear_solve(
+                matvec, M * rhs,
+                solve=lambda mv, b: self._cg(mv, b),
+                symmetric=True,
+            )
+        else:
+            x = jax.lax.custom_linear_solve(
+                matvec, M * rhs,
+                solve=lambda mv, b: self._bicgstab(mv, b),
+                transpose_solve=lambda mv, b: self._bicgstab(mv, b),
+            )
+        return self._apply_bcs(x)
