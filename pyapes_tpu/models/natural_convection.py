@@ -32,7 +32,8 @@ class NaturalConvection(LidDrivenCavity):
 
     def __init__(self, mesh: Mesh, ra: float = 1e3, pr: float = 0.71,
                  config=None, implicit_advection: bool = True,
-                 rhie_chow: bool = True, incremental: bool = True):
+                 rhie_chow: bool = True, incremental: bool = True,
+                 mu_fn=None):
         # no-slip walls, no lid; viscosity = Pr in these units
         super().__init__(
             mesh, nu=pr, lid_velocity=0.0, config=config,
@@ -41,6 +42,14 @@ class NaturalConvection(LidDrivenCavity):
         )
         self.ra = float(ra)
         self.pr = float(pr)
+        # temperature-dependent viscosity mu(T): a callable mapping the
+        # temperature array to a per-point viscosity field, re-evaluated
+        # every step from T^n and STREAMED into the compiled momentum
+        # solver (no recompiles) — implicit conservative div(mu grad u)
+        # plus the explicit transpose correction (``LidDrivenCavity``).
+        # The constant case mu_fn = lambda T: pr * ones reproduces the
+        # scalar path (pinned by tests/test_models.py).
+        self.mu_fn = mu_fn
 
         from pyapes_tpu.geometry.basis import FDIR
         from pyapes_tpu.variables import Field
@@ -65,6 +74,8 @@ class NaturalConvection(LidDrivenCavity):
         self.T.apply_bcs()
 
     def step(self, dt: float) -> None:
+        if self.mu_fn is not None:
+            self.update_viscosity(self.mu_fn(self.T()[0]))
         # buoyancy source on the vertical momentum: Ra Pr T (explicit)
         buo = self.ra * self.pr * self.T()[0]
         self._buoyancy = buo  # consumed by the momentum override below

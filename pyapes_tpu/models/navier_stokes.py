@@ -169,6 +169,18 @@ class LidDrivenCavity:
         assert lid_profile in ("uniform", "regularized")
         assert spanwise in ("noslip", "symmetry", "periodic")
         self.mesh = mesh
+        # nu: scalar — or a per-point viscosity field (variable-viscosity
+        # momentum: implicit conservative div(mu grad u_j) via the
+        # streamed-operand diff_field term, plus the explicit transpose
+        # correction sum_k d_k(mu) d_j(u_k); see _nu_coeff / step). The
+        # field may be updated per step (update_viscosity) without
+        # recompiling — mu streams as a runtime operand.
+        self._nu_field = None
+        if hasattr(nu, "ndim") and getattr(nu, "ndim", 0) >= mesh.dim:
+            import numpy as _np
+
+            self._nu_field = jnp.asarray(nu)
+            nu = float(_np.mean(_np.asarray(nu)))
         self.nu = nu
         self.lid = lid_velocity
         self.implicit_advection = implicit_advection
@@ -336,6 +348,60 @@ class LidDrivenCavity:
         ``NaturalConvection``); returns an ``(*nx)`` array or 0.0."""
         return 0.0
 
+    def update_viscosity(self, mu) -> None:
+        """Replace the per-point viscosity field (e.g. mu(T) per step).
+        Streams as a runtime operand — never recompiles the momentum
+        solver."""
+        self._nu_field = jnp.asarray(mu)
+
+    def _nu_coeff(self):
+        """Momentum diffusion coefficient: the per-point field when
+        variable viscosity is active, else the scalar."""
+        return self.nu if self._nu_field is None else self._nu_field
+
+    def _array_grad(self, arr):
+        """Per-axis derivative of a raw (non-Field) array: 2nd-order
+        central interior, one-sided edges (for the explicit
+        variable-viscosity transpose source — the implicit part rides
+        ``apply_diff_field``)."""
+        out = []
+        for j in range(self.mesh.dim):
+            d = float(self.mesh.dx_np[j])
+            g = (jnp.roll(arr, -1, j) - jnp.roll(arr, 1, j)) / (2 * d)
+            lo = tuple(
+                slice(0, 1) if k == j else slice(None)
+                for k in range(self.mesh.dim)
+            )
+            lo1 = tuple(
+                slice(1, 2) if k == j else slice(None)
+                for k in range(self.mesh.dim)
+            )
+            up = tuple(
+                slice(-1, None) if k == j else slice(None)
+                for k in range(self.mesh.dim)
+            )
+            up1 = tuple(
+                slice(-2, -1) if k == j else slice(None)
+                for k in range(self.mesh.dim)
+            )
+            g = g.at[lo].set((arr[lo1] - arr[lo]) / d)
+            g = g.at[up].set((arr[up] - arr[up1]) / d)
+            out.append(g)
+        return out
+
+    def _visc_transpose_rhs(self):
+        """Explicit transpose-stress source ``sum_k d_k(mu) d_j(u_k)``:
+        for incompressible flow ``div(mu grad u^T)_j = sum_k d_k(mu)
+        d_j(u_k)`` (the ``mu d_j(div u)`` part vanishes); with constant
+        mu it is identically zero, which is why the scalar path never
+        needed it."""
+        dmu = self._array_grad(self._nu_field)
+        gu = [self._grad(v) for v in self.vel]  # per component k: (dim,*nx)
+        return [
+            sum(dmu[k] * gu[k][j] for k in range(self.mesh.dim))
+            for j in range(self.mesh.dim)
+        ]
+
     def step(self, dt: float) -> None:
         mesh = self.mesh
         dim = mesh.dim
@@ -365,13 +431,16 @@ class LidDrivenCavity:
         rhs_pg = [
             rhs_pg[j] + self._extra_momentum_rhs(j) for j in range(dim)
         ]
+        if self._nu_field is not None:
+            trans = self._visc_transpose_rhs()
+            rhs_pg = [rhs_pg[j] + trans[j] for j in range(dim)]
         if self.implicit_advection:
             uvec = jnp.concatenate([v() for v in self.vel], axis=0)
             for j, var in enumerate(self.vel):
                 self.mom_solver.set_eq(
                     self.fdm.ddt(var)
                     + self.fdm.conv(uvec, var)
-                    - self.fdm.laplacian(self.nu, var)
+                    - self.fdm.laplacian(self._nu_coeff(), var)
                     == jnp.zeros_like(var()) + rhs_pg[j]
                 )
                 self.mom_solver.solve()
@@ -386,7 +455,7 @@ class LidDrivenCavity:
             ]
             for j, var in enumerate(self.vel):
                 self.mom_solver.set_eq(
-                    self.fdm.ddt(var) - self.fdm.laplacian(self.nu, var)
+                    self.fdm.ddt(var) - self.fdm.laplacian(self._nu_coeff(), var)
                     == rhs_all[j]
                 )
                 self.mom_solver.solve()

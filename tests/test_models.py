@@ -525,3 +525,98 @@ def test_cavity_adaptive_dt() -> None:
     # one more pass must not add cache entries (no recompile on dt change)
     model.run_adaptive(cfl, t_end=0.25)
     assert len(linalg._SOLVER_CACHE) == n_structs
+
+
+def test_variable_viscosity_stress_mms() -> None:
+    """Variable-viscosity stress divergence ``div(mu (grad u + grad u^T))``
+    = implicit conservative part (``apply_diff_field``) + the explicit
+    transpose source (``_visc_transpose_rhs``): 2nd-order convergence on
+    a manufactured incompressible field."""
+    from pyapes_tpu.ops.stencil import apply_diff_field
+
+    def err_at(n):
+        mesh = Mesh(Box[0:1, 0:1], None, [n, n])
+        model = LidDrivenCavity(mesh, nu=np.ones((n, n)), lid_velocity=0.0)
+        X, Y = (np.asarray(g) for g in mesh._grid_np)
+        mu = 1.0 + 0.5 * X + 0.3 * Y
+        model.update_viscosity(jnp.asarray(mu))
+        # psi = sin(pi x) sin(pi y): u = psi_y, v = -psi_x (div-free)
+        u = np.pi * np.sin(np.pi * X) * np.cos(np.pi * Y)
+        v = -np.pi * np.cos(np.pi * X) * np.sin(np.pi * Y)
+        model.vel[0].set_var_tensor(jnp.asarray(u)[None])
+        model.vel[1].set_var_tensor(jnp.asarray(v)[None])
+
+        # analytic S_j = mu lap(u_j) + grad(mu).grad(u_j)
+        #              + sum_k d_k(mu) d_j(u_k)
+        ux = np.pi**2 * np.cos(np.pi * X) * np.cos(np.pi * Y)
+        uy = -np.pi**2 * np.sin(np.pi * X) * np.sin(np.pi * Y)
+        vx = np.pi**2 * np.sin(np.pi * X) * np.sin(np.pi * Y)
+        vy = -np.pi**2 * np.cos(np.pi * X) * np.cos(np.pi * Y)
+        lap_u = -2 * np.pi**2 * u
+        lap_v = -2 * np.pi**2 * v
+        mux, muy = 0.5, 0.3
+        S = [
+            mu * lap_u + mux * ux + muy * uy + (mux * ux + muy * vx),
+            mu * lap_v + mux * vx + muy * vy + (mux * uy + muy * vy),
+        ]
+
+        inv_dx2 = tuple(1.0 / float(d) ** 2 for d in mesh.dx_np)
+        surgery = (("none", "none"),) * 2
+        trans = model._visc_transpose_rhs()
+        errs = []
+        for j, w in enumerate((u, v)):
+            impl = np.asarray(
+                apply_diff_field(
+                    jnp.asarray(w)[None], jnp.asarray(mu), inv_dx2, surgery
+                )
+            )[0]
+            got = impl + np.asarray(trans[j])
+            e = np.abs(got - S[j])[2:-2, 2:-2]
+            errs.append(e.max())
+        return max(errs)
+
+    e33, e65 = err_at(33), err_at(65)
+    assert e65 < e33 / 3.2, (e33, e65)  # ~2nd order
+
+
+def test_natural_convection_variable_viscosity() -> None:
+    """Temperature-dependent viscosity mu(T): the constant-callable case
+    reproduces the scalar path, and a real mu(T) run stays physical
+    (bounded T, sane Nusselt) while compiling the momentum solver once."""
+    from pyapes_tpu.models import NaturalConvection
+    from pyapes_tpu.solver import linalg
+
+    n = 33
+    # (a) constant mu_fn == scalar path
+    mesh = Mesh(Box[0:1, 0:1], None, [n, n])
+    m_ref = NaturalConvection(mesh, ra=1e3, pr=0.71)
+    m_ref.run(dt=0.0125, n_steps=12)
+    mesh2 = Mesh(Box[0:1, 0:1], None, [n, n])
+    m_fn = NaturalConvection(
+        mesh2, ra=1e3, pr=0.71,
+        mu_fn=lambda T: 0.71 * jnp.ones_like(T),
+    )
+    m_fn.run(dt=0.0125, n_steps=12)
+    assert_allclose(
+        np.asarray(m_fn.T()[0]), np.asarray(m_ref.T()[0]),
+        rtol=0, atol=2e-5,
+    )
+    assert_allclose(
+        np.asarray(m_fn.v()[0]), np.asarray(m_ref.v()[0]),
+        rtol=0, atol=2e-4,
+    )
+
+    # (b) hot fluid half as viscous: physical run, one compile
+    mesh3 = Mesh(Box[0:1, 0:1], None, [n, n])
+    m_var = NaturalConvection(
+        mesh3, ra=1e3, pr=0.71,
+        mu_fn=lambda T: 0.71 * jnp.exp(-0.6931 * T),
+    )
+    linalg.clear_cache()
+    m_var.run(dt=0.0125, n_steps=40)
+    # momentum (u, v share one structure) + pressure + temperature
+    assert len(linalg._SOLVER_CACHE) <= 3, len(linalg._SOLVER_CACHE)
+    T = np.asarray(m_var.T()[0])
+    assert T.max() <= 1.0 + 1e-6 and T.min() >= -1e-6
+    nu_wall = m_var.nusselt_hot_wall()
+    assert 1.0 < nu_wall < 2.0, nu_wall
