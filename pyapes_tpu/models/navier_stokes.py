@@ -161,6 +161,10 @@ class LidDrivenCavity:
         config: FDM solver config overrides.
     """
 
+    # class-level default so subclasses that build their own __init__
+    # (ChannelFlow) inherit scalar-viscosity behavior
+    _nu_field = None
+
     def __init__(self, mesh: Mesh, nu: float = 0.01, lid_velocity=1.0,
                  config=None, implicit_advection: bool = False,
                  rhie_chow: bool = True, incremental: bool = True,
@@ -633,6 +637,11 @@ class ChannelFlow(LidDrivenCavity):
                  rhie_chow: bool = True, incremental: bool = True):
         assert mesh.dim in (2, 3) and mesh.coord_sys == "xyz"
         self.mesh = mesh
+        if hasattr(nu, "ndim") and getattr(nu, "ndim", 0) >= mesh.dim:
+            import numpy as _np
+
+            self._nu_field = jnp.asarray(nu)
+            nu = float(_np.mean(_np.asarray(nu)))
         self.nu = nu
         self.u_in = float(u_in)
         self.lid = 0.0
