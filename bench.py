@@ -245,6 +245,60 @@ def bench_cavity(n: int = 128, n_steps: int = 5):
     }
 
 
+def bench_darcy(n: int = 256, tol: float = 1e-6, max_it: int = 400):
+    """Heterogeneous-diffusivity (Darcy/conductivity) solve throughput:
+    3-D conservative variable-Γ Laplacian with the Γ-aware MG
+    preconditioner, Γ streamed as a runtime operand (round-3
+    capability; the operator runs the jnp flux form — no Pallas
+    diff-field kernel yet)."""
+    enable_compilation_cache()
+    mesh = Mesh(Box[0:1, 0:1, 0:1], None, [n, n, n], device="tpu",
+                dtype="single")
+    f_bc = homogeneous_bcs(3, 0.0, "dirichlet")
+    var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None},
+                init_val=0.0)
+    key = jax.random.PRNGKey(0)
+    # smooth positive log-normal-ish coefficient, generated on device
+    g = jnp.exp(
+        0.8 * jnp.sin(2 * np.pi * mesh.X)
+        * jnp.sin(2 * np.pi * mesh.Y)
+        * jnp.sin(2 * np.pi * mesh.Z)
+    )
+    rhs = jax.random.normal(key, (1, n, n, n), dtype=var().dtype)
+    cfg = {
+        "method": "cg", "tol": tol, "max_it": max_it, "report": False,
+        "criterion": "residual", "precond": "mg",
+        "mg_opts": {"dtype": "bfloat16", "n_pre": 2, "n_post": 2,
+                    "omega": 0.857, "fmg": True},
+    }
+    solver = Solver({"fdm": cfg})
+    fdm = FDM()
+
+    def once():
+        var.set_var_tensor(jnp.zeros_like(var()))
+        solver.set_eq(fdm.laplacian(g, var) == rhs)
+        solver.solve()
+        return solver.report
+
+    t0 = time.perf_counter()
+    rep = once()
+    compile_s = time.perf_counter() - t0
+    walls = []
+    for _ in range(3):
+        tic = time.perf_counter()
+        rep = once()
+        walls.append(time.perf_counter() - tic)
+    wall = min(walls)
+    return {
+        "n": n,
+        "itr": int(rep["itr"]),
+        "converge": bool(rep["converge"]),
+        "wall_s": wall,
+        "compile_s": compile_s,
+        "dof_per_s": n**3 / wall,
+    }
+
+
 def main() -> None:
     n = int(os.environ.get("PYAPES_BENCH_N", "512"))
     tol = float(os.environ.get("PYAPES_BENCH_TOL", "1e-6"))
@@ -278,6 +332,25 @@ def main() -> None:
         )
         print(json.dumps({
             "metric": "rfp_rz_dof_per_s_chip",
+            "value": round(result["dof_per_s"], 1),
+            "unit": "DOF/s/chip",
+            "vs_baseline": 0.0,
+        }))
+        return
+
+    if os.environ.get("PYAPES_BENCH_CASE") == "darcy":
+        result = bench_darcy(
+            n=int(os.environ.get("PYAPES_BENCH_DARCY_N", "256")),
+            tol=tol,
+        )
+        print(
+            f"# darcy {result['n']}^3 itr={result['itr']} "
+            f"wall={result['wall_s']:.3f}s "
+            f"compile={result['compile_s']:.1f}s",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": "darcy3d_vargamma_dof_per_s_chip",
             "value": round(result["dof_per_s"], 1),
             "unit": "DOF/s/chip",
             "vs_baseline": 0.0,
