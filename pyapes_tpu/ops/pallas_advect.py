@@ -408,3 +408,146 @@ def pallas_advect_pair(
         interpret=interpret,
     )
     return call(x1, a1, *flat)
+
+
+def pallas_diff_supported(shape: tuple[int, ...], dtype=jnp.float32) -> bool:
+    """Gate for the fused variable-coefficient diffusion kernel: 3-D,
+    lane-aligned, and the (x, Γ) halo-staged pair fits the VMEM budget."""
+    if len(shape) != 3 or shape[-1] % 128 != 0:
+        return False
+    itemsize = np.dtype(dtype).itemsize
+    return _adv_tile(shape, itemsize, staged=2, bodies=1) >= 1
+
+
+def _diff_kernel(
+    x_any, g_any, out_ref, xs, gs_, sems,
+    *, tx: int, nx: int, ny: int, nz: int,
+    inv_dx2: tuple, surgery: tuple, avg: str,
+):
+    """Conservative variable-Γ Laplacian tile program: both streams ride
+    the v3 slab staging (x-halo rows by DMA, y/z wrap in-register), the
+    face averages and Neumann row surgery happen on the tiles. One pass:
+    read x + read Γ + write out (the jnp flux form moves ~5x that)."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    nslot = jax.lax.rem(i + 1, jnp.int32(2))
+
+    def copies(step, slt):
+        return _stage_copies(x_any, xs, sems.at[0], step, slt, tx, nx) + (
+            _stage_copies(g_any, gs_, sems.at[1], step, slt, tx, nx)
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for c in copies(i + 1, nslot):
+            c.start()
+
+    for c in copies(i, slot):
+        c.wait()
+
+    cdt = jnp.promote_types(xs.dtype, jnp.float32)
+    xc = xs[slot, 1:tx + 1].astype(cdt)
+    gc = gs_[slot, 1:tx + 1].astype(cdt)
+    sx = i * tx
+
+    def face(a, b):
+        if avg == "harmonic":
+            return (2.0 * a) * b / (a + b)
+        return 0.5 * (a + b)
+
+    out = jnp.zeros_like(xc)
+    for j in range(3):
+        if j == 0:
+            xm = xs[slot, 0:tx].astype(cdt)
+            xp = xs[slot, 2:tx + 2].astype(cdt)
+            gmn = gs_[slot, 0:tx].astype(cdt)
+            gpn = gs_[slot, 2:tx + 2].astype(cdt)
+            rows = (
+                jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0) + sx
+            )
+            nj = nx
+        elif j == 1:
+            xm = pltpu.roll(xc, 1, 1)
+            xp = pltpu.roll(xc, ny - 1, 1)
+            gmn = pltpu.roll(gc, 1, 1)
+            gpn = pltpu.roll(gc, ny - 1, 1)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (1, ny, 1), 1)
+            nj = ny
+        else:
+            xm = pltpu.roll(xc, 1, 2)
+            xp = pltpu.roll(xc, nz - 1, 2)
+            gmn = pltpu.roll(gc, 1, 2)
+            gpn = pltpu.roll(gc, nz - 1, 2)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nz), 2)
+            nj = nz
+
+        inv = jnp.asarray(inv_dx2[j], cdt)
+        cp = face(gc, gpn) * inv
+        cm = face(gc, gmn) * inv
+        cc = -(cp + cm)
+        lo_kind, up_kind = surgery[j]
+        if lo_kind == "neumann":
+            m = rows == 1
+            cc = jnp.where(m, cc + (4.0 / 3.0) * cm, cc)
+            cp = jnp.where(m, cp - (1.0 / 3.0) * cm, cp)
+            cm = jnp.where(m, 0.0, cm)
+        if up_kind == "neumann":
+            m = rows == nj - 2
+            cc = jnp.where(m, cc + (4.0 / 3.0) * cp, cc)
+            cm = jnp.where(m, cm - (1.0 / 3.0) * cp, cm)
+            cp = jnp.where(m, 0.0, cp)
+        out = out + (cp * xp + cc * xc + cm * xm)
+
+    out_ref[:, :, :] = out.astype(out_ref.dtype)
+
+
+def pallas_diff_field(
+    x1: jnp.ndarray,
+    g1: jnp.ndarray,
+    inv_dx2: tuple,
+    surgery: tuple,
+    avg: str = "arithmetic",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused ``∂_j (Γ ∂_j x)`` for one component (``(*gs)`` arrays);
+    bit-compatible with ``ops.stencil.apply_diff_field`` on interior and
+    Neumann-surgered rows (torus axes must arrive reduced, surgery
+    "none" — the in-register wraps are then the exact periodic
+    stencil)."""
+    gs = x1.shape
+    assert pallas_diff_supported(gs, x1.dtype), gs
+    nx, ny, nz = gs
+    tx = _adv_tile(gs, np.dtype(x1.dtype).itemsize, staged=2, bodies=1)
+
+    call = pl.pallas_call(
+        partial(
+            _diff_kernel, tx=tx, nx=nx, ny=ny, nz=nz,
+            inv_dx2=tuple(float(v) for v in inv_dx2),
+            surgery=tuple(tuple(s) for s in surgery), avg=avg,
+        ),
+        grid=(nx // tx,),
+        out_shape=jax.ShapeDtypeStruct(gs, x1.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (tx, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tx + 2, ny, nz), x1.dtype),
+            pltpu.VMEM((2, tx + 2, ny, nz), x1.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )
+    return call(x1, g1)

@@ -141,6 +141,7 @@ def _make_Aop(
     advect_pallas: bool = False,
     advect_interpret: bool = False,
     sharded_advect: dict | None = None,
+    diff_pallas: bool = False,
 ) -> Callable:
     def _div_field(x, tp, limiter, surgery, form):
         if advect_pallas and limiter in ("none", "upwind"):
@@ -200,11 +201,25 @@ def _make_Aop(
                 else:
                     r = _conv_field(x, tp, limiter, surgery)
             elif kind == "diff_field":
-                from pyapes_tpu.ops.stencil import apply_diff_field
+                if (
+                    diff_pallas
+                    and x.shape[0] == 1
+                    and tp["gamma"].ndim == x.ndim - 1
+                ):
+                    from pyapes_tpu.ops.pallas_advect import (
+                        pallas_diff_field,
+                    )
 
-                r = apply_diff_field(
-                    x, tp["gamma"], form[0], surgery, avg=form[1]
-                )
+                    r = pallas_diff_field(
+                        x[0], tp["gamma"], form[0], surgery,
+                        avg=form[1], interpret=advect_interpret,
+                    )[None]
+                else:
+                    from pyapes_tpu.ops.stencil import apply_diff_field
+
+                    r = apply_diff_field(
+                        x, tp["gamma"], form[0], surgery, avg=form[1]
+                    )
             elif kind == "custom":
                 r = cfn(x, *tp["cparams"])
             else:  # ddt
@@ -573,6 +588,27 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             x0.shape[1:], x0.dtype
         ) and (kernel == "pallas" or jax.default_backend() == "tpu")
 
+    # Fused variable-Γ diffusion kernel (one pass over x + Γ vs the jnp
+    # flux form's ~5; isotropic Γ, single-component fields).
+    diff_pallas = False
+    if (
+        decomp is None
+        and x0.ndim - 1 == 3
+        and x0.shape[0] == 1
+        and kernel in ("auto", "pallas")
+        and any(d[0] == "diff_field" for d in term_descs)
+        and all(
+            tp["gamma"].ndim == x0.ndim - 1
+            for d, tp in zip(term_descs, tparams)
+            if d[0] == "diff_field"
+        )
+    ):
+        from pyapes_tpu.ops.pallas_advect import pallas_diff_supported
+
+        diff_pallas = pallas_diff_supported(
+            x0.shape[1:], x0.dtype
+        ) and (kernel == "pallas" or jax.default_backend() == "tpu")
+
     # Domain-decomposed Pallas tier: shard_map + ppermute halo exchange
     # feeding the fused kernel per shard (closes the round-1 gap where a
     # decomposition forced the jnp roll-sum; VERDICT r1 item 2).
@@ -791,6 +827,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 ),
                 advect_pallas=advect_pallas,
                 advect_interpret=interp,
+                diff_pallas=diff_pallas,
             )
         elif use_sharded_pallas:
             from pyapes_tpu.parallel.halo import (
@@ -826,6 +863,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 term_descs,
                 advect_pallas=advect_pallas,
                 advect_interpret=jax.default_backend() != "tpu",
+                diff_pallas=diff_pallas,
             )
         # Neumann-obstacle shells are affine functions of their fluid
         # neighbors; fold the LINEAR (zero-flux) part into the operator so

@@ -155,8 +155,13 @@ class MGSpec:
         # ops on exactly-2x level pairs, matrix fallback otherwise)
         assert transfers in ("matrix", "strided")
         self.transfers = transfers
+        self._vg_pallas = False
         if self.var_gamma:
             assert not rz, "var_gamma MG: rz meshes not supported"
+            # level applies ride the fused diff-field kernel where the
+            # level shape supports it; the constant-coefficient Pallas
+            # smoother tiers stay off (they hard-code the plain stencil)
+            self._vg_pallas = bool(use_pallas)
             use_pallas = False
             fuse_rz = False
             decomp = None
@@ -223,7 +228,7 @@ class MGSpec:
              self.omega, self.use_pallas, self.rz, self.r_lower,
              self.smoother, self.fmg_init, self.fmg_cycles, self.fuse_rz,
              self.decomp, self.face_kinds, self.var_gamma, self.vg_avg,
-             self.transfers)
+             self.transfers, self._vg_pallas)
         )
 
     def __eq__(self, other):
@@ -488,9 +493,22 @@ class MGSpec:
                 "var_gamma MG: set_gamma was not called before the cycle"
             )
             lvl = self.shapes.index(tuple(shape))
+            g = self._g_levels[lvl].astype(x.dtype)
+            if self._vg_pallas and g.ndim == len(shape):
+                from pyapes_tpu.ops.pallas_advect import (
+                    pallas_diff_field,
+                    pallas_diff_supported,
+                )
+
+                if pallas_diff_supported(tuple(shape), x.dtype):
+                    return pallas_diff_field(
+                        x[0], g, tuple(float(v) for v in inv),
+                        self._vg_surgery(), avg=self.vg_avg,
+                        interpret=jax.default_backend() != "tpu",
+                    )[None]
             return apply_diff_field(
                 x,
-                self._g_levels[lvl].astype(x.dtype),
+                g,
                 tuple(inv),
                 self._vg_surgery(),
                 avg=self.vg_avg,

@@ -392,3 +392,81 @@ def test_jacobi3d_x2_matches_two_sweeps() -> None:
                                       emit_dot=True, interpret=True)
         assert_allclose(np.asarray(zd), np.asarray(z_ref), atol=1e-12)
         assert abs(float(dots.ravel()[0]) - float(jnp.sum(b * z_ref))) < 1e-9
+
+
+def test_diff_field_kernel_matches_jnp() -> None:
+    """Fused variable-Γ diffusion kernel (interpret mode) == the jnp
+    flux form on active rows, for both face-average rules and Neumann
+    surgery."""
+    from pyapes_tpu.ops.pallas_advect import (
+        pallas_diff_field,
+        pallas_diff_supported,
+    )
+    from pyapes_tpu.ops.stencil import apply_diff_field
+
+    shape = (8, 16, 128)
+    assert pallas_diff_supported(shape, jnp.float64)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1,) + shape))
+    g = jnp.asarray(1.0 + rng.random(shape))
+    inv_dx2 = (4.0, 9.0, 25.0)
+    for surgery in (
+        (("none", "none"),) * 3,
+        (("neumann", "none"), ("none", "neumann"), ("neumann", "neumann")),
+    ):
+        for avg in ("arithmetic", "harmonic"):
+            ref = np.asarray(
+                apply_diff_field(x, g, inv_dx2, surgery, avg=avg)
+            )[0]
+            out = np.asarray(
+                pallas_diff_field(
+                    x[0], g, inv_dx2, surgery, avg=avg, interpret=True
+                )
+            )
+            # rows 0 / n-1 of non-periodic axes are inactive (masked by
+            # the solver); compare the active interior
+            assert_allclose(
+                out[1:-1, 1:-1, 1:-1], ref[1:-1, 1:-1, 1:-1],
+                rtol=1e-12, atol=1e-12,
+            )
+
+
+def test_var_gamma_solve_pallas_matches_jnp() -> None:
+    """Full heterogeneous-diffusivity MG-PCG solve with kernel='pallas'
+    (fused diff-field kernel in the operator AND the Γ-aware V-cycle
+    levels, interpret mode) == the jnp-path solve."""
+    from pyapes_tpu.geometry import Box
+    from pyapes_tpu.mesh import Mesh
+    from pyapes_tpu.solver.fdm import FDM
+    from pyapes_tpu.solver.ops import Solver
+    from pyapes_tpu.variables import Field
+    from pyapes_tpu.variables.bcs import mixed_bcs
+
+    def solve(kernel):
+        mesh = Mesh(Box[0:1, 0:1, 0:1], None, [8, 16, 128], dtype="double")
+        f_bc = mixed_bcs(
+            [0.0] * 6,
+            ["neumann", "dirichlet", "dirichlet", "dirichlet",
+             "dirichlet", "neumann"],
+        )
+        var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None},
+                    init_val=0.0)
+        X = np.asarray(mesh._grid_np[0])
+        g = jnp.asarray(1.0 + 0.7 * X * X)
+        rng = np.random.default_rng(9)
+        rhs = jnp.asarray(rng.standard_normal((1, 8, 16, 128)))
+        solver = Solver(
+            {"fdm": {"method": "bicgstab", "tol": 1e-10, "max_it": 400,
+                     "report": False, "criterion": "residual",
+                     "kernel": kernel, "precond": "mg",
+                     "mg_opts": {"n_pre": 1, "n_post": 1}}}
+        )
+        fdm = FDM()
+        solver.set_eq(fdm.laplacian(g, var) == rhs)
+        rep = solver.solve()
+        assert rep["tol"] < 1e-9, rep
+        return np.asarray(var()[0])
+
+    ref = solve("jnp")
+    out = solve("pallas")
+    assert_allclose(out, ref, atol=1e-7)
