@@ -551,3 +551,181 @@ def pallas_diff_field(
         interpret=interpret,
     )
     return call(x1, g1)
+
+
+def pallas_diff_jacobi_supported(
+    shape: tuple[int, ...], dtype=jnp.float32
+) -> bool:
+    """Gate for the fused variable-Γ Jacobi/residual kernel: the (x, Γ)
+    halo-staged pair plus the pipelined b and out blocks must fit."""
+    if len(shape) != 3 or shape[-1] % 128 != 0:
+        return False
+    itemsize = np.dtype(dtype).itemsize
+    return _adv_tile(shape, itemsize, staged=2, bodies=2) >= 1
+
+
+def _diff_jac_kernel(
+    x_any, g_any, b_ref, out_ref, xs, gs_, sems,
+    *, tx: int, nx: int, ny: int, nz: int,
+    inv_dx2: tuple, surgery: tuple, avg: str,
+    omega: float, mask_axes: tuple, mode: str,
+):
+    """Fused variable-Γ V-cycle step: one memory pass computes
+
+      mode="smooth":  out = x + ω (b - A(Γ) x) mask / diag(Γ)
+      mode="smooth0": out = ω b mask / diag(Γ)          (x ≡ 0)
+      mode="resid":   out = (b - A(Γ) x) mask
+
+    The per-point Jacobi diagonal is rebuilt in-register from the SAME
+    face values the operator uses (matches ``MGSpec._vg_diag``), so the
+    smoother never reads a materialized diagonal field."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    nslot = jax.lax.rem(i + 1, jnp.int32(2))
+    need_x = mode != "smooth0"
+
+    def copies(step, slt):
+        c = _stage_copies(g_any, gs_, sems.at[1], step, slt, tx, nx)
+        if need_x:
+            c = _stage_copies(x_any, xs, sems.at[0], step, slt, tx, nx) + c
+        return c
+
+    @pl.when(i == 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for c in copies(i + 1, nslot):
+            c.start()
+
+    for c in copies(i, slot):
+        c.wait()
+
+    cdt = jnp.promote_types(xs.dtype, jnp.float32)
+    gc = gs_[slot, 1:tx + 1].astype(cdt)
+    xc = xs[slot, 1:tx + 1].astype(cdt) if need_x else None
+    bc_ = b_ref[:, :, :].astype(cdt)
+    sx = i * tx
+
+    def face(a, b):
+        if avg == "harmonic":
+            return (2.0 * a) * b / (a + b)
+        return 0.5 * (a + b)
+
+    ax_ = jnp.zeros_like(gc)
+    diag = jnp.zeros_like(gc)
+    mask = None
+    for j in range(3):
+        if j == 0:
+            gmn = gs_[slot, 0:tx].astype(cdt)
+            gpn = gs_[slot, 2:tx + 2].astype(cdt)
+            rows = (
+                jax.lax.broadcasted_iota(jnp.int32, (tx, 1, 1), 0) + sx
+            )
+            nj = nx
+        elif j == 1:
+            gmn = pltpu.roll(gc, 1, 1)
+            gpn = pltpu.roll(gc, ny - 1, 1)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (1, ny, 1), 1)
+            nj = ny
+        else:
+            gmn = pltpu.roll(gc, 1, 2)
+            gpn = pltpu.roll(gc, nz - 1, 2)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nz), 2)
+            nj = nz
+
+        inv = jnp.asarray(inv_dx2[j], cdt)
+        cp = face(gc, gpn) * inv
+        cm = face(gc, gmn) * inv
+        cc = -(cp + cm)
+        lo_kind, up_kind = surgery[j]
+        if lo_kind == "neumann":
+            m = rows == 1
+            cc = jnp.where(m, cc + (4.0 / 3.0) * cm, cc)
+            cp = jnp.where(m, cp - (1.0 / 3.0) * cm, cp)
+            cm = jnp.where(m, 0.0, cm)
+        if up_kind == "neumann":
+            m = rows == nj - 2
+            cc = jnp.where(m, cc + (4.0 / 3.0) * cp, cc)
+            cm = jnp.where(m, cm - (1.0 / 3.0) * cp, cm)
+            cp = jnp.where(m, 0.0, cp)
+        diag = diag + cc
+        if need_x:
+            if j == 0:
+                xm = xs[slot, 0:tx].astype(cdt)
+                xp = xs[slot, 2:tx + 2].astype(cdt)
+            elif j == 1:
+                xm = pltpu.roll(xc, 1, 1)
+                xp = pltpu.roll(xc, ny - 1, 1)
+            else:
+                xm = pltpu.roll(xc, 1, 2)
+                xp = pltpu.roll(xc, nz - 1, 2)
+            ax_ = ax_ + (cp * xp + cc * xc + cm * xm)
+        if j in mask_axes:
+            mk = jnp.logical_and(rows != 0, rows != nj - 1)
+            mask = mk if mask is None else jnp.logical_and(mask, mk)
+
+    r = (bc_ - ax_) if need_x else bc_
+    if mask is not None:
+        r = jnp.where(mask, r, 0.0)
+    if mode == "resid":
+        out = r
+    elif mode == "smooth":
+        out = xc + jnp.asarray(omega, cdt) * r / diag
+    else:  # smooth0
+        out = jnp.asarray(omega, cdt) * r / diag
+    out_ref[:, :, :] = out.astype(out_ref.dtype)
+
+
+def pallas_diff_jacobi(
+    x1, b1, g1, inv_dx2, surgery,
+    avg: str = "arithmetic",
+    omega: float = 2.0 / 3.0,
+    mask_axes: tuple = (0, 1, 2),
+    mode: str = "smooth",
+    interpret: bool = False,
+):
+    """One fused variable-Γ Jacobi/residual pass (see ``_diff_jac_kernel``).
+    ``x1`` may be None for ``mode="smooth0"``."""
+    gs = g1.shape
+    assert pallas_diff_jacobi_supported(gs, g1.dtype), gs
+    nx, ny, nz = gs
+    tx = _adv_tile(gs, np.dtype(g1.dtype).itemsize, staged=2, bodies=2)
+    if x1 is None:
+        assert mode == "smooth0"
+        x1 = b1  # staged but never read
+
+    call = pl.pallas_call(
+        partial(
+            _diff_jac_kernel, tx=tx, nx=nx, ny=ny, nz=nz,
+            inv_dx2=tuple(float(v) for v in inv_dx2),
+            surgery=tuple(tuple(s) for s in surgery), avg=avg,
+            omega=float(omega), mask_axes=tuple(mask_axes), mode=mode,
+        ),
+        grid=(nx // tx,),
+        out_shape=jax.ShapeDtypeStruct(gs, g1.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (tx, ny, nz), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tx, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tx + 2, ny, nz), g1.dtype),
+            pltpu.VMEM((2, tx + 2, ny, nz), g1.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )
+    return call(x1, g1, b1)

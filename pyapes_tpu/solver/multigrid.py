@@ -381,6 +381,37 @@ class MGSpec:
             acc = d if acc is None else acc + d
         return acc[None]
 
+    def _vg_jacobi_ok(self, shape, dtype) -> bool:
+        """Whether the fused variable-Γ Jacobi/residual kernel serves
+        this level (one memory pass; in-register diagonal)."""
+        if not (
+            self.var_gamma and self._vg_pallas and len(shape) == 3
+        ):
+            return False
+        if self._g_levels is None:
+            return False
+        lvl = self.shapes.index(tuple(shape))
+        if self._g_levels[lvl].ndim != len(shape):
+            return False  # anisotropic (stacked) Γ: jnp path
+        from pyapes_tpu.ops.pallas_advect import (
+            pallas_diff_jacobi_supported,
+        )
+
+        return pallas_diff_jacobi_supported(tuple(shape), dtype)
+
+    def _vg_kernel_step(self, x, b, shape, mode):
+        from pyapes_tpu.ops.pallas_advect import pallas_diff_jacobi
+
+        lvl = self.shapes.index(tuple(shape))
+        g = self._g_levels[lvl].astype(b.dtype)
+        return pallas_diff_jacobi(
+            None if x is None else x[0], b[0], g,
+            tuple(float(v) for v in self._inv_dx2(shape)),
+            self._vg_surgery(), avg=self.vg_avg, omega=self.omega,
+            mask_axes=self._mask_axes(shape), mode=mode,
+            interpret=jax.default_backend() != "tpu",
+        )[None]
+
     def set_gamma(self, gamma):
         """Trace-time hook (the solver's ``precond_setup``): restrict the
         fine-level G through the hierarchy and precompute each level's
@@ -671,6 +702,11 @@ class MGSpec:
             return self._cheby_smooth(x, b, shape, mask, n_iter)
         if self.smoother == "rbgs":
             return self._rbgs_sweeps(x, b, shape, mask, n_iter, order)
+        if self.smoother == "jacobi" and self._vg_jacobi_ok(shape, b.dtype):
+            def vg_body(_, xv):
+                return self._vg_kernel_step(xv, b, shape, "smooth")
+
+            return jax.lax.fori_loop(0, n_iter, vg_body, x)
         om_over_diag = self.omega / self._diag(shape, b.dtype)
 
         remaining = n_iter
@@ -697,6 +733,8 @@ class MGSpec:
         return jax.lax.fori_loop(0, remaining, body, x)
 
     def _residual(self, x, b, shape, mask):
+        if self._vg_jacobi_ok(shape, b.dtype):
+            return self._vg_kernel_step(x, b, shape, "resid")
         fused = self._fused(x, b, shape, 0.0, 1.0)
         if fused is not None:
             return fused
@@ -873,6 +911,11 @@ class MGSpec:
             x = self._color_update(x, b, shape, mask, par, 1 - order)
             if n_iter > 1:
                 x = self._rbgs_sweeps(x, b, shape, mask, n_iter - 1, order)
+            return x
+        if self.smoother == "jacobi" and self._vg_jacobi_ok(shape, b.dtype):
+            x = self._vg_kernel_step(None, b, shape, "smooth0")
+            if n_iter > 1:
+                x = self._smooth(x, b, shape, mask, n_iter - 1)
             return x
         if (
             n_iter == 2

@@ -470,3 +470,47 @@ def test_var_gamma_solve_pallas_matches_jnp() -> None:
     ref = solve("jnp")
     out = solve("pallas")
     assert_allclose(out, ref, atol=1e-7)
+
+
+def test_diff_jacobi_kernel_matches_jnp() -> None:
+    """Fused variable-Γ Jacobi/residual kernel == the jnp composition
+    ``x + ω (b - A x) mask / diag`` with the true per-point diagonal."""
+    from pyapes_tpu.ops.pallas_advect import (
+        pallas_diff_jacobi,
+        pallas_diff_jacobi_supported,
+    )
+    from pyapes_tpu.ops.stencil import apply_diff_field
+    from pyapes_tpu.solver.multigrid import MGSpec
+
+    shape = (8, 16, 128)
+    assert pallas_diff_jacobi_supported(shape, jnp.float64)
+    fk = (("neumann", "dirichlet"), ("dirichlet", "dirichlet"),
+          ("dirichlet", "neumann"))
+    spec = MGSpec(shape, [1.0, 1.0, 1.0], dtype=jnp.float64,
+                  face_kinds=fk, var_gamma=True, omega=0.7)
+    rng = np.random.default_rng(12)
+    g = jnp.asarray(1.0 + rng.random(shape))
+    spec.set_gamma(g)
+    x = jnp.asarray(rng.standard_normal((1,) + shape))
+    b = jnp.asarray(rng.standard_normal((1,) + shape))
+
+    inv = tuple(spec._inv_dx2(shape))
+    surgery = spec._vg_surgery()
+    mask = spec._mask(shape)
+    diag = spec._gd_levels[0]
+    for mode in ("smooth", "smooth0", "resid"):
+        out = pallas_diff_jacobi(
+            None if mode == "smooth0" else x[0], b[0], g, inv, surgery,
+            omega=0.7, mask_axes=(0, 1, 2), mode=mode, interpret=True,
+        )
+        ax = apply_diff_field(x, g, inv, surgery)
+        if mode == "resid":
+            ref = (b - ax) * mask
+        elif mode == "smooth":
+            ref = x + 0.7 * (b - ax) * mask / diag
+        else:
+            ref = 0.7 * b * mask / diag
+        # in-register diag accumulation orders differently: ~1 ulp
+        assert_allclose(
+            np.asarray(out), np.asarray(ref)[0], rtol=1e-10, atol=1e-10
+        )
