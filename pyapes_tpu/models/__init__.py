@@ -8,7 +8,11 @@ from pyapes_tpu.models.poisson import PoissonSolver
 from pyapes_tpu.models.advection_diffusion import AdvectionDiffusion
 from pyapes_tpu.models.burgers import Burgers1D, BurgersND
 from pyapes_tpu.models.natural_convection import NaturalConvection
-from pyapes_tpu.models.navier_stokes import ChannelFlow, LidDrivenCavity
+from pyapes_tpu.models.navier_stokes import (
+    ChannelFlow,
+    LidDrivenCavity,
+    power_law_viscosity,
+)
 from pyapes_tpu.models.rfp_evolution import RFPEvolution
 from pyapes_tpu.models.rosenbluth import RosenbluthPotentials
 
@@ -20,6 +24,7 @@ __all__ = [
     "ChannelFlow",
     "LidDrivenCavity",
     "NaturalConvection",
+    "power_law_viscosity",
     "RFPEvolution",
     "RosenbluthPotentials",
 ]

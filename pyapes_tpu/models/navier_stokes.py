@@ -47,6 +47,20 @@ def _ddx(f, dx, axis):
     return d
 
 
+def power_law_viscosity(K: float, n: float, eps: float = 1e-6):
+    """Regularized Ostwald–de Waele (power-law) viscosity law:
+    ``mu(γ̇) = K (γ̇² + ε²)^{(n-1)/2}`` — shear-thinning for n < 1,
+    shear-thickening for n > 1, Newtonian K at n = 1 (ε bounds mu where
+    γ̇ → 0, the standard regularization). Returns a ``gamma_dot -> mu``
+    callable for ``mu_strain_fn``."""
+    ex = 0.5 * (n - 1.0)
+
+    def mu(gdot):
+        return K * (gdot * gdot + eps * eps) ** ex
+
+    return mu
+
+
 def _obstacle_setup(mesh):
     """No-slip immersed bodies: obstacle BC configs for (u, v), zero-flux
     for p, the solid body mask, and a 2-cell dilation of it (or Nones
@@ -161,14 +175,16 @@ class LidDrivenCavity:
         config: FDM solver config overrides.
     """
 
-    # class-level default so subclasses that build their own __init__
-    # (ChannelFlow) inherit scalar-viscosity behavior
+    # class-level defaults so subclasses that build their own __init__
+    # (ChannelFlow) inherit scalar-Newtonian behavior
     _nu_field = None
+    mu_strain_fn = None
 
     def __init__(self, mesh: Mesh, nu: float = 0.01, lid_velocity=1.0,
                  config=None, implicit_advection: bool = False,
                  rhie_chow: bool = True, incremental: bool = True,
-                 lid_profile: str = "uniform", spanwise: str = "noslip"):
+                 lid_profile: str = "uniform", spanwise: str = "noslip",
+                 mu_strain_fn=None):
         assert mesh.dim in (2, 3) and mesh.coord_sys == "xyz"
         assert lid_profile in ("uniform", "regularized")
         assert spanwise in ("noslip", "symmetry", "periodic")
@@ -186,6 +202,11 @@ class LidDrivenCavity:
             self._nu_field = jnp.asarray(nu)
             nu = float(_np.mean(_np.asarray(nu)))
         self.nu = nu
+        # generalized-Newtonian rheology: mu_strain_fn(gamma_dot) -> mu
+        # field, re-evaluated each step from the time-n strain rate and
+        # streamed (Picard-in-time linearization; e.g. regularized
+        # power-law ``power_law_viscosity``). No recompiles.
+        self.mu_strain_fn = mu_strain_fn
         self.lid = lid_velocity
         self.implicit_advection = implicit_advection
         self.rhie_chow = rhie_chow
@@ -352,6 +373,19 @@ class LidDrivenCavity:
         ``NaturalConvection``); returns an ``(*nx)`` array or 0.0."""
         return 0.0
 
+    def strain_rate(self) -> jnp.ndarray:
+        """Shear-rate magnitude ``γ̇ = sqrt(2 S:S)`` of the current
+        velocity field (S = the symmetric velocity gradient) — the
+        argument of generalized-Newtonian viscosity laws."""
+        dim = self.mesh.dim
+        gu = [self._grad(v) for v in self.vel]  # gu[k][j] = d_j u_k
+        ss = None
+        for k in range(dim):
+            for j in range(dim):
+                s = 0.5 * (gu[k][j] + gu[j][k])
+                ss = s * s if ss is None else ss + s * s
+        return jnp.sqrt(2.0 * ss)
+
     def update_viscosity(self, mu) -> None:
         """Replace the per-point viscosity field (e.g. mu(T) per step).
         Streams as a runtime operand — never recompiles the momentum
@@ -409,6 +443,9 @@ class LidDrivenCavity:
     def step(self, dt: float) -> None:
         mesh = self.mesh
         dim = mesh.dim
+
+        if self.mu_strain_fn is not None:
+            self.update_viscosity(self.mu_strain_fn(self.strain_rate()))
 
         # 1. momentum: implicit diffusion; advection either explicit
         # (reference-style splitting) or implicit via fdm.conv (Picard-
@@ -634,9 +671,11 @@ class ChannelFlow(LidDrivenCavity):
 
     def __init__(self, mesh: Mesh, nu: float = 0.01, u_in: float = 1.0,
                  config=None, implicit_advection: bool = False,
-                 rhie_chow: bool = True, incremental: bool = True):
+                 rhie_chow: bool = True, incremental: bool = True,
+                 mu_strain_fn=None):
         assert mesh.dim in (2, 3) and mesh.coord_sys == "xyz"
         self.mesh = mesh
+        self.mu_strain_fn = mu_strain_fn
         if hasattr(nu, "ndim") and getattr(nu, "ndim", 0) >= mesh.dim:
             import numpy as _np
 

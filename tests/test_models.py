@@ -620,3 +620,25 @@ def test_natural_convection_variable_viscosity() -> None:
     assert T.max() <= 1.0 + 1e-6 and T.min() >= -1e-6
     nu_wall = m_var.nusselt_hot_wall()
     assert 1.0 < nu_wall < 2.0, nu_wall
+
+
+def test_channel_power_law_shear_thinning() -> None:
+    """Generalized-Newtonian ChannelFlow (regularized power-law,
+    n = 0.5): the developed profile is FLATTER than the Newtonian
+    parabola — u_max/u_mean approaches the power-law value
+    (2n+1)/(n+1) = 4/3 instead of 3/2 (mu(strain) re-evaluated per step
+    from the strain rate and streamed)."""
+    from pyapes_tpu.models import ChannelFlow, power_law_viscosity
+
+    mesh = Mesh(Box[0:3, 0:1], None, [49, 33])
+    model = ChannelFlow(
+        mesh, nu=0.05, u_in=1.0,
+        mu_strain_fn=power_law_viscosity(K=0.05, n=0.5, eps=1e-3),
+    )
+    model.run(dt=0.01, n_steps=300)
+
+    u = np.asarray(model.u()[0])
+    i = 40  # far downstream
+    ratio = u[i].max() / u[i].mean()
+    assert 1.22 < ratio < 1.44, ratio  # Newtonian would sit at ~1.5
+    assert abs(model.flux(1) - model.flux(47)) / model.flux(1) < 0.02

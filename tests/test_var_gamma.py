@@ -367,3 +367,47 @@ def test_var_gamma_harmonic_two_layer_exact() -> None:
         errs[avg] = float(np.max(np.abs(np.asarray(var()[0]) - exact)))
     assert errs["harmonic"] < 1e-7, errs
     assert errs["arithmetic"] > 1e-3, errs  # the wrong face rule is O(1)
+
+
+def test_power_law_poiseuille_picard() -> None:
+    """Non-Newtonian (power-law) planar Poiseuille via Picard iteration
+    on the variable-Γ operator: ``d/dy(mu(|du/dy|) du/dy) = -G`` with
+    ``mu = K γ̇^{n-1}``; the converged profile matches the analytic
+    ``u = n/(n+1) (G/K)^{1/n} [ (H/2)^{1+1/n} - |y-H/2|^{1+1/n} ]``."""
+    n_pow, K, G = 0.5, 1.0, 1.0
+    nn = 65
+    mesh = Mesh(Box[0:1, 0:1], None, [nn, nn])
+    Y = np.asarray(mesh._grid_np[1])
+    bcs_cfg = mixed_bcs(
+        [0.0, 0.0, 0.0, 0.0],
+        ["neumann", "neumann", "dirichlet", "dirichlet"],
+    )
+    fdm = FDM()
+    s = Solver({"fdm": {"method": "bicgstab", "tol": 1e-10, "max_it": 2000,
+                        "report": False, "criterion": "residual",
+                        "precond": "mg"}})
+    var = Field("u", 1, mesh, {"domain": bcs_cfg}, init_val=0.0)
+    rhs = jnp.full((1, nn, nn), -G)
+
+    dy = float(mesh.dx_np[1])
+    eps = 1e-8
+    u = np.zeros((nn, nn))
+    for _ in range(40):  # Picard on the viscosity
+        dudy = np.gradient(u, dy, axis=1)
+        mu = K * (dudy**2 + eps**2) ** (0.5 * (n_pow - 1.0))
+        mu = np.minimum(mu, 1e4)  # regularize the zero-shear start
+        var.set_var_tensor(jnp.asarray(u)[None])
+        s.set_eq(fdm.laplacian(jnp.asarray(mu), var) == rhs)
+        rep = s.solve()
+        assert rep["converge"], rep
+        u = np.asarray(var()[0])
+
+    ex = 1.0 + 1.0 / n_pow
+    exact = (n_pow / (n_pow + 1.0)) * (G / K) ** (1.0 / n_pow) * (
+        0.5**ex - np.abs(Y - 0.5) ** ex
+    )
+    err = np.linalg.norm(u - exact) / np.linalg.norm(exact)
+    assert err < 0.01, err
+    # shear-thinning signature: flatter core than the Newtonian parabola
+    ratio = u[nn // 2, nn // 2] / u[nn // 2].mean()
+    assert abs(ratio - (2 * n_pow + 1) / (n_pow + 1)) < 0.03, ratio
