@@ -33,7 +33,7 @@ class NaturalConvection(LidDrivenCavity):
     def __init__(self, mesh: Mesh, ra: float = 1e3, pr: float = 0.71,
                  config=None, implicit_advection: bool = True,
                  rhie_chow: bool = True, incremental: bool = True,
-                 mu_fn=None):
+                 mu_fn=None, k_fn=None):
         # no-slip walls, no lid; viscosity = Pr in these units
         super().__init__(
             mesh, nu=pr, lid_velocity=0.0, config=config,
@@ -50,6 +50,10 @@ class NaturalConvection(LidDrivenCavity):
         # The constant case mu_fn = lambda T: pr * ones reproduces the
         # scalar path (pinned by tests/test_models.py).
         self.mu_fn = mu_fn
+        # temperature-dependent thermal conductivity k(T): the heat
+        # equation's diffusion becomes the conservative div(k grad T)
+        # (variable-Γ term, streamed per step).
+        self.k_fn = k_fn
 
         from pyapes_tpu.geometry.basis import FDIR
         from pyapes_tpu.variables import Field
@@ -87,10 +91,15 @@ class NaturalConvection(LidDrivenCavity):
             T.set_time(dt, self.t - dt)
         T.save_old()
         uvec = jnp.concatenate([v() for v in self.vel], axis=0)
+        k_term = (
+            self.fdm.laplacian(1.0, T)
+            if self.k_fn is None
+            else self.fdm.laplacian(
+                jnp.asarray(self.k_fn(T()[0])), T
+            )
+        )
         self.mom_solver.set_eq(
-            self.fdm.ddt(T)
-            + self.fdm.conv(uvec, T)
-            - self.fdm.laplacian(1.0, T)
+            self.fdm.ddt(T) + self.fdm.conv(uvec, T) - k_term
             == jnp.zeros_like(T())
         )
         self.mom_solver.solve()

@@ -61,6 +61,23 @@ def power_law_viscosity(K: float, n: float, eps: float = 1e-6):
     return mu
 
 
+def carreau_viscosity(mu0: float, mu_inf: float, lam: float, n: float):
+    """Carreau–Yasuda (a = 2) viscosity law:
+    ``mu(γ̇) = mu_inf + (mu0 - mu_inf) (1 + (λ γ̇)²)^{(n-1)/2}`` —
+    bounded at zero shear (mu0) and at infinite shear (mu_inf), the
+    standard model for polymer/blood rheology where the raw power law
+    diverges. Returns a ``gamma_dot -> mu`` callable for
+    ``mu_strain_fn``."""
+    ex = 0.5 * (n - 1.0)
+
+    def mu(gdot):
+        return mu_inf + (mu0 - mu_inf) * (
+            1.0 + (lam * gdot) ** 2
+        ) ** ex
+
+    return mu
+
+
 def _obstacle_setup(mesh):
     """No-slip immersed bodies: obstacle BC configs for (u, v), zero-flux
     for p, the solid body mask, and a 2-cell dilation of it (or Nones

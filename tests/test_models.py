@@ -642,3 +642,24 @@ def test_channel_power_law_shear_thinning() -> None:
     ratio = u[i].max() / u[i].mean()
     assert 1.22 < ratio < 1.44, ratio  # Newtonian would sit at ~1.5
     assert abs(model.flux(1) - model.flux(47)) / model.flux(1) < 0.02
+
+
+def test_natural_convection_nonlinear_conduction_k_of_T() -> None:
+    """Temperature-dependent conductivity k(T) = 1 + T at negligible
+    Rayleigh number: the steady state is the EXACT nonlinear conduction
+    profile ``T(x) = -1 + sqrt(4 - 3x)`` (from (1+T) dT/dx = const with
+    T(0)=1, T(1)=0) — the conservative div(k grad T) path, k streamed
+    per step."""
+    from pyapes_tpu.models import NaturalConvection
+
+    n = 33
+    mesh = Mesh(Box[0:1, 0:1], None, [n, n])
+    model = NaturalConvection(
+        mesh, ra=1.0, pr=0.71, k_fn=lambda T: 1.0 + T
+    )
+    model.run(dt=0.05, n_steps=60)  # t = 3: conduction steady state
+
+    X = np.asarray(mesh._grid_np[0])[:, n // 2]
+    T = np.asarray(model.T()[0])[:, n // 2]
+    exact = -1.0 + np.sqrt(4.0 - 3.0 * X)
+    assert np.abs(T - exact).max() < 0.01, np.abs(T - exact).max()

@@ -411,3 +411,29 @@ def test_power_law_poiseuille_picard() -> None:
     # shear-thinning signature: flatter core than the Newtonian parabola
     ratio = u[nn // 2, nn // 2] / u[nn // 2].mean()
     assert abs(ratio - (2 * n_pow + 1) / (n_pow + 1)) < 0.03, ratio
+
+
+def test_var_gamma_3d_mms() -> None:
+    """3-D heterogeneous diffusivity with the Γ-aware MG: Γ = 1+x+y+z,
+    φ = sin(πx)sin(πy)sin(πz), all-Dirichlet."""
+    n = 33
+    mesh = Mesh(Box[0:1, 0:1, 0:1], None, [n, n, n])
+    X, Y, Z = (np.asarray(g) for g in mesh._grid_np)
+    g = 1.0 + X + Y + Z
+    sx, sy, sz = np.sin(np.pi * X), np.sin(np.pi * Y), np.sin(np.pi * Z)
+    cx, cy, cz = np.cos(np.pi * X), np.cos(np.pi * Y), np.cos(np.pi * Z)
+    phi = sx * sy * sz
+    rhs = (-3.0 * np.pi**2 * g * phi) + np.pi * (
+        cx * sy * sz + sx * cy * sz + sx * sy * cz
+    )
+    var = Field("t", 1, mesh,
+                {"domain": homogeneous_bcs(3, 0.0, "dirichlet")},
+                init_val=0.0)
+    fdm = FDM()
+    s = Solver({"fdm": {"method": "cg", "tol": 1e-8, "max_it": 100,
+                        "report": False, "criterion": "residual",
+                        "precond": "mg"}})
+    s.set_eq(fdm.laplacian(jnp.asarray(g), var) == jnp.asarray(rhs)[None])
+    rep = s.solve()
+    assert rep["converge"] and rep["itr"] <= 20, rep
+    assert _rel_l2(var()[0], phi) < 0.01
