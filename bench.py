@@ -248,9 +248,10 @@ def bench_cavity(n: int = 128, n_steps: int = 5):
 def bench_darcy(n: int = 256, tol: float = 1e-6, max_it: int = 400):
     """Heterogeneous-diffusivity (Darcy/conductivity) solve throughput:
     3-D conservative variable-Γ Laplacian with the Γ-aware MG
-    preconditioner, Γ streamed as a runtime operand (round-3
-    capability; the operator runs the jnp flux form — no Pallas
-    diff-field kernel yet)."""
+    preconditioner, Γ streamed as a runtime operand. Kernel tier via
+    PYAPES_BENCH_KERNEL: "auto" (default — the fused Pallas diff-field
+    kernel engages on TPU for supported shapes) or "jnp" (the roll-sum
+    flux form, for the speedup comparison)."""
     enable_compilation_cache()
     mesh = Mesh(Box[0:1, 0:1, 0:1], None, [n, n, n], device="tpu",
                 dtype="single")
@@ -268,6 +269,7 @@ def bench_darcy(n: int = 256, tol: float = 1e-6, max_it: int = 400):
     cfg = {
         "method": "cg", "tol": tol, "max_it": max_it, "report": False,
         "criterion": "residual", "precond": "mg",
+        "kernel": os.environ.get("PYAPES_BENCH_KERNEL", "auto"),
         "mg_opts": {"dtype": "bfloat16", "n_pre": 2, "n_post": 2,
                     "omega": 0.857, "fmg": True},
     }
@@ -350,7 +352,8 @@ def main() -> None:
             file=sys.stderr,
         )
         print(json.dumps({
-            "metric": "darcy3d_vargamma_dof_per_s_chip",
+            "metric": "darcy3d_vargamma_dof_per_s_chip"
+                      + ("_jnp" if os.environ.get("PYAPES_BENCH_KERNEL") == "jnp" else ""),
             "value": round(result["dof_per_s"], 1),
             "unit": "DOF/s/chip",
             "vs_baseline": 0.0,

@@ -35,20 +35,15 @@ from pyapes_tpu.variables import Field
 from pyapes_tpu.variables.bcs import mixed_bcs
 
 
+from pyapes_tpu.testing.darcy import (  # noqa: E402
+    inlet_outlet_flux,
+    log_normal_permeability,
+)
+
+
 def permeability(mesh, seed: int = 7) -> np.ndarray:
-    """Smooth log-normal background + two low-permeability inclusions."""
-    X, Y = (np.asarray(g) for g in mesh._grid_np)
-    rng = np.random.default_rng(seed)
-    logk = np.zeros_like(X)
-    for _ in range(6):  # a few random Fourier modes -> smooth field
-        kx, ky = rng.integers(1, 4, size=2)
-        ph = rng.uniform(0, 2 * np.pi, size=2)
-        logk += 0.5 * np.cos(2 * np.pi * kx * X + ph[0]) * np.cos(
-            2 * np.pi * ky * Y + ph[1]
-        )
-    for cx, cy, r, v in ((0.35, 0.6, 0.12, -2.5), (0.7, 0.3, 0.10, -2.5)):
-        logk += v * ((X - cx) ** 2 + (Y - cy) ** 2 < r**2)
-    return np.exp(logk)
+    """Shared case generator (``pyapes_tpu.testing.darcy``)."""
+    return log_normal_permeability(mesh, seed=seed)
 
 
 def main() -> None:
@@ -86,15 +81,7 @@ def main() -> None:
     rep = solver.solve()
 
     ph = np.asarray(p()[0])
-    dx, dy = (float(d) for d in mesh.dx_np)
-    # Darcy flux q = -K dp/dx on the half-cell flux faces adjacent to
-    # the inlet/outlet columns (second-order one-sided)
-    Kf_in = 0.5 * (K[0] + K[1])
-    Kf_out = 0.5 * (K[-1] + K[-2])
-    q_in = -Kf_in * (ph[1] - ph[0]) / dx
-    q_out = -Kf_out * (ph[-1] - ph[-2]) / dx
-    Q_in = float(np.sum(q_in) * dy)
-    Q_out = float(np.sum(q_out) * dy)
+    Q_in, Q_out = inlet_outlet_flux(K, ph, mesh)
 
     k_arith = float(np.mean(K))
     k_harm = float(1.0 / np.mean(1.0 / K))

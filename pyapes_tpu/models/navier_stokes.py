@@ -212,18 +212,7 @@ class LidDrivenCavity:
         # correction sum_k d_k(mu) d_j(u_k); see _nu_coeff / step). The
         # field may be updated per step (update_viscosity) without
         # recompiling — mu streams as a runtime operand.
-        self._nu_field = None
-        if hasattr(nu, "ndim") and getattr(nu, "ndim", 0) >= mesh.dim:
-            import numpy as _np
-
-            self._nu_field = jnp.asarray(nu)
-            nu = float(_np.mean(_np.asarray(nu)))
-        self.nu = nu
-        # generalized-Newtonian rheology: mu_strain_fn(gamma_dot) -> mu
-        # field, re-evaluated each step from the time-n strain rate and
-        # streamed (Picard-in-time linearization; e.g. regularized
-        # power-law ``power_law_viscosity``). No recompiles.
-        self.mu_strain_fn = mu_strain_fn
+        self.nu = self._init_viscosity(nu, mu_strain_fn)
         self.lid = lid_velocity
         self.implicit_advection = implicit_advection
         self.rhie_chow = rhie_chow
@@ -390,12 +379,38 @@ class LidDrivenCavity:
         ``NaturalConvection``); returns an ``(*nx)`` array or 0.0."""
         return 0.0
 
-    def strain_rate(self) -> jnp.ndarray:
+    def _init_viscosity(self, nu, mu_strain_fn=None):
+        """Shared viscosity setup (also used by subclasses with their own
+        ``__init__``, e.g. ChannelFlow): a per-point array becomes the
+        streamed variable-viscosity field; the scalar path is untouched.
+        Returns the scalar ``nu`` to store. A stacked ``(dim, *nx)``
+        array is rejected — the explicit transpose stress assumes a
+        scalar (isotropic) per-point viscosity."""
+        self._nu_field = None
+        self.mu_strain_fn = mu_strain_fn
+        if hasattr(nu, "ndim") and getattr(nu, "ndim", 0) > 0:
+            import numpy as _np
+
+            arr = jnp.asarray(nu)
+            if arr.ndim != self.mesh.dim:
+                raise ValueError(
+                    "viscosity field must be per-point (shape "
+                    f"{tuple(self.mesh.nx)}); got {arr.shape} — "
+                    "anisotropic (stacked) viscosity is not supported"
+                )
+            self._nu_field = arr
+            return float(_np.mean(_np.asarray(nu)))
+        return nu
+
+    def strain_rate(self, gu=None) -> jnp.ndarray:
         """Shear-rate magnitude ``γ̇ = sqrt(2 S:S)`` of the current
         velocity field (S = the symmetric velocity gradient) — the
-        argument of generalized-Newtonian viscosity laws."""
+        argument of generalized-Newtonian viscosity laws. ``gu``: an
+        optional precomputed ``[grad(u_k)]`` list (avoids recomputing
+        the gradient tensor when the caller also needs it)."""
         dim = self.mesh.dim
-        gu = [self._grad(v) for v in self.vel]  # gu[k][j] = d_j u_k
+        if gu is None:
+            gu = [self._grad(v) for v in self.vel]  # gu[k][j] = d_j u_k
         ss = None
         for k in range(dim):
             for j in range(dim):
@@ -444,14 +459,15 @@ class LidDrivenCavity:
             out.append(g)
         return out
 
-    def _visc_transpose_rhs(self):
+    def _visc_transpose_rhs(self, gu=None):
         """Explicit transpose-stress source ``sum_k d_k(mu) d_j(u_k)``:
         for incompressible flow ``div(mu grad u^T)_j = sum_k d_k(mu)
         d_j(u_k)`` (the ``mu d_j(div u)`` part vanishes); with constant
         mu it is identically zero, which is why the scalar path never
-        needed it."""
+        needed it. ``gu``: optional precomputed gradient tensor."""
         dmu = self._array_grad(self._nu_field)
-        gu = [self._grad(v) for v in self.vel]  # per component k: (dim,*nx)
+        if gu is None:
+            gu = [self._grad(v) for v in self.vel]  # k: (dim,*nx)
         return [
             sum(dmu[k] * gu[k][j] for k in range(self.mesh.dim))
             for j in range(self.mesh.dim)
@@ -461,8 +477,12 @@ class LidDrivenCavity:
         mesh = self.mesh
         dim = mesh.dim
 
+        # gradient tensor of the time-n velocities, shared by the
+        # strain-rate viscosity update and the transpose-stress source
+        gu_n = None
         if self.mu_strain_fn is not None:
-            self.update_viscosity(self.mu_strain_fn(self.strain_rate()))
+            gu_n = [self._grad(v) for v in self.vel]
+            self.update_viscosity(self.mu_strain_fn(self.strain_rate(gu_n)))
 
         # 1. momentum: implicit diffusion; advection either explicit
         # (reference-style splitting) or implicit via fdm.conv (Picard-
@@ -490,7 +510,7 @@ class LidDrivenCavity:
             rhs_pg[j] + self._extra_momentum_rhs(j) for j in range(dim)
         ]
         if self._nu_field is not None:
-            trans = self._visc_transpose_rhs()
+            trans = self._visc_transpose_rhs(gu_n)
             rhs_pg = [rhs_pg[j] + trans[j] for j in range(dim)]
         if self.implicit_advection:
             uvec = jnp.concatenate([v() for v in self.vel], axis=0)
@@ -692,13 +712,7 @@ class ChannelFlow(LidDrivenCavity):
                  mu_strain_fn=None):
         assert mesh.dim in (2, 3) and mesh.coord_sys == "xyz"
         self.mesh = mesh
-        self.mu_strain_fn = mu_strain_fn
-        if hasattr(nu, "ndim") and getattr(nu, "ndim", 0) >= mesh.dim:
-            import numpy as _np
-
-            self._nu_field = jnp.asarray(nu)
-            nu = float(_np.mean(_np.asarray(nu)))
-        self.nu = nu
+        self.nu = self._init_viscosity(nu, mu_strain_fn)
         self.u_in = float(u_in)
         self.lid = 0.0
         self.implicit_advection = implicit_advection

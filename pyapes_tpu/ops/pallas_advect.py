@@ -162,20 +162,25 @@ def _advect_kernel(
             cm = -2.0 * inv2 * g_max
 
         lo_kind, up_kind = surgery[j]
+        # ADDITIVE edits from the PRE-SURGERY coefficients (cm0/cp0):
+        # the jnp path applies both faces' eliminations as independent
+        # .at[].add's, so when the edited rows coincide (nj == 3) a
+        # sequential where-chain would consume the other face's edit.
+        cm0, cp0 = cm, cp
         if lo_kind == "neumann":
             m = rows == 1
-            cc = jnp.where(m, cc + (4.0 / 3.0) * cm, cc)
-            cp = jnp.where(m, cp - (1.0 / 3.0) * cm, cp)
-            cm = jnp.where(m, 0.0, cm)
+            cc = cc + jnp.where(m, (4.0 / 3.0) * cm0, 0.0)
+            cp = cp + jnp.where(m, (-1.0 / 3.0) * cm0, 0.0)
+            cm = cm - jnp.where(m, cm0, 0.0)
         elif lo_kind == "periodic":
-            cm = jnp.where(rows == 1, 0.0, cm)
+            cm = cm - jnp.where(rows == 1, cm0, 0.0)
         if up_kind == "neumann":
             m = rows == nj - 2
-            cc = jnp.where(m, cc + (4.0 / 3.0) * cp, cc)
-            cm = jnp.where(m, cm - (1.0 / 3.0) * cp, cm)
-            cp = jnp.where(m, 0.0, cp)
+            cc = cc + jnp.where(m, (4.0 / 3.0) * cp0, 0.0)
+            cm = cm + jnp.where(m, (-1.0 / 3.0) * cp0, 0.0)
+            cp = cp - jnp.where(m, cp0, 0.0)
         elif up_kind == "periodic":
-            cp = jnp.where(rows == nj - 2, 0.0, cp)
+            cp = cp - jnp.where(rows == nj - 2, cp0, 0.0)
 
         out = out + (cp * xp + cc * xc + cm * xm)
 
@@ -266,20 +271,22 @@ def _conv_kernel(
             cm = -2.0 * inv2 * g_max
 
         lo_kind, up_kind = surgery[j]
+        # additive edits from pre-surgery coefficients (see _advect_kernel)
+        cm0, cp0 = cm, cp
         if lo_kind == "neumann":
             m = rows == 1
-            cc = jnp.where(m, cc + (4.0 / 3.0) * cm, cc)
-            cp = jnp.where(m, cp - (1.0 / 3.0) * cm, cp)
-            cm = jnp.where(m, 0.0, cm)
+            cc = cc + jnp.where(m, (4.0 / 3.0) * cm0, 0.0)
+            cp = cp + jnp.where(m, (-1.0 / 3.0) * cm0, 0.0)
+            cm = cm - jnp.where(m, cm0, 0.0)
         elif lo_kind == "periodic":
-            cm = jnp.where(rows == 1, 0.0, cm)
+            cm = cm - jnp.where(rows == 1, cm0, 0.0)
         if up_kind == "neumann":
             m = rows == nj - 2
-            cc = jnp.where(m, cc + (4.0 / 3.0) * cp, cc)
-            cm = jnp.where(m, cm - (1.0 / 3.0) * cp, cm)
-            cp = jnp.where(m, 0.0, cp)
+            cc = cc + jnp.where(m, (4.0 / 3.0) * cp0, 0.0)
+            cm = cm + jnp.where(m, (-1.0 / 3.0) * cp0, 0.0)
+            cp = cp - jnp.where(m, cp0, 0.0)
         elif up_kind == "periodic":
-            cp = jnp.where(rows == nj - 2, 0.0, cp)
+            cp = cp - jnp.where(rows == nj - 2, cp0, 0.0)
 
         out = out + (cp * xp + cc * xc + cm * xm)
 
@@ -492,16 +499,18 @@ def _diff_kernel(
         cm = face(gc, gmn) * inv
         cc = -(cp + cm)
         lo_kind, up_kind = surgery[j]
+        # additive edits from pre-surgery coefficients (see _advect_kernel)
+        cm0, cp0 = cm, cp
         if lo_kind == "neumann":
             m = rows == 1
-            cc = jnp.where(m, cc + (4.0 / 3.0) * cm, cc)
-            cp = jnp.where(m, cp - (1.0 / 3.0) * cm, cp)
-            cm = jnp.where(m, 0.0, cm)
+            cc = cc + jnp.where(m, (4.0 / 3.0) * cm0, 0.0)
+            cp = cp + jnp.where(m, (-1.0 / 3.0) * cm0, 0.0)
+            cm = cm - jnp.where(m, cm0, 0.0)
         if up_kind == "neumann":
             m = rows == nj - 2
-            cc = jnp.where(m, cc + (4.0 / 3.0) * cp, cc)
-            cm = jnp.where(m, cm - (1.0 / 3.0) * cp, cm)
-            cp = jnp.where(m, 0.0, cp)
+            cc = cc + jnp.where(m, (4.0 / 3.0) * cp0, 0.0)
+            cm = cm + jnp.where(m, (-1.0 / 3.0) * cp0, 0.0)
+            cp = cp - jnp.where(m, cp0, 0.0)
         out = out + (cp * xp + cc * xc + cm * xm)
 
     out_ref[:, :, :] = out.astype(out_ref.dtype)
@@ -642,16 +651,18 @@ def _diff_jac_kernel(
         cm = face(gc, gmn) * inv
         cc = -(cp + cm)
         lo_kind, up_kind = surgery[j]
+        # additive edits from pre-surgery coefficients (see _advect_kernel)
+        cm0, cp0 = cm, cp
         if lo_kind == "neumann":
             m = rows == 1
-            cc = jnp.where(m, cc + (4.0 / 3.0) * cm, cc)
-            cp = jnp.where(m, cp - (1.0 / 3.0) * cm, cp)
-            cm = jnp.where(m, 0.0, cm)
+            cc = cc + jnp.where(m, (4.0 / 3.0) * cm0, 0.0)
+            cp = cp + jnp.where(m, (-1.0 / 3.0) * cm0, 0.0)
+            cm = cm - jnp.where(m, cm0, 0.0)
         if up_kind == "neumann":
             m = rows == nj - 2
-            cc = jnp.where(m, cc + (4.0 / 3.0) * cp, cc)
-            cm = jnp.where(m, cm - (1.0 / 3.0) * cp, cm)
-            cp = jnp.where(m, 0.0, cp)
+            cc = cc + jnp.where(m, (4.0 / 3.0) * cp0, 0.0)
+            cm = cm + jnp.where(m, (-1.0 / 3.0) * cp0, 0.0)
+            cp = cp - jnp.where(m, cp0, 0.0)
         diag = diag + cc
         if need_x:
             if j == 0:

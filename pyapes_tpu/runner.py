@@ -235,22 +235,14 @@ def _run_darcy(args) -> dict:
     from pyapes_tpu.variables import Field
     from pyapes_tpu.variables.bcs import mixed_bcs
 
+    from pyapes_tpu.testing.darcy import (
+        inlet_outlet_flux,
+        log_normal_permeability,
+    )
+
     n = args.n
     mesh = Mesh(Box[0:1, 0:1], None, [n, n], dtype=args.dtype)
-    X, Y = (np.asarray(g) for g in mesh._grid_np)
-    rng = np.random.default_rng(args.seed)
-    logk = np.zeros_like(X)
-    for _ in range(6):
-        kx, ky = rng.integers(1, 4, size=2)
-        ph = rng.uniform(0, 2 * np.pi, size=2)
-        logk += 0.5 * np.cos(2 * np.pi * kx * X + ph[0]) * np.cos(
-            2 * np.pi * ky * Y + ph[1]
-        )
-    logk += args.contrast * (
-        ((X - 0.35) ** 2 + (Y - 0.6) ** 2 < 0.12**2)
-        | ((X - 0.7) ** 2 + (Y - 0.3) ** 2 < 0.10**2)
-    )
-    K = np.exp(logk)
+    K = log_normal_permeability(mesh, seed=args.seed, contrast=args.contrast)
 
     bcs = mixed_bcs(
         [1.0, 0.0, 0.0, 0.0],
@@ -279,11 +271,7 @@ def _run_darcy(args) -> dict:
     wall = time.perf_counter() - tic
 
     ph = np.asarray(pf()[0])
-    dx, dy = (float(d) for d in mesh.dx_np)
-    Kf_in = 0.5 * (K[0] + K[1])
-    Kf_out = 0.5 * (K[-1] + K[-2])
-    Q_in = float(np.sum(-Kf_in * (ph[1] - ph[0]) / dx) * dy)
-    Q_out = float(np.sum(-Kf_out * (ph[-1] - ph[-2]) / dx) * dy)
+    Q_in, Q_out = inlet_outlet_flux(K, ph, mesh)
     out = {
         "report": dict(rep),
         "wall_s": wall,

@@ -229,6 +229,10 @@ class DifferentiableDiffusionSolve:
                  avg: str = "arithmetic", symmetric: bool = False):
         from pyapes_tpu.ops.stencil import div_surgery_info
 
+        assert mesh.coord_sys == "xyz", (
+            "DifferentiableDiffusionSolve: rz meshes not supported (the "
+            "Cartesian flux form lacks the 1/r metric terms)"
+        )
         for bc in bcs or []:
             v = getattr(bc, "bc_val", 0.0)
             homogeneous = v is None or (

@@ -114,11 +114,22 @@ class Laplacian(Operators):
             coeff = inputs[0]
             if isinstance(coeff, int):
                 coeff = float(coeff)
+            var = inputs[1]
             if isinstance(coeff, (tuple, list)):
                 # per-axis (diagonal-tensor) diffusivity: stack to
-                # ``(dim, *nx)`` — axis j diffuses with coeff[j]
-                coeff = jnp.stack([jnp.asarray(c) for c in coeff])
-            var = inputs[1]
+                # ``(dim, *nx)`` — axis j diffuses with coeff[j];
+                # scalar entries broadcast to the full grid
+                coeff = jnp.stack(
+                    [
+                        jnp.broadcast_to(
+                            jnp.asarray(
+                                float(c) if isinstance(c, (int, float)) else c
+                            ),
+                            tuple(var.mesh.nx),
+                        )
+                        for c in coeff
+                    ]
+                )
         elif len(inputs) == 1:
             coeff = None
             var = inputs[0]

@@ -653,7 +653,14 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             paxes=paxes or (),
             dtype=x0.dtype,
             use_pallas=(
-                decomp is None and jax.default_backend() == "tpu"
+                decomp is None
+                and (
+                    jax.default_backend() == "tpu"
+                    # kernel="pallas" forces the Pallas tiers on CPU
+                    # (interpret mode) so tests exercise the MG kernel
+                    # wiring end-to-end
+                    or kernel == "pallas"
+                )
             ),
             rz=(mesh.coord_sys == "rz"),
             r_lower=float(mesh._lower_np[0]),
@@ -719,6 +726,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         use_pallas,
         use_sharded_pallas,
         advect_pallas,
+        diff_pallas,
         mg_spec,
         config.get("nullspace"),
         config.get("debug"),

@@ -562,6 +562,7 @@ class MGSpec:
                             for cs in coeffs
                         ),
                         x,
+                        interpret=jax.default_backend() != "tpu",
                     )
             from pyapes_tpu.ops.stencil import apply_axis_stencil
 
@@ -578,7 +579,8 @@ class MGSpec:
 
             if pallas_supported(tuple(shape), x.dtype):
                 return pallas_axis_stencil(
-                    self._level_coeffs(shape, x.dtype), x
+                    self._level_coeffs(shape, x.dtype), x,
+                    interpret=jax.default_backend() != "tpu",
                 )
         if self._surgery:
             from pyapes_tpu.ops.stencil import apply_axis_stencil
@@ -624,7 +626,8 @@ class MGSpec:
             j for j in range(len(shape)) if j not in self.paxes
         )
         return pallas_jacobi3d(
-            x, b, tuple(self._inv_dx2(shape)), alpha, beta, mask_axes
+            x, b, tuple(self._inv_dx2(shape)), alpha, beta, mask_axes,
+            interpret=jax.default_backend() != "tpu",
         )
 
     def _parity(self, shape):

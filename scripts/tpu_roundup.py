@@ -174,7 +174,10 @@ def main():
     except Exception:
         record("bench_headline", {"error": p.stderr.strip()[-400:]})
     # 3. darcy bench: jnp vs pallas kernel
-    for kern, envv in (("auto", {}), ):
+    for kern, envv in (
+        ("auto", {}),
+        ("jnp", {"PYAPES_BENCH_KERNEL": "jnp"}),
+    ):
         e = {"PYAPES_BENCH_CASE": "darcy"}
         e.update(envv)
         t0 = time.time()
