@@ -11,7 +11,9 @@ from pyapes_tpu.models.natural_convection import NaturalConvection
 from pyapes_tpu.models.navier_stokes import (
     ChannelFlow,
     LidDrivenCavity,
+    carreau_viscosity,
     power_law_viscosity,
+    smagorinsky_viscosity,
 )
 from pyapes_tpu.models.rfp_evolution import RFPEvolution
 from pyapes_tpu.models.rosenbluth import RosenbluthPotentials
@@ -24,7 +26,9 @@ __all__ = [
     "ChannelFlow",
     "LidDrivenCavity",
     "NaturalConvection",
+    "carreau_viscosity",
     "power_law_viscosity",
+    "smagorinsky_viscosity",
     "RFPEvolution",
     "RosenbluthPotentials",
 ]

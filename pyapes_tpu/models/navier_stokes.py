@@ -78,6 +78,32 @@ def carreau_viscosity(mu0: float, mu_inf: float, lam: float, n: float):
     return mu
 
 
+def smagorinsky_viscosity(nu: float, mesh, cs: float = 0.17, damping=None):
+    """Smagorinsky LES eddy-viscosity closure:
+    ``nu_eff(|S|) = nu + (C_s Δ)² |S|`` with ``Δ = (Π dx_j)^{1/dim}``
+    and ``|S| = sqrt(2 S:S)`` — exactly what :meth:`strain_rate`
+    returns, so this is a drop-in ``mu_strain_fn``: the eddy viscosity
+    re-evaluates per step from the resolved strain field and STREAMS
+    into the compiled momentum solver (one compile for the whole run,
+    same machinery as the power-law/Carreau laws above).
+
+    ``damping``: optional per-point array multiplying ``(C_s Δ)²``
+    (e.g. a Van Driest wall-damping factor ``(1 - exp(-y+/A+))²``
+    precomputed from the wall distance); ``None`` = no damping.
+    """
+    import numpy as _np
+
+    delta = float(_np.prod(_np.asarray(mesh.dx_np))) ** (1.0 / mesh.dim)
+    c2 = (cs * delta) ** 2
+    if damping is not None:
+        c2 = c2 * jnp.asarray(damping)
+
+    def mu(gdot):
+        return nu + c2 * gdot
+
+    return mu
+
+
 def _obstacle_setup(mesh):
     """No-slip immersed bodies: obstacle BC configs for (u, v), zero-flux
     for p, the solid body mask, and a 2-cell dilation of it (or Nones
