@@ -11,6 +11,7 @@ from pyapes_tpu.models.natural_convection import NaturalConvection
 from pyapes_tpu.models.navier_stokes import (
     ChannelFlow,
     LidDrivenCavity,
+    PeriodicFlow,
     carreau_viscosity,
     power_law_viscosity,
     smagorinsky_viscosity,
@@ -25,6 +26,7 @@ __all__ = [
     "BurgersND",
     "ChannelFlow",
     "LidDrivenCavity",
+    "PeriodicFlow",
     "NaturalConvection",
     "carreau_viscosity",
     "power_law_viscosity",

@@ -26,11 +26,15 @@ from pyapes_tpu.variables import Field
 from pyapes_tpu.variables.bcs import BoxBoundary
 
 
-def _ddx(f, dx, axis):
+def _ddx(f, dx, axis, periodic=False):
     """Central difference with one-sided 2nd-order edges (surgery-free
     derivative of a raw array; used only where no Field/BC context exists —
-    the models' own derivatives go through ``FDC`` below, VERDICT r1 #5)."""
-    d = (jnp.roll(f, -1, axis) - jnp.roll(f, 1, axis)) / (2 * dx)
+    the models' own derivatives go through ``FDC`` below, VERDICT r1 #5).
+
+    ``periodic=True``: exact torus stencil on a duplicated-endpoint axis
+    (drop the duplicate seam row, wrap with ``roll``, restore the seam) —
+    plain ``roll`` on the full grid grabs the duplicate instead of the
+    true neighbor, an O(1) error at both seam rows."""
     il = [slice(None)] * f.ndim
 
     def row(i):
@@ -38,6 +42,12 @@ def _ddx(f, dx, axis):
         s[axis] = i
         return tuple(s)
 
+    if periodic:
+        fr = f[row(slice(None, -1))]
+        d = (jnp.roll(fr, -1, axis) - jnp.roll(fr, 1, axis)) / (2 * dx)
+        return jnp.concatenate([d, d[row(slice(0, 1))]], axis=axis)
+
+    d = (jnp.roll(f, -1, axis) - jnp.roll(f, 1, axis)) / (2 * dx)
     d = d.at[row(0)].set(
         (-1.5 * f[row(0)] + 2 * f[row(1)] - 0.5 * f[row(2)]) / dx
     )
@@ -377,7 +387,10 @@ class LidDrivenCavity:
         # u_min ~ -0.195 vs Ghia -0.2109).
         self.dp = self.p.zeros_like()
         self.dp.name = "dp"
-        self._rc_mask = None
+        if not hasattr(self, "_rc_mask"):
+            # None -> step() builds the default wall-clipped interior
+            # mask lazily; subclasses (PeriodicFlow) may pre-set their own
+            self._rc_mask = None
         self.fdm = FDM()
         # Framework FDC for the model's explicit derivatives (round-1 used
         # private _ddx helpers duplicating it — VERDICT r1 item 5): central
@@ -583,8 +596,14 @@ class LidDrivenCavity:
             # the RHS makes the scheme consistent to O(dt (p - p_prev))
             # and damps the decoupled mode.
             gp = self._grad(self.p)
+            paxes = {
+                bc.bc_face_dim
+                for bc in (self.p.bcs or [])
+                if bc.bc_type == "periodic"
+            }
             lap_w = sum(
-                _ddx(gp[j], float(mesh.dx_np[j]), j) for j in range(dim)
+                _ddx(gp[j], float(mesh.dx_np[j]), j, periodic=j in paxes)
+                for j in range(dim)
             )
             lap_c = self._fdc.laplacian(self.p, edge=True)[0]
             rc = lap_c - lap_w
@@ -809,3 +828,93 @@ class ChannelFlow(LidDrivenCavity):
         for j in range(1, self.mesh.dim):
             u = np.trapezoid(u, dx=float(self.mesh.dx_np[j]), axis=0)
         return float(u)
+
+
+class PeriodicFlow(LidDrivenCavity):
+    """Incompressible Navier-Stokes on a fully periodic box (torus).
+
+    Every velocity component and the pressure are periodic on all faces.
+    The pressure Poisson system is singular (constant nullspace); the
+    solver handles it with the zero-mean compatibility projection on the
+    torus-reduced system (duplicated wrap nodes never enter the Krylov
+    space, ``linalg._reduce_periodic``).
+
+    The analytic anchor is the decaying Taylor-Green vortex
+    (``tests/test_models.py::test_taylor_green_decay``): on ``[0,1]^2``
+
+        u = -cos(2 pi x) sin(2 pi y) exp(-8 pi^2 nu t)
+        v =  sin(2 pi x) cos(2 pi y) exp(-8 pi^2 nu t)
+
+    the nonlinear term is a pure gradient absorbed by
+    ``p = -(cos(4 pi x) + cos(4 pi y))/4 exp(-16 pi^2 nu t)``, so the
+    velocity decays self-similarly — an exact transient that exercises
+    advection, projection, and the periodic-BC machinery together. The
+    reference has no periodic NS capability (it has no NS model at all;
+    its periodic BC is ``bcs.py:265-280``).
+
+    Optionally carries immersed obstacles (flow past a periodic array of
+    bodies) via the same obstacle-BC composition as the cavity/channel
+    models.
+    """
+
+    def __init__(self, mesh: Mesh, nu: float = 0.01, config=None,
+                 implicit_advection: bool = False, rhie_chow: bool = True,
+                 incremental: bool = True, mu_strain_fn=None):
+        assert mesh.dim in (2, 3) and mesh.coord_sys == "xyz"
+        self.mesh = mesh
+        self.nu = self._init_viscosity(nu, mu_strain_fn)
+        self.lid = 0.0
+        self.implicit_advection = implicit_advection
+        self.rhie_chow = rhie_chow
+        self.incremental = incremental
+
+        from pyapes_tpu.geometry.basis import FDIR
+
+        dim = mesh.dim
+        faces = FDIR[: 2 * dim]
+
+        def per_bcs():
+            return [
+                {"bc_face": f, "bc_type": "periodic", "bc_val": None,
+                 "bc_val_opt": None}
+                for f in faces
+            ]
+
+        uv_obs, p_obs, self._body, self._body_near = _obstacle_setup(mesh)
+        names = ("u", "v", "w")[:dim]
+        self.vel = [
+            Field(nm, 1, mesh, {"domain": per_bcs(), "obstacle": uv_obs},
+                  init_val=0.0)
+            for nm in names
+        ]
+        self.u = self.vel[0]
+        self.v = self.vel[1]
+        if dim == 3:
+            self.w = self.vel[2]
+        self.p = Field("p", 1, mesh, {"domain": per_bcs(), "obstacle": p_obs},
+                       init_val=0.0)
+
+        # Torus: the wide/compact mismatch the Rhie-Chow term corrects is
+        # O(h^2) everywhere (no walls, no corners), so stabilize the whole
+        # domain instead of the wall-clipped interior mask.
+        self._rc_mask = jnp.ones(tuple(mesh.nx), dtype=bool)
+        self._singular_pressure = True
+        self._init_solvers(config)
+
+    def set_velocity(self, *components) -> None:
+        """Set the velocity (one ``(*nx)`` array per component) and
+        re-apply the periodic wraps."""
+        assert len(components) == self.mesh.dim
+        for var, arr in zip(self.vel, components):
+            var.set_var_tensor(jnp.asarray(arr)[None])
+            var.apply_bcs()
+
+    def kinetic_energy(self) -> jnp.ndarray:
+        """Volume-integrated kinetic energy (device scalar; the wrap row
+        of each periodic axis is excluded to avoid double counting)."""
+        red = tuple(slice(None, -1) for _ in range(self.mesh.dim))
+        ke = sum(0.5 * v()[0][red] ** 2 for v in self.vel)
+        dv = 1.0
+        for d in self.mesh.dx_np:
+            dv = dv * float(d)
+        return jnp.sum(ke) * dv

@@ -145,11 +145,12 @@ def grad_axis_coeffs(mesh, bcs, gamma: float = 1.0, dtype=None) -> tuple:
         for bc in _aligned_bcs(bcs, j):
             if bc.bc_type in ("neumann", "symmetry"):
                 _eliminate_boundary_node(ap, ac, am, bc.bc_n_dir < 0)
-            elif bc.bc_type == "periodic":
-                if bc.bc_n_dir < 0:
-                    am[1] = 0.0
-                else:
-                    ap[-2] = 0.0
+            # Periodic faces: NO surgery — every node of the torus is
+            # interior. The implicit path solves on the reduced torus
+            # (``linalg._reduce_periodic`` rebuilds the vectors anyway);
+            # the explicit path applies the exact reduced-roll stencil
+            # (``fdc._A_coeff_var_sum``), which consumes interior values
+            # at every row.
         scale = 2.0 * dxj
         out.append(
             (
@@ -236,11 +237,7 @@ def div_axis_coeffs(
         for bc in _aligned_bcs(bcs, j):
             if bc.bc_type in ("neumann", "symmetry"):
                 _eliminate_boundary_node(ap, ac, am, bc.bc_n_dir < 0)
-            elif bc.bc_type == "periodic":
-                if bc.bc_n_dir < 0:
-                    am[1] = 0.0
-                else:
-                    ap[-2] = 0.0
+            # periodic: no surgery (see grad_axis_coeffs)
         scale = 2.0 * dxj
         if limiter == "quick":
             out.append(

@@ -36,6 +36,27 @@ def _row_sel(axis: int, idx: int, leading: int = 0) -> tuple:
     return (slice(None),) * (leading + axis) + (idx,)
 
 
+def _periodic_axes_of(var: Field) -> tuple[int, ...]:
+    """Mesh axes on which ``var`` carries periodic BCs.
+
+    The grid stores BOTH endpoints of a periodic axis (duplicated seam
+    node, reference ``_mesh.py:84-96``), so ``jnp.roll`` is NOT the
+    periodic stencil on the full grid: node 0's minus-neighbor is node
+    ``n-2`` (node ``n-1`` IS node 0), while roll grabs node ``n-1``. The
+    implicit solver handles this by solving on the reduced torus
+    (``linalg._reduce_periodic``); the explicit appliers reduce/restore
+    per axis inside ``_A_coeff_var_sum``."""
+    return tuple(
+        sorted(
+            {
+                bc.bc_face_dim
+                for bc in (var.bcs or [])
+                if getattr(bc, "bc_type", None) == "periodic"
+            }
+        )
+    )
+
+
 def _face_bcs(var: Field, axis: int):
     """Domain-face BCs whose normal has a component along ``axis``.
 
@@ -96,19 +117,26 @@ class Discretizer(ABC):
                 )
 
         v = var()
+        # Periodic axes: exact torus stencils inside _A_coeff_var_sum, and
+        # NO one-sided edge replacement (the wrap rows are interior nodes
+        # of the torus — one-sided formulas would be both less accurate
+        # and inconsistent between the two duplicate seam rows).
+        paxes = _periodic_axes_of(var)
 
         if self.op_type == "Grad":
             dis_var_dim = []
             for idx in range(var.dim):
                 grad_d = [
-                    _A_coeff_var_sum(A_coeffs, v, idx, dim, var.dim)
+                    _A_coeff_var_sum(A_coeffs, v, idx, dim, var.dim, paxes)
                     for dim in range(var.mesh.dim)
                 ]
                 dis_var_dim.append(jnp.stack(grad_d))
             discretized = jnp.stack(dis_var_dim)
             if edge:
                 for dim in range(discretized.shape[0]):
-                    discretized = _treat_edge(discretized, var, self.op_type, dim)
+                    discretized = _treat_edge(
+                        discretized, var, self.op_type, dim, skip_axes=paxes
+                    )
 
         elif self.op_type == "Div":
             form = "conservative"
@@ -116,8 +144,8 @@ class Discretizer(ABC):
                 form = self.config["div"].get("form", "conservative")
             acc = jnp.zeros_like(v[0])
             for idx in range(var.mesh.dim):
-                disc = _A_coeff_var_sum(A_coeffs, v, idx, idx, var.dim)
-                if edge:
+                disc = _A_coeff_var_sum(A_coeffs, v, idx, idx, var.dim, paxes)
+                if edge and idx not in paxes:
                     disc = _treat_edge(
                         disc, var, self.op_type, idx, self.var_addition, form
                     )
@@ -135,8 +163,9 @@ class Discretizer(ABC):
             for idx in range(var.dim):
                 s = jnp.zeros_like(v[0])
                 for dim in range(var.mesh.dim):
-                    term = _A_coeff_var_sum(A_coeffs, v, idx, dim, var.dim)
-                    if edge:
+                    term = _A_coeff_var_sum(A_coeffs, v, idx, dim, var.dim,
+                                            paxes)
+                    if edge and dim not in paxes:
                         term = _one_sided_second_derivative(
                             term, v[idx if var.dim > 1 else 0], dim,
                             var.mesh.dx[dim],
@@ -201,27 +230,49 @@ def _A_coeff_var_sum(
     idx: int,
     dim: int,
     vdim: int,
+    paxes: tuple = (),
 ) -> jnp.ndarray:
     """Roll-sum of the stencil coefficients along mesh-axis ``dim``
     (reference ``fdc.py:171-200``). Accepts the full-grid 5-bank layout or
     the separable ``AxisCoeffs`` vectors (identical term order, so results
-    agree exactly: the banks' zero App/Amm terms add exact zeros)."""
+    agree exactly: the banks' zero App/Amm terms add exact zeros).
+
+    If ``dim`` is a periodic axis (``dim in paxes``), the sum runs on the
+    reduced torus (duplicate seam node dropped — where ``jnp.roll`` IS the
+    exact periodic stencil) and the duplicate output row is restored
+    afterwards. Coefficients on a periodic axis carry interior values at
+    every node (no seam surgery), so slicing their rows is exact."""
     v_idx = 0 if vdim == 1 else idx
+    vv = v[v_idx]
+    periodic = dim in paxes
+    red = _row_sel(dim, slice(None, -1))
     if isinstance(A_coeffs, AxisCoeffs):
         cs = A_coeffs.vecs[dim]
-        shape = [1] * (v.ndim - 1)
-        shape[dim] = -1
         offsets = (-1, 0, 1) if len(cs) == 3 else (-2, -1, 0, 1, 2)
-        summed = jnp.zeros_like(v[0])
+        if periodic:
+            vv = vv[red]
+            cs = tuple(c[:-1] for c in cs)
+        shape = [1] * vv.ndim
+        shape[dim] = -1
+        summed = jnp.zeros_like(vv)
         for c, off in zip(cs, offsets):
-            shifted = jnp.roll(v[v_idx], off, dim) if off else v[v_idx]
+            shifted = jnp.roll(vv, off, dim) if off else vv
             summed = summed + c.reshape(shape) * shifted
-        return summed
-    assert len(A_coeffs) == 5, "FDC: the total number of coefficient tensors should be 5!"
-    summed = jnp.zeros_like(v[0])
-    for i, c in enumerate(A_coeffs):
-        coeff = c[dim][v_idx]
-        summed = summed + coeff * jnp.roll(v[v_idx], -2 + i, dim)
+    else:
+        assert len(A_coeffs) == 5, (
+            "FDC: the total number of coefficient tensors should be 5!"
+        )
+        if periodic:
+            vv = vv[red]
+        summed = jnp.zeros_like(vv)
+        for i, c in enumerate(A_coeffs):
+            coeff = c[dim][v_idx]
+            if periodic:
+                coeff = coeff[red]
+            summed = summed + coeff * jnp.roll(vv, -2 + i, dim)
+    if periodic:
+        seam = summed[_row_sel(dim, slice(0, 1))]
+        summed = jnp.concatenate([summed, seam], axis=dim)
     return summed
 
 
@@ -253,14 +304,19 @@ def _treat_edge(
     dim: int,
     var_add=None,
     form: str = "conservative",
+    skip_axes: tuple = (),
 ) -> jnp.ndarray:
     """One-sided 2nd-order boundary treatment for ``edge=True`` mode
-    (reference ``fdc.py:203-366``). Returns the updated array."""
+    (reference ``fdc.py:203-366``). Returns the updated array.
+    ``skip_axes``: periodic axes — their wrap rows are torus-interior
+    nodes, already exact from the reduced-roll apply."""
     md = var.mesh.dim
     v = var()
 
     if ops == "Grad":
         for idx in range(md):
+            if idx in skip_axes:
+                continue
             for side in (0, 1):
                 if side == 0:
                     i0, i1, i2, sgn = 0, 1, 2, -1.0
@@ -529,11 +585,11 @@ def _grad_central_adjust(
                     Ac[j] = Ac[j].at[sel].add((4.0 / 3.0) * c0)
                     Am[j] = Am[j].at[sel].add(-(1.0 / 3.0) * c0)
                     Ap[j] = Ap[j].at[sel].set(0.0)
-            elif bc.bc_type == "periodic":
-                if bc.bc_n_dir < 0:
-                    Am[j] = Am[j].at[sel].set(0.0)
-                else:
-                    Ap[j] = Ap[j].at[sel].set(0.0)
+            # Periodic faces need NO surgery: every node of the torus is
+            # interior, and the explicit apply runs the exact reduced-roll
+            # stencil (``_A_coeff_var_sum``). (Rounds 1-2 zeroed the
+            # seam-adjacent coefficients here, which broke explicit
+            # operators at rows 1 and n-2 of a periodic axis.)
         Ap[j] = Ap[j].at[dim].divide(2.0 * dx[j])
         Ac[j] = Ac[j].at[dim].divide(2.0 * dx[j])
         Am[j] = Am[j].at[dim].divide(2.0 * dx[j])
@@ -642,6 +698,7 @@ def _adv_central(
     Ap, Ac, Am = A_ops
     n2d = n2d_coord(var.mesh.coord_sys)
     advection = jnp.zeros_like(var()[0])
+    paxes = _periodic_axes_of(var)
 
     for i in range(var.dim):
         for j in range(var.mesh.dim):
@@ -656,8 +713,16 @@ def _adv_central(
             else:
                 advection = adv[i]
             if form == "conservative":
+                a_minus = jnp.roll(advection, 1, j)
+                if j in paxes:
+                    # duplicated-endpoint seam: the minus-neighbor of row
+                    # 0 is row n-2 (roll grabs the duplicate row n-1); the
+                    # reduced-roll apply consumes bank row 0, so fix it
+                    a_minus = a_minus.at[_row_sel(j, 0)].set(
+                        advection[_row_sel(j, -2)]
+                    )
                 Ap[j] = Ap[j].at[i].multiply(jnp.roll(advection, -1, j))
-                Am[j] = Am[j].at[i].multiply(jnp.roll(advection, 1, j))
+                Am[j] = Am[j].at[i].multiply(a_minus)
             else:
                 Ap[j] = Ap[j].at[i].multiply(advection)
                 Am[j] = Am[j].at[i].multiply(advection)

@@ -289,16 +289,24 @@ class Symmetry(BC):
 
 
 class Periodic(BC):
-    """Periodic BC (reference ``bcs.py:265-280``): the lower side takes
-    ``p1 - p[-1] + p[-2]``; the upper side copies the lower boundary."""
+    """Periodic BC: the grid stores BOTH endpoints of a periodic axis, and
+    they are the SAME physical torus node. Row 0 is authoritative (the
+    implicit solver solves the reduced torus and restores row ``n-1`` from
+    row 0, ``linalg._restore_periodic``; the explicit reduced-roll
+    operators produce row 0 exactly, ``fdc._A_coeff_var_sum``), so apply =
+    copy row 0 onto row ``n-1``. The lower face is a no-op.
+
+    The reference instead patches the lower seam with the extrapolation
+    ``p1 - p[-1] + p[-2]`` (``bcs.py:265-280``) — an O(h^2)-inconsistent
+    seam value that only survives because its solver re-applies BCs every
+    iteration. Applying it to an exactly-periodic field PERTURBS the seam
+    node by O(h^2) per call (caught by the Taylor-Green transient); not
+    replicated, see PARITY.md."""
 
     def _apply_one(self, var, grid, d, val=None):
         a = self._bc_face_dim
         if self._bc_n_dir < 0:
-            new = (
-                _row(var, d, a, 1) - _row(var, d, a, -1) + _row(var, d, a, -2)
-            )
-            return var.at[(d,) + _face_index(a, 0, 0)].set(new)
+            return var
         return var.at[(d,) + _face_index(a, -1, 0)].set(_row(var, d, a, 0))
 
 

@@ -283,13 +283,20 @@ class TestLaplacianAxisCoeffs:
         assert_allclose(np.asarray(am) * dx2, np.ones(6))
 
     def test_grad_periodic(self):
+        # Periodic gradient needs no surgery either: every node of the
+        # torus is interior (the seam handling lives in the appliers —
+        # reduced-roll in ``fdc._A_coeff_var_sum``, torus reduction in
+        # ``linalg._reduce_periodic``). Rounds 1-2 zeroed the
+        # seam-adjacent coefficients here, which broke EXPLICIT gradients
+        # at rows 1 and n-2 of a periodic axis (caught by the
+        # Taylor-Green transient, ``test_models.py::test_taylor_green_decay``).
         mesh, var = self._mesh("periodic")
         (ap, ac, am), = grad_axis_coeffs(mesh, var.bcs)
         dx2 = 2 * float(mesh.dx_np[0])
         ap, ac, am = (np.asarray(c) * dx2 for c in (ap, ac, am))
-        assert am[1] == 0.0
-        assert ap[-2] == 0.0
-        assert_allclose([ap[2], ac[2], am[2]], [1.0, 0.0, -1.0])
+        assert_allclose(ap, np.ones(6))
+        assert_allclose(ac, np.zeros(6))
+        assert_allclose(am, -np.ones(6))
 
     def test_div_upwind_const(self):
         mesh, var = self._mesh("dirichlet")

@@ -727,3 +727,71 @@ def test_smagorinsky_les_closure_and_high_re_cavity() -> None:
     assert nu_t.max() > 1.5 * nu_mol, nu_t.max()  # model active in shear
     # quiescent early-time core: eddy viscosity ~0 where strain ~0
     assert nu_t.min() >= -1e-12
+
+
+def test_taylor_green_decay() -> None:
+    """2-D decaying Taylor-Green vortex on the fully periodic box — an
+    EXACT transient NS solution (the nonlinear term is a pure gradient
+    absorbed by the pressure, so the velocity decays self-similarly at
+    rate exp(-8 pi^2 nu t)). Validates advection + incremental projection
+    + all-periodic BC machinery against a closed form; the reference has
+    no NS model and no periodic-flow capability."""
+    from pyapes_tpu.models import PeriodicFlow
+
+    n, nu = 65, 0.01
+    mesh = Mesh(Box[0:1, 0:1], None, [n, n])
+    model = PeriodicFlow(mesh, nu=nu)
+    k = 2 * pi
+    u0 = -jnp.cos(k * mesh.X) * jnp.sin(k * mesh.Y)
+    v0 = jnp.sin(k * mesh.X) * jnp.cos(k * mesh.Y)
+    model.set_velocity(u0, v0)
+
+    dt, steps = 2e-3, 50
+    model.run(dt, steps)
+    decay = exp(-2 * k**2 * nu * dt * steps)
+
+    u = np.asarray(model.u()[0])
+    v = np.asarray(model.v()[0])
+    u_ex = np.asarray(u0) * decay
+    v_ex = np.asarray(v0) * decay
+    rel_u = np.linalg.norm(u - u_ex) / np.linalg.norm(u_ex)
+    rel_v = np.linalg.norm(v - v_ex) / np.linalg.norm(v_ex)
+    assert rel_u < 0.01 and rel_v < 0.01, (rel_u, rel_v)
+
+    # kinetic energy: exact integral is 1/4 at t=0, decaying at twice the
+    # amplitude rate
+    ke = float(model.kinetic_energy())
+    assert abs(ke / (0.25 * decay**2) - 1.0) < 0.02, ke
+
+    # the field stays divergence-free in the projection sense
+    div = np.asarray(model.divergence())
+    assert np.abs(div).max() < 0.05, np.abs(div).max()
+
+
+def test_taylor_green_3d_z_invariant() -> None:
+    """z-invariant Taylor-Green in a fully periodic 3-D box must
+    reproduce the 2-D decay (w stays zero; no vortex stretching for a
+    z-invariant field) — validates the 3-D all-periodic NS path."""
+    from pyapes_tpu.models import PeriodicFlow
+
+    n, nz, nu = 33, 9, 0.01
+    mesh = Mesh(Box[0:1, 0:1, 0:1], None, [n, n, nz])
+    # tight tolerances: w picks up pressure-solve noise amplified by
+    # 1/dz through the projection, so the z-invariance bound below is
+    # solver-tolerance-limited, not scheme-limited
+    model = PeriodicFlow(mesh, nu=nu, config={"tol": 1e-9})
+    k = 2 * pi
+    u0 = -jnp.cos(k * mesh.X) * jnp.sin(k * mesh.Y)
+    v0 = jnp.sin(k * mesh.X) * jnp.cos(k * mesh.Y)
+    model.set_velocity(u0, v0, jnp.zeros_like(u0))
+
+    dt, steps = 2e-3, 20
+    model.run(dt, steps)
+    decay = exp(-2 * k**2 * nu * dt * steps)
+
+    u = np.asarray(model.u()[0])
+    w = np.asarray(model.w()[0])
+    u_ex = np.asarray(u0) * decay
+    rel_u = np.linalg.norm(u - u_ex) / np.linalg.norm(u_ex)
+    assert rel_u < 0.02, rel_u
+    assert np.abs(w).max() < 1e-6, np.abs(w).max()
