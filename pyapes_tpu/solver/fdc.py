@@ -437,8 +437,13 @@ class Laplacian(Discretizer):
                     # (lower) / Ap = 1 + s (upper); s = dr/(2r) in rz.
                     c0 = 1.0 - s_row if bc.bc_n_dir < 0 else 1.0 + s_row
                     at_bc = _return_bc_val(bc, var, i, j, bi)
+                    # np.float64 dx would strong-type the scatter value
+                    # to f64 (a FutureWarning-then-error on f32 fields)
                     rhs_adj = rhs_adj.at[(i,) + _row_sel(j, pi)].add(
-                        -(2.0 / 3.0) * c0 * at_bc / dx[j]
+                        jnp.asarray(
+                            -(2.0 / 3.0) * c0 * at_bc / dx[j],
+                            dtype=rhs_adj.dtype,
+                        )
                     )
         return rhs_adj
 

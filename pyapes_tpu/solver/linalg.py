@@ -470,10 +470,10 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         mesh: the mesh.
     """
     method = config["method"].lower()
-    if method not in ("cg", "bicgstab"):
+    if method not in ("cg", "bicgstab", "fastdiag"):
         raise RuntimeError(
-            f"Linalg: solver only supports CG and BICGSTAB. {method=} is not "
-            "supported."
+            "Linalg: solver supports CG, BICGSTAB and FASTDIAG. "
+            f"{method=} is not supported."
         )
     assert min(mesh.nx) >= 3, "Linalg: minimum grid size is 3 per direction"
 
@@ -625,6 +625,10 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     # Multigrid-preconditioned CG: the reference has no preconditioner;
     # for Poisson-class problems this cuts O(N) CG iterations to O(10).
     precond_kind = config.get("precond")
+    if method == "fastdiag":
+        # the direct solver needs no preconditioner (a model's default
+        # "mg" setting is simply ignored)
+        precond_kind = None
     mg_spec = None
     if precond_kind == "mg":
         from pyapes_tpu.solver.multigrid import MGSpec
@@ -730,6 +734,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         mg_spec,
         config.get("nullspace"),
         config.get("debug"),
+        tuple(sorted((config.get("fd_opts") or {}).items())),
     )
 
     grid_r = mesh.grid
@@ -998,7 +1003,97 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                     coeffs = ((ap0, ac0 + c1, am0),) + coeffs[1:]
                 return pallas_axis_stencil_dot(coeffs, v, interpret=_interp)
 
-        if method == "cg":
+        if method == "fastdiag":
+            # Fast-diagonalization DIRECT solve (solver/fastdiag.py): the
+            # operator must be a separable Kronecker sum — one constant-
+            # coefficient 3-point axis term plus any number of ddt
+            # (identity-shift) terms — on a product active set.
+            if decomp is not None:
+                raise ValueError(
+                    "fastdiag: domain decompositions are not supported "
+                    "(the dense per-axis transforms are single-device); "
+                    "use cg/bicgstab under a decomp"
+                )
+            if obn or excluded is not None or dyn_idxs:
+                raise ValueError(
+                    "fastdiag: obstacles break the product structure of "
+                    "the active set — use cg/bicgstab"
+                )
+            if mesh.coord_sys != "xyz":
+                raise ValueError(
+                    "fastdiag: rz axis operators can have zero "
+                    "off-diagonals at the r=0 face (not diagonally "
+                    "symmetrizable) — use cg/bicgstab"
+                )
+            if not (
+                len(ax_ids) == 1
+                and len(ax_ids) + len(ddt_ids) == len(term_descs)
+                and all(len(cs) == 3 for cs in tparams[ax_ids[0]]["axis"])
+                and np.ndim(tparams[ax_ids[0]].get("param", 0.0)) == 0
+            ):
+                raise ValueError(
+                    "fastdiag: equation must be one 3-point axis term "
+                    "(laplacian) plus ddt terms with scalar coefficients"
+                )
+            from pyapes_tpu.solver.fastdiag import FastDiag, axis_matrix_np
+
+            i_ax = ax_ids[0]
+            mats = [
+                axis_matrix_np(
+                    *tparams[i_ax]["axis"][j],
+                    active=slicer_t[j],
+                    periodic=bool(paxes and j in paxes),
+                )
+                for j in range(mesh.dim)
+            ]
+            fd_dtype = (config.get("fd_opts") or {}).get("dtype")
+            fd = FastDiag(mats, dtype=x0.dtype, transform_dtype=fd_dtype)
+            # compatibility weights for singular eliminated-Neumann
+            # systems: the LEFT null vector is the separable row-scale
+            # field (see _build_cg's null_shift derivation)
+            null_shift = None
+            if config.get("nullspace") == "mean":
+                dvs = []
+                any_scale = False
+                for j in range(mesh.dim):
+                    n = x0.shape[1 + j]
+                    dv = np.ones(n)
+                    if not (paxes and j in paxes):
+                        for bc in bcs_kept:
+                            if (
+                                getattr(bc, "bc_type", "")
+                                in ("neumann", "symmetry")
+                                and bc.bc_face_dim == j
+                            ):
+                                dv[1 if bc.bc_n_dir < 0 else n - 2] = 1.5
+                                any_scale = True
+                    dvs.append(dv)
+                if any_scale:
+                    ns = None
+                    for j, dv in enumerate(dvs):
+                        d = jnp.asarray(
+                            dv.reshape(
+                                tuple(
+                                    -1 if k == j else 1
+                                    for k in range(mesh.dim)
+                                )
+                            ),
+                            dtype=x0.dtype,
+                        )
+                        ns = d[None] if ns is None else ns * d[None]
+                    null_shift = ns
+            fn = _build_fastdiag(
+                Aop, apply_bcs, M, tol, max_it, fd,
+                act_sel=(slice(None),) + tuple(slicer_t),
+                i_ax=i_ax,
+                sign0=term_descs[i_ax][2],
+                has_p0=term_descs[i_ax][5],
+                ddt_ids=tuple(ddt_ids),
+                ddt_signs=tuple(term_descs[i][2] for i in ddt_ids),
+                project_mean=bool(config.get("nullspace") == "mean"),
+                null_shift=null_shift,
+            )
+        elif method == "cg":
             precond = mg_spec.preconditioner() if mg_spec is not None else None
             # fused dot(r, z): only when the interior mask is exactly the
             # MG mask (no obstacles, no torus reduction) so the in-kernel
@@ -1270,6 +1365,99 @@ def _build_cg(
         return apply_bcs_(x), itr, tol, hist
 
     return cg_fn
+
+
+def _build_fastdiag(
+    Aop, apply_bcs, M, tolerance, max_it, fd, act_sel, i_ax, sign0,
+    has_p0, ddt_ids, ddt_signs, project_mean=False, null_shift=None,
+):
+    """Fast-diagonalization direct solve wrapped in iterative refinement.
+
+    Each "iteration" is ``x += FD(b - A x)`` — one operator apply (the
+    same ``Aop`` the Krylov loop uses, so the reported tolerance is the
+    TRUE relative residual) plus one Kronecker eigen-solve (six dense
+    MXU contractions at 3-D). The refinement contracts by the one-pass
+    transform accuracy per pass (measured ~1e-2 for f32 AND bf16
+    factors, mildly size-dependent — see fastdiag.py), so ~3-4 passes
+    reach 1e-6 where MG-PCG needs 5+ full V-cycles, and each pass is
+    dense MXU work instead of HBM-bound stencils. The streamed scalars
+    (``gamma``, ``1/dt``) enter only the diagonal symbol —
+    dt/coefficient changes never recompile or re-factorize.
+
+    The reported criterion is always the relative residual (a direct
+    solver has no meaningful per-iteration delta).
+    """
+
+    def fd_fn(x0, rhs, tparams, bc_vals=()):
+        M_ = M.build_dynamic(bc_vals)
+
+        def apply_bcs_(v):
+            return apply_bcs(v, bc_vals if bc_vals else None)
+
+        def demean(v):
+            if not project_mean:
+                return v
+            return v - (_vsum(v * M_) / jnp.sum(M_)) * M_
+
+        if project_mean:
+            # compatibility shift — equivalent to _build_cg's (which
+            # works on the row-SCALED rhs): subtract the CONSTANT
+            # ``c = <w, b> / <w, 1>`` that makes the UNSCALED rhs
+            # orthogonal to the left null vector ``w`` (the separable
+            # row-scale field for eliminated-Neumann systems; the plain
+            # constant otherwise). After this the eigenspace zero-mode
+            # component is numerically nil — the pseudo-inverse then
+            # matches CG's quotient solve up to a constant.
+            if null_shift is not None:
+                w = null_shift * M_
+                rhs = rhs * M_ - (_vsum(rhs * w) / jnp.sum(w)) * M_
+            else:
+                rhs = demean(rhs * M_)
+
+        c_ax = sign0 * (
+            tparams[i_ax]["param"] if has_p0 else jnp.asarray(1.0, x0.dtype)
+        )
+        c_dt = jnp.asarray(0.0, x0.dtype)
+        for s, i in zip(ddt_signs, ddt_ids):
+            c_dt = c_dt + s * tparams[i]["inv_dt"]
+
+        x = apply_bcs_(x0)
+        r = demean((rhs - Aop(x, tparams)) * M_)
+        r0n = jnp.maximum(jnp.max(_l2_per_dim(r)), jnp.finfo(x.dtype).tiny)
+
+        def cond(s):
+            x, r, tol, itr, hist, stall = s
+            return jnp.logical_and(
+                jnp.logical_and(tol > tolerance, itr < max_it),
+                jnp.logical_not(stall),
+            )
+
+        def body(s):
+            x, r, tol, itr, hist, stall = s
+            e = fd.solve(r[act_sel], c_ax, c_dt, pseudo=project_mean)
+            x = x.at[act_sel].add(e)
+            if project_mean:
+                x = x - _vsum(x * M_) / jnp.sum(M_)
+            r = demean((rhs - Aop(x, tparams)) * M_)
+            tol_new = jnp.max(_l2_per_dim(r)) / r0n
+            # A refinement pass contracts at the one-pass transform
+            # accuracy (>=10x/pass in practice); <2x means the dtype's
+            # accuracy floor is reached — stop instead of spinning to
+            # max_it at an unreachable tolerance.
+            stall = tol_new > 0.5 * tol
+            hist = hist.at[itr].set(tol_new.astype(jnp.float32))
+            return (x, r, tol_new, itr + 1, hist, stall)
+
+        tol0 = jnp.asarray(1.0, dtype=x.dtype)
+        hist0 = jnp.full((max_it,), jnp.nan, dtype=jnp.float32)
+        state = (
+            x, r, tol0, jnp.asarray(0, dtype=jnp.int32), hist0,
+            jnp.asarray(False),
+        )
+        x, r, tol, itr, hist, _ = jax.lax.while_loop(cond, body, state)
+        return apply_bcs_(x), itr, tol, hist
+
+    return fd_fn
 
 
 def _build_bicgstab(
