@@ -31,6 +31,12 @@ class PoissonSolver:
             "report": False,
             "criterion": "residual",
         }
+        if mesh.obstacle is None and mesh.coord_sys == "xyz":
+            # separable systems ride the fast-diagonalization direct
+            # solver (solver/fastdiag.py); a heterogeneous coeff array
+            # or rz mesh falls back to (MG-preconditioned) CG
+            cfg.update({"method": "fastdiag", "fd_fallback": "cg",
+                        "precond": "mg"})
         cfg.update(config or {})
         self.solver = Solver({"fdm": cfg})
         self.fdm = FDM()

@@ -38,18 +38,19 @@ Per-axis eigendecomposition notes:
     quotient-space solve the CG path implements with
     ``project_mean`` + ``null_shift``.
 
-Accuracy (MEASURED, ``scripts/fastdiag_probe.py`` 2026-08-18): factors are
-computed in float64; with f32 transforms one pass reaches relative
-residual ~1e-2 (3-D 33..129: 0.7-1.0e-2; 2-D up to 513: 1-9e-2 —
-condition-number amplification of factor rounding grows only mildly
-with n), and bf16 transforms are only ~1.4x worse (0.8-1.4e-2 3-D) at
-twice the MXU rate. The driver loop in ``linalg._build_fastdiag``
-wraps the solve in iterative refinement (``x += FD(b - A x)``) with
-the TRUE residual recomputed by the same ``Aop`` the Krylov path uses,
-so the reported tolerance is honest; refinement contracts by the
-one-pass factor per pass (>=10x), i.e. ~3-4 passes to 1e-6, with a
-stagnation exit at the dtype's accuracy floor (f64 input: ~1e-13 one
-pass).
+Accuracy (MEASURED on-chip, ``scripts/fastdiag_probe.py`` 2026-08-18):
+factors are computed in float64; the decisive knob is the TPU matmul
+precision. XLA's DEFAULT f32 dot runs bf16-multiply passes on the MXU:
+one pass then reaches only ~1e-2 relative residual (3-D) because the
+eigen-basis loses orthogonality at bf16 and the error is amplified by
+``lam_max/lam_min``. With ``precision="highest"`` (true f32 multiplies,
+the default here) one pass reaches 2.5e-7..4.8e-7 at 3-D 65..258 and
+2.1e-6..1.6e-5 at 2-D 129..1025 — a genuine direct solve. The driver
+loop in ``linalg._build_fastdiag`` wraps it in iterative refinement
+(``x += FD(b - A x)``) with the TRUE residual recomputed by the same
+``Aop`` the Krylov path uses, so the reported tolerance is honest, and
+a stagnation exit stops at the dtype's accuracy floor (f64 input:
+~1e-13 one pass).
 """
 from __future__ import annotations
 
@@ -131,13 +132,26 @@ class FastDiag:
         axis_mats: per mesh axis, the dense float64 active-set operator
             (``axis_matrix_np``).
         dtype: solution dtype (f32): diagonal-symbol math runs in it.
-        transform_dtype: dtype of the dense transform factors (f32 for
-            one-pass 1e-6 accuracy; bf16 halves the matmul time on the
-            MXU at ~1e-2 one-pass accuracy — pair with more refinement).
+        transform_dtype: dtype of the dense transform factors. With
+            explicit bf16 factors the dots run single-pass bf16 —
+            equivalent to ``precision="default"`` f32 (~1e-2/pass);
+            prefer steering accuracy/speed via ``precision``.
+        precision: jax dot precision for the transforms ("highest" =
+            true f32, ~1e-6 per pass, the default; "default" = bf16
+            MXU passes, ~1e-2 per pass at ~3x the matmul rate).
     """
 
-    def __init__(self, axis_mats, dtype, transform_dtype=None):
+    def __init__(self, axis_mats, dtype, transform_dtype=None,
+                 precision="highest"):
         tdt = transform_dtype or dtype
+        # TPU matmul precision is THE accuracy lever: XLA's DEFAULT f32
+        # dot runs bf16-multiply passes on the MXU, which costs the
+        # eigen-solve ~4 orders of one-pass accuracy (measured 1e-2 vs
+        # 2e-6..5e-7 at 2-D 513 / 3-D 258 with "highest" = true f32).
+        # "highest" makes this a ~1e-6-per-pass DIRECT solver at any
+        # size here; "default" remains available as a cheap first-pass /
+        # preconditioner mode via fd_opts={"precision": "default"}.
+        self.precision = precision
         self.fwd = []   # F_j = Q^T diag(d)
         self.inv = []   # G_j = diag(1/d) Q
         self.lams = []  # eigenvalues, float64 precision kept until use
@@ -164,7 +178,8 @@ class FastDiag:
         acc = x.dtype if x.dtype == jnp.float64 else jnp.float32
         for j, Mt in enumerate(mats):
             y = jnp.tensordot(
-                Mt, x, axes=[[1], [1 + j]], preferred_element_type=acc
+                Mt, x, axes=[[1], [1 + j]], preferred_element_type=acc,
+                precision=self.precision,
             )
             x = jnp.moveaxis(y, 0, 1 + j).astype(tdt)
         return x
@@ -198,3 +213,52 @@ class FastDiag:
             y = y.astype(dt_in) / sym[None]
         y = self._transform(self.inv, y.astype(tdt))
         return y.astype(dt_in)
+
+
+class FDPrecond:
+    """Fast-diagonalization PRECONDITIONER for the Krylov loops.
+
+    The direct refinement form (``linalg._build_fastdiag``) is a
+    stationary iteration: its worst error mode can contract slowly even
+    when the bulk one-pass residual reduction is ~1e-2 (measured stall
+    at true residual ~3e-4 at 256^3 f32). Wrapping the SAME eigen-solve
+    as the preconditioner of CG/BiCGSTAB lets the Krylov recurrence
+    accelerate those few slow modes — the standard fix, identical in
+    role to the multigrid V-cycle but ~10x stronger per application and
+    made of dense MXU contractions instead of HBM-bound smooths.
+
+    The streamed equation scalars (``gamma``, ``1/dt``) are staged at
+    trace time via ``set_scalars`` (the ``precond_setup`` hook in
+    ``linalg._build_cg``), so dt/coefficient changes neither recompile
+    nor re-factorize. The map is SPD on the (row-scaled) active set:
+    the axis matrices are symmetrized by diagonal similarity and the
+    eigen-symbol is sign-definite, so CG theory applies.
+    """
+
+    def __init__(self, fd: FastDiag, act_sel, pseudo: bool = False,
+                 pre_scale=None):
+        self.fd = fd
+        self.act_sel = act_sel
+        self.pseudo = pseudo
+        # CG symmetrization (``linalg`` ``sym_vecs``): the Krylov loop
+        # solves the row-scaled SPD system ``D A x = D b`` whose exact
+        # inverse is ``A^-1 D^-1`` — so the eigen-solve must see the
+        # UNSCALED residual. ``pre_scale`` is ``1/D`` on the active set;
+        # the composition stays symmetric (it IS ``(D A)^-1``).
+        self.pre_scale = pre_scale
+        self.c_ax = 1.0
+        self.c_dt = 0.0
+
+    def set_scalars(self, c_ax, c_dt) -> None:
+        """Stage the (possibly traced) equation scalars; called by the
+        ``precond_setup`` hook before the Krylov loop is traced."""
+        self.c_ax = c_ax
+        self.c_dt = c_dt
+
+    def __call__(self, r):
+        z = jnp.zeros_like(r)
+        ra = r[self.act_sel]
+        if self.pre_scale is not None:
+            ra = ra * self.pre_scale
+        e = self.fd.solve(ra, self.c_ax, self.c_dt, pseudo=self.pseudo)
+        return z.at[self.act_sel].set(e)

@@ -622,6 +622,33 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             decomp, x0.shape[1:], x0.dtype
         ) and (kernel == "pallas" or jax.default_backend() == "tpu")
 
+    # Model-auto fastdiag with graceful fallback: models default to the
+    # direct solver for the separable equations they OWN, but a user can
+    # mutate fields afterwards (append dynamic-obstacle BCs, stream a
+    # viscosity field). ``fd_fallback: "<method>"`` keeps those workflows
+    # working: if the equation is not separable, the solve silently uses
+    # the named Krylov method instead (with whatever ``precond`` the
+    # config carries — fastdiag itself ignores it). An explicit
+    # ``method: "fastdiag"`` WITHOUT fd_fallback still raises loudly.
+    if method == "fastdiag" and config.get("fd_fallback"):
+        _ax = [i for i, d in enumerate(term_descs) if d[0] == "axis"]
+        _dd = [i for i, d in enumerate(term_descs) if d[0] == "ddt"]
+        fd_ok = (
+            decomp is None
+            and mesh.coord_sys == "xyz"
+            and not mesh.obstacle
+            and not any(
+                getattr(bc, "bc_mask", None) is not None
+                for bc in (bcs_kept or [])
+            )
+            and len(_ax) == 1
+            and len(_ax) + len(_dd) == len(term_descs)
+            and all(len(cs) == 3 for cs in tparams[_ax[0]]["axis"])
+            and np.ndim(tparams[_ax[0]].get("param", 0.0)) == 0
+        )
+        if not fd_ok:
+            method = str(config["fd_fallback"]).lower()
+
     # Multigrid-preconditioned CG: the reference has no preconditioner;
     # for Poisson-class problems this cuts O(N) CG iterations to O(10).
     precond_kind = config.get("precond")
@@ -732,6 +759,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         advect_pallas,
         diff_pallas,
         mg_spec,
+        precond_kind,
         config.get("nullspace"),
         config.get("debug"),
         tuple(sorted((config.get("fd_opts") or {}).items())),
@@ -1003,27 +1031,28 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                     coeffs = ((ap0, ac0 + c1, am0),) + coeffs[1:]
                 return pallas_axis_stencil_dot(coeffs, v, interpret=_interp)
 
-        if method == "fastdiag":
-            # Fast-diagonalization DIRECT solve (solver/fastdiag.py): the
-            # operator must be a separable Kronecker sum — one constant-
+        def _fd_setup(why: str):
+            # Shared setup for the fast-diagonalization DIRECT solve and
+            # the FD PRECONDITIONER (solver/fastdiag.py): the operator
+            # must be a separable Kronecker sum — one constant-
             # coefficient 3-point axis term plus any number of ddt
             # (identity-shift) terms — on a product active set.
             if decomp is not None:
                 raise ValueError(
-                    "fastdiag: domain decompositions are not supported "
+                    f"{why}: domain decompositions are not supported "
                     "(the dense per-axis transforms are single-device); "
-                    "use cg/bicgstab under a decomp"
+                    "use cg/bicgstab with precond 'mg' under a decomp"
                 )
             if obn or excluded is not None or dyn_idxs:
                 raise ValueError(
-                    "fastdiag: obstacles break the product structure of "
-                    "the active set — use cg/bicgstab"
+                    f"{why}: obstacles break the product structure of "
+                    "the active set — use cg/bicgstab with precond 'mg'"
                 )
             if mesh.coord_sys != "xyz":
                 raise ValueError(
-                    "fastdiag: rz axis operators can have zero "
+                    f"{why}: rz axis operators can have zero "
                     "off-diagonals at the r=0 face (not diagonally "
-                    "symmetrizable) — use cg/bicgstab"
+                    "symmetrizable) — use cg/bicgstab with precond 'mg'"
                 )
             if not (
                 len(ax_ids) == 1
@@ -1032,7 +1061,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 and np.ndim(tparams[ax_ids[0]].get("param", 0.0)) == 0
             ):
                 raise ValueError(
-                    "fastdiag: equation must be one 3-point axis term "
+                    f"{why}: equation must be one 3-point axis term "
                     "(laplacian) plus ddt terms with scalar coefficients"
                 )
             from pyapes_tpu.solver.fastdiag import FastDiag, axis_matrix_np
@@ -1046,8 +1075,39 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 )
                 for j in range(mesh.dim)
             ]
-            fd_dtype = (config.get("fd_opts") or {}).get("dtype")
-            fd = FastDiag(mats, dtype=x0.dtype, transform_dtype=fd_dtype)
+            fd_o = config.get("fd_opts") or {}
+            fd = FastDiag(
+                mats,
+                dtype=x0.dtype,
+                transform_dtype=fd_o.get("dtype"),
+                precision=fd_o.get("precision", "highest"),
+            )
+            return fd, i_ax
+
+        def _fd_scalars_fn(i_ax):
+            # (c_ax, c_dt) of the diagonal symbol from the streamed
+            # per-call term params — shared by the direct solve and the
+            # preconditioner's trace-time setup hook.
+            sign0 = term_descs[i_ax][2]
+            has_p0 = term_descs[i_ax][5]
+            dd = tuple(ddt_ids)
+            ds = tuple(term_descs[i][2] for i in ddt_ids)
+
+            def scalars(tp):
+                c_ax = sign0 * (
+                    tp[i_ax]["param"]
+                    if has_p0
+                    else jnp.asarray(1.0, x0.dtype)
+                )
+                c_dt = jnp.asarray(0.0, x0.dtype)
+                for s, i in zip(ds, dd):
+                    c_dt = c_dt + s * tp[i]["inv_dt"]
+                return c_ax, c_dt
+
+            return scalars
+
+        if method == "fastdiag":
+            fd, i_ax = _fd_setup("fastdiag")
             # compatibility weights for singular eliminated-Neumann
             # systems: the LEFT null vector is the separable row-scale
             # field (see _build_cg's null_shift derivation)
@@ -1085,16 +1145,38 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             fn = _build_fastdiag(
                 Aop, apply_bcs, M, tol, max_it, fd,
                 act_sel=(slice(None),) + tuple(slicer_t),
-                i_ax=i_ax,
-                sign0=term_descs[i_ax][2],
-                has_p0=term_descs[i_ax][5],
-                ddt_ids=tuple(ddt_ids),
-                ddt_signs=tuple(term_descs[i][2] for i in ddt_ids),
+                scalars=_fd_scalars_fn(i_ax),
                 project_mean=bool(config.get("nullspace") == "mean"),
                 null_shift=null_shift,
             )
         elif method == "cg":
-            precond = mg_spec.preconditioner() if mg_spec is not None else None
+            if precond_kind in ("fd", "fastdiag"):
+                from pyapes_tpu.solver.fastdiag import FDPrecond
+
+                fd, i_ax = _fd_setup("precond 'fd'")
+                pre_scale = None
+                if sym_vecs is not None:
+                    # the loop solves the row-scaled SPD system D A; the
+                    # eigen-solve inverts A, so feed it D^-1 r (the
+                    # composition is (D A)^-1 — exact and symmetric)
+                    ps = sym_vecs[0][None]
+                    for dvv in sym_vecs[1:]:
+                        ps = ps * dvv[None]
+                    pre_scale = 1.0 / ps[(slice(None),) + tuple(slicer_t)]
+                precond = FDPrecond(
+                    fd,
+                    act_sel=(slice(None),) + tuple(slicer_t),
+                    pseudo=bool(config.get("nullspace") == "mean"),
+                    pre_scale=pre_scale,
+                )
+                _fd_scalars = _fd_scalars_fn(i_ax)
+
+                def precond_setup(tp, _p=precond, _sc=_fd_scalars):
+                    _p.set_scalars(*_sc(tp))
+            else:
+                precond = (
+                    mg_spec.preconditioner() if mg_spec is not None else None
+                )
             # fused dot(r, z): only when the interior mask is exactly the
             # MG mask (no obstacles, no torus reduction) so the in-kernel
             # dot equals vsum(r * z * M)
@@ -1127,7 +1209,23 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 precond_setup=precond_setup,
             )
         else:
-            precond = mg_spec.preconditioner() if mg_spec is not None else None
+            if precond_kind in ("fd", "fastdiag"):
+                from pyapes_tpu.solver.fastdiag import FDPrecond
+
+                fd, i_ax = _fd_setup("precond 'fd'")
+                precond = FDPrecond(
+                    fd,
+                    act_sel=(slice(None),) + tuple(slicer_t),
+                    pseudo=bool(config.get("nullspace") == "mean"),
+                )
+                _fd_scalars = _fd_scalars_fn(i_ax)
+
+                def precond_setup(tp, _p=precond, _sc=_fd_scalars):
+                    _p.set_scalars(*_sc(tp))
+            else:
+                precond = (
+                    mg_spec.preconditioner() if mg_spec is not None else None
+                )
             fmg_init = (
                 mg_spec.fmg_initializer()
                 if (mg_spec is not None and mg_spec.fmg_init)
@@ -1227,6 +1325,10 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     var.VAR = x_final
 
     converge = itr < max_it
+    if method == "fastdiag":
+        # the refinement's stagnation exit can stop before max_it at the
+        # dtype's accuracy floor: converged means the tolerance was MET
+        converge = tol_final <= tol
     if report:
         _solution_report(itr, tol_final, method.upper())
     out: ReportType = {"itr": itr, "tol": tol_final, "converge": converge}
@@ -1368,8 +1470,8 @@ def _build_cg(
 
 
 def _build_fastdiag(
-    Aop, apply_bcs, M, tolerance, max_it, fd, act_sel, i_ax, sign0,
-    has_p0, ddt_ids, ddt_signs, project_mean=False, null_shift=None,
+    Aop, apply_bcs, M, tolerance, max_it, fd, act_sel, scalars,
+    project_mean=False, null_shift=None,
 ):
     """Fast-diagonalization direct solve wrapped in iterative refinement.
 
@@ -1414,12 +1516,7 @@ def _build_fastdiag(
             else:
                 rhs = demean(rhs * M_)
 
-        c_ax = sign0 * (
-            tparams[i_ax]["param"] if has_p0 else jnp.asarray(1.0, x0.dtype)
-        )
-        c_dt = jnp.asarray(0.0, x0.dtype)
-        for s, i in zip(ddt_signs, ddt_ids):
-            c_dt = c_dt + s * tparams[i]["inv_dt"]
+        c_ax, c_dt = scalars(tparams)
 
         x = apply_bcs_(x0)
         r = demean((rhs - Aop(x, tparams)) * M_)

@@ -17,7 +17,9 @@ from pyapes_tpu.variables import Field
 
 class FDMSolverConfig(TypedDict, total=False):
     method: str
-    """Krylov method: "cg" or "bicgstab"."""
+    """"cg" / "bicgstab" (Krylov), or "fastdiag" (direct
+    fast-diagonalization solve for separable laplacian+ddt operators,
+    ``solver/fastdiag.py``)."""
     tol: float
     max_it: int
     report: bool
@@ -26,7 +28,19 @@ class FDMSolverConfig(TypedDict, total=False):
     ``linalg.py:321-338``) or "residual" (true relative residual norm)."""
     precond: str
     """"mg" enables the geometric-multigrid preconditioner
-    (``solver/multigrid.py``)."""
+    (``solver/multigrid.py``); "fd" the fast-diagonalization
+    preconditioner (separable laplacian+ddt operators only — one dense
+    MXU eigen-solve per Krylov iteration, ``solver/fastdiag.py``)."""
+    fd_opts: dict
+    """Fast-diagonalization options (method "fastdiag" / precond "fd"):
+    {"precision": "highest" (default, true-f32 MXU passes, ~1e-6/pass)
+    | "default" (bf16 MXU passes, ~1e-2/pass, ~3x matmul rate),
+    "dtype": e.g. "bfloat16" transform factors}."""
+    fd_fallback: str
+    """With method "fastdiag": Krylov method to use silently when the
+    equation is NOT separable (models default to fastdiag for equations
+    they own; a user may append obstacle BCs or stream a viscosity field
+    afterwards). Without it, an unsupported equation raises."""
     mg_opts: dict
     """Multigrid options forwarded to ``MGSpec`` (dtype/n_pre/n_post/
     omega/fmg/fuse_rz/smoother/...)."""

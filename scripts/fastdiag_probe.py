@@ -97,6 +97,8 @@ def speed():
     from pyapes_tpu.testing.poisson import poisson_bcs, poisson_rhs_nd
 
     enable_compilation_cache()
+    import jax
+
     rows = []
     for n in (256, 512):
         mesh = Mesh(Box[0:1, 0:1, 0:1], None, [n] * 3, dtype="single")
@@ -104,12 +106,19 @@ def speed():
 
         var = Field("p", 1, mesh, {"domain": poisson_bcs(3),
                                    "obstacle": None}, init_val=0.0)
-        rhs = poisson_rhs_nd(mesh, var)
+        # fixed-seed random RHS: full spectral content (bench.py workload;
+        # a smooth manufactured RHS is near an eigenmode and flatters
+        # every solver)
+        rhs = jax.random.normal(
+            jax.random.PRNGKey(0), (1, n, n, n), dtype=var().dtype
+        )
         fdm = FDM()
+        mg_opts = {"dtype": "bfloat16", "n_pre": 2, "n_post": 2,
+                   "omega": 0.857, "fmg": True, "fuse_rz": True}
         for method, cfg in (
-            ("cg", {"precond": "mg"}),
+            ("cg", {"precond": "mg", "mg_opts": mg_opts}),
+            ("cg", {"precond": "fd"}),
             ("fastdiag", {}),
-            ("fastdiag", {"fd_opts": {"dtype": "bfloat16"}}),
         ):
             s = Solver({"fdm": {"method": method, "tol": 1e-6,
                                 "max_it": 100, "report": False, **cfg}})
@@ -124,7 +133,7 @@ def speed():
                 itr = r["itr"]
                 if rep:
                     best = dt if best is None else min(best, dt)
-            tag = "bf16" if cfg.get("fd_opts") else ""
+            tag = "_" + cfg["precond"] if "precond" in cfg else ""
             row = {
                 "step": f"fd_speed_{method}{tag}", "n": n, "itr": itr,
                 "s": round(best, 4),

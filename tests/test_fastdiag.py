@@ -223,6 +223,167 @@ def test_fastdiag_rejects_nonseparable():
         s.solve()
 
 
+def test_fd_preconditioned_cg_mixed():
+    """precond "fd": CG with the eigen-solve as preconditioner. Under the
+    sym_vecs row scaling the loop solves D A; the preconditioner applies
+    A^-1 D^-1 = (D A)^-1, so convergence is a handful of iterations —
+    strictly fewer than MG-PCG — and solutions agree."""
+    n, dim = 33, 3
+    mesh = Mesh(Box[0:1, 0:1, 0:1], None, [n] * dim, dtype="single")
+    var = Field("p", 1, mesh, {"domain": _mixed_bcs(dim), "obstacle": None},
+                init_val=0.0)
+    rng = np.random.default_rng(7)
+    rhs = jnp.asarray(rng.standard_normal(tuple(mesh.nx)),
+                      dtype=var().dtype)[None]
+    x_fd, rep_fd = _solve("cg", mesh, var, rhs, tol=1e-7, precond="fd",
+                          criterion="residual")
+    assert rep_fd["converge"]
+    assert rep_fd["itr"] <= 6
+    var.set_var_tensor(jnp.zeros_like(var()))
+    x_mg, rep_mg = _solve("cg", mesh, var, rhs, tol=1e-7, precond="mg",
+                          criterion="residual")
+    assert rep_fd["itr"] < rep_mg["itr"]
+    err = np.abs(x_fd - x_mg).max() / np.abs(x_mg).max()
+    assert err < 1e-5, err
+
+
+def test_fd_preconditioned_cg_singular_neumann():
+    """All-Neumann pressure-type system: the pseudo-inverse FD
+    preconditioner on the quotient space — near-direct convergence."""
+    n, dim = 65, 2
+    rng = np.random.default_rng(8)
+    mesh = Mesh(Box[0:1, 0:1], None, [n] * dim)
+    var = Field("p", 1, mesh,
+                {"domain": homogeneous_bcs(dim, 0.0, "neumann"),
+                 "obstacle": None}, init_val=0.0)
+    rhs = jnp.asarray(rng.standard_normal(tuple(mesh.nx)))[None].astype(
+        var().dtype)
+    rhs = rhs - jnp.mean(rhs)
+    x_fd, rep = _solve("cg", mesh, var, rhs, tol=1e-10, precond="fd",
+                       nullspace="mean")
+    assert rep["converge"]
+    assert rep["itr"] <= 4
+    var.set_var_tensor(jnp.zeros_like(var()))
+    x_mg, _ = _solve("cg", mesh, var, rhs, tol=1e-10, precond="mg",
+                     nullspace="mean")
+    sl = (slice(1, -1),) * dim
+    a = x_fd[sl] - x_fd[sl].mean()
+    b = x_mg[sl] - x_mg[sl].mean()
+    assert np.abs(a - b).max() / np.abs(b).max() < 1e-7
+
+
+def test_fd_precond_bicgstab_and_streams_dt():
+    """BiCGSTAB accepts precond "fd" too, and dt changes stream through
+    set_scalars without a new compile."""
+    n, dim = 33, 2
+    mesh = Mesh(Box[0:1, 0:1], None, [n] * dim, dtype="single")
+    var = Field("p", 1, mesh, {"domain": _mixed_bcs(dim), "obstacle": None},
+                init_val=0.0)
+    var.set_time(0.01, 0.0)
+    rng = np.random.default_rng(9)
+    fdm = FDM()
+    s = Solver({"fdm": {"method": "bicgstab", "precond": "fd", "tol": 1e-7,
+                        "max_it": 50, "report": False}})
+    n0 = len(linalg._SOLVER_CACHE)
+    for dt in (0.01, 0.0025):
+        var._dt = dt
+        var.save_old()
+        rhs = jnp.asarray(rng.standard_normal(tuple(mesh.nx)),
+                          dtype=var().dtype)[None]
+        s.set_eq(fdm.ddt(var) - fdm.laplacian(0.5, var) == rhs)
+        rep = s.solve()
+        assert rep["tol"] < 1e-7
+        assert rep["itr"] <= 4
+    assert len(linalg._SOLVER_CACHE) - n0 == 1
+
+
+def test_fd_precond_rejects_nonseparable():
+    """precond "fd" on a non-separable equation raises the same clear
+    error as method "fastdiag"."""
+    n, dim = 17, 2
+    mesh = Mesh(Box[0:1, 0:1], None, [n] * dim, dtype="single")
+    var = Field("p", 1, mesh, {"domain": _mixed_bcs(dim), "obstacle": None},
+                init_val=0.0)
+    rhs = jnp.zeros((1, *mesh.nx), dtype=var().dtype)
+    fdm = FDM()
+    s = Solver({"fdm": {"method": "cg", "precond": "fd", "tol": 1e-6,
+                        "max_it": 10, "report": False}})
+    gam = jnp.ones(tuple(mesh.nx), dtype=var().dtype)
+    s.set_eq(fdm.laplacian(gam, var) == rhs)
+    with pytest.raises(ValueError, match="precond 'fd'"):
+        s.solve()
+
+
+def test_ns_model_defaults_to_fastdiag():
+    """NS models on plain boxes default both solves to the direct
+    fast-diagonalization path (``navier_stokes._init_solvers``); the
+    cavity result matches the Krylov-configured model."""
+    from pyapes_tpu.models.navier_stokes import LidDrivenCavity
+
+    mesh = Mesh(Box[0:1, 0:1], None, [33, 33])
+    m_fd = LidDrivenCavity(mesh, nu=0.01, lid_velocity=1.0)
+    assert m_fd.mom_solver.config["fdm"]["method"] == "fastdiag"
+    assert m_fd.p_solver.config["fdm"]["method"] == "fastdiag"
+    m_fd.run(dt=0.02, n_steps=30)
+    u_fd = np.asarray(m_fd.vel[0]()[0])
+
+    m_kr = LidDrivenCavity(
+        mesh, nu=0.01, lid_velocity=1.0,
+        config={"method": "bicgstab", "precond": None},
+    )
+    assert m_kr.mom_solver.config["fdm"]["method"] == "bicgstab"
+    m_kr.run(dt=0.02, n_steps=30)
+    u_kr = np.asarray(m_kr.vel[0]()[0])
+    assert np.abs(u_fd - u_kr).max() < 2e-6
+
+
+def test_ns_fd_fallback_on_dynamic_obstacle():
+    """Appending a dynamic-obstacle BC AFTER model construction silently
+    reverts that momentum solve to the Krylov path (``fd_fallback``) —
+    the moving-body workflow keeps working with fastdiag defaults."""
+    from pyapes_tpu.models.navier_stokes import ChannelFlow
+    from pyapes_tpu.variables.bcs import ObstacleDirichlet
+
+    mesh = Mesh(Box[0:2, 0:1], None, [33, 17])
+    model = ChannelFlow(mesh, nu=0.02, u_in=1.0)
+    assert model.mom_solver.config["fdm"]["method"] == "fastdiag"
+    mask = np.zeros(tuple(mesh.nx), dtype=bool)
+    mask[12:16, 6:10] = True
+    for v in model.vel:
+        v.bcs.append(
+            ObstacleDirichlet(f"body-{v.name}", 0.0, jnp.asarray(mask),
+                              dynamic=True)
+        )
+    model.run(dt=0.01, n_steps=3)  # raises without the fallback
+    u = np.asarray(model.vel[0]()[0])
+    assert np.isfinite(u).all()
+    assert np.abs(u[13:15, 7:9]).max() < 1e-8  # body interior pinned
+
+
+def test_poisson_model_defaults_to_fastdiag():
+    """PoissonSolver rides fastdiag on plain boxes and falls back to
+    MG-PCG for a heterogeneous coefficient array."""
+    from pyapes_tpu.models.poisson import PoissonSolver
+
+    mesh = Mesh(Box[0:1, 0:1], None, [33, 33])
+    bc = homogeneous_bcs(2, 0.0, "dirichlet")
+    rng = np.random.default_rng(11)
+    rhs = rng.standard_normal(tuple(mesh.nx))
+    ps = PoissonSolver(mesh, bc)
+    assert ps.solver.config["fdm"]["method"] == "fastdiag"
+    x_fd = np.asarray(ps.solve(rhs)()[0])
+    ps_cg = PoissonSolver(mesh, bc, config={"method": "cg",
+                                            "precond": "mg"})
+    x_cg = np.asarray(ps_cg.solve(rhs)()[0])
+    assert np.abs(x_fd - x_cg).max() / np.abs(x_cg).max() < 1e-5
+    # heterogeneous coefficient: same model class, silent CG fallback
+    gamma = 1.0 + jnp.asarray(rng.random(tuple(mesh.nx)))
+    ps_var = PoissonSolver(mesh, bc, coeff=gamma)
+    x_var = np.asarray(ps_var.solve(rhs)()[0])
+    assert np.isfinite(x_var).all()
+    assert ps_var.report["converge"]
+
+
 def test_symmetrize_similarity():
     """Eliminated-Neumann axis operators are nonsymmetric tridiagonals
     with same-sign off-diagonal pairs: the diagonal similarity recovers a
