@@ -80,10 +80,15 @@ class RosenbluthPotentials:
                 zu={"bc_type": "dirichlet", "bc_val": val},
             )()
 
-        # The rz Laplacian is nonsymmetric (1/r metric terms): BiCGSTAB,
-        # with the rz-aware multigrid as right preconditioner.
+        # The rz Laplacian is nonsymmetric (1/r metric terms) but still
+        # SEPARABLE: the default is the fast-diagonalization direct
+        # solve (solver/fastdiag.py — one f64 pass lands ~1e-13; the
+        # surgered radial tridiagonal is diagonally symmetrizable, r=0
+        # axis included). fd_fallback keeps exotic configs on the old
+        # path: BiCGSTAB with the rz-aware multigrid preconditioner.
         cfg = {
-            "method": "bicgstab",
+            "method": "fastdiag",
+            "fd_fallback": "bicgstab",
             "tol": 1e-8,
             "max_it": 2000,
             "report": False,

@@ -635,7 +635,6 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         _dd = [i for i, d in enumerate(term_descs) if d[0] == "ddt"]
         fd_ok = (
             decomp is None
-            and mesh.coord_sys == "xyz"
             and not mesh.obstacle
             and not any(
                 getattr(bc, "bc_mask", None) is not None
@@ -646,6 +645,30 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             and all(len(cs) == 3 for cs in tparams[_ax[0]]["axis"])
             and np.ndim(tparams[_ax[0]].get("param", 0.0)) == 0
         )
+        if fd_ok:
+            # cheap host probe: each axis operator must be diagonally
+            # symmetrizable (an rz r-axis or an advection-carrying axis
+            # may not be) — O(n) per axis, no eigendecomposition
+            from pyapes_tpu.solver.fastdiag import (
+                _symmetrize_similarity,
+                axis_matrix_np,
+            )
+
+            _sl = list(boundary_slicer(mesh.dim, bcs_kept, mesh.coord_sys))
+            if paxes:
+                for j in paxes:
+                    _sl[j] = slice(None)
+            try:
+                for j in range(mesh.dim):
+                    _symmetrize_similarity(
+                        axis_matrix_np(
+                            *tparams[_ax[0]]["axis"][j],
+                            active=_sl[j],
+                            periodic=bool(paxes and j in paxes),
+                        )
+                    )
+            except ValueError:
+                fd_ok = False
         if not fd_ok:
             method = str(config["fd_fallback"]).lower()
 
@@ -1047,12 +1070,6 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 raise ValueError(
                     f"{why}: obstacles break the product structure of "
                     "the active set — use cg/bicgstab with precond 'mg'"
-                )
-            if mesh.coord_sys != "xyz":
-                raise ValueError(
-                    f"{why}: rz axis operators can have zero "
-                    "off-diagonals at the r=0 face (not diagonally "
-                    "symmetrizable) — use cg/bicgstab with precond 'mg'"
                 )
             if not (
                 len(ax_ids) == 1

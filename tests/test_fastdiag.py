@@ -209,18 +209,6 @@ def test_fastdiag_rejects_nonseparable():
     s.set_eq(fdm.laplacian(gam, var) == rhs)
     with pytest.raises(ValueError, match="fastdiag"):
         s.solve()
-    # rz coordinates
-    from pyapes_tpu.variables.bcs import CylinderBoundary
-
-    mesh_rz = Mesh(Cylinder[0:1, 0:1], None, [n, n], dtype="single")
-    d = {"bc_type": "dirichlet", "bc_val": 0.0}
-    var_rz = Field("p", 1, mesh_rz,
-                   {"domain": CylinderBoundary(rl=d, ru=d, zl=d, zu=d)(),
-                    "obstacle": None}, init_val=0.0)
-    s.set_eq(fdm.laplacian(1.0, var_rz)
-             == jnp.zeros((1, *mesh_rz.nx), dtype=var_rz().dtype))
-    with pytest.raises(ValueError, match="fastdiag"):
-        s.solve()
 
 
 def test_fd_preconditioned_cg_mixed():
@@ -312,6 +300,45 @@ def test_fd_precond_rejects_nonseparable():
     s.set_eq(fdm.laplacian(gam, var) == rhs)
     with pytest.raises(ValueError, match="precond 'fd'"):
         s.solve()
+
+
+def test_fastdiag_rz():
+    """rz (axisymmetric) operators ARE separable: the radial operator
+    (1/r)d/dr(r d/dr) folds the metric into the per-axis vectors and the
+    resulting tridiagonal is diagonally symmetrizable (off-diagonal
+    products stay positive, r=0 axis included). One f64 pass lands
+    ~1e-13; FD-preconditioned BiCGSTAB converges in 1 iteration."""
+    from pyapes_tpu.variables.bcs import CylinderBoundary
+
+    mesh = Mesh(Cylinder[0:1, 0:2], None, [33, 65])
+    f_bc = CylinderBoundary(
+        rl={"bc_type": "neumann", "bc_val": 0.0},
+        ru={"bc_type": "dirichlet", "bc_val": 0.0},
+        zl={"bc_type": "dirichlet", "bc_val": 0.0},
+        zu={"bc_type": "dirichlet", "bc_val": 0.0},
+    )()
+    var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None},
+                init_val=0.0)
+    rng = np.random.default_rng(5)
+    rhs = jnp.asarray(rng.standard_normal(tuple(mesh.nx)))[None].astype(
+        var().dtype)
+    sols = {}
+    for label, method, cfg in (
+        ("bicgstab", "bicgstab", {}),
+        ("fastdiag", "fastdiag", {}),
+        ("bicgstab-fd", "bicgstab", {"precond": "fd"}),
+    ):
+        var.set_var_tensor(jnp.zeros_like(var()))
+        x, rep = _solve(method, mesh, var, rhs, **cfg)
+        sols[label] = x
+        if label == "fastdiag":
+            assert rep["itr"] <= 2 and rep["tol"] < 1e-12
+        if label == "bicgstab-fd":
+            assert rep["itr"] <= 2
+    for k in ("fastdiag", "bicgstab-fd"):
+        err = (np.abs(sols[k] - sols["bicgstab"]).max()
+               / np.abs(sols["bicgstab"]).max())
+        assert err < 1e-8, (k, err)
 
 
 def test_ns_model_defaults_to_fastdiag():
