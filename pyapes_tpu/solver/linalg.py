@@ -634,8 +634,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         _ax = [i for i, d in enumerate(term_descs) if d[0] == "axis"]
         _dd = [i for i, d in enumerate(term_descs) if d[0] == "ddt"]
         fd_ok = (
-            decomp is None
-            and not mesh.obstacle
+            not mesh.obstacle
             and not any(
                 getattr(bc, "bc_mask", None) is not None
                 for bc in (bcs_kept or [])
@@ -1060,12 +1059,6 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             # must be a separable Kronecker sum — one constant-
             # coefficient 3-point axis term plus any number of ddt
             # (identity-shift) terms — on a product active set.
-            if decomp is not None:
-                raise ValueError(
-                    f"{why}: domain decompositions are not supported "
-                    "(the dense per-axis transforms are single-device); "
-                    "use cg/bicgstab with precond 'mg' under a decomp"
-                )
             if obn or excluded is not None or dyn_idxs:
                 raise ValueError(
                     f"{why}: obstacles break the product structure of "

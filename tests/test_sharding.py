@@ -554,3 +554,32 @@ def test_sharded_periodic_flow_taylor_green() -> None:
     shd = run(DomainDecomposition((2, 4)))
     for a, b, name in zip(ref, shd, ("u", "v", "p")):
         assert_allclose(a, b, atol=1e-9, rtol=1e-9, err_msg=name)
+
+
+@needs_8
+def test_sharded_fastdiag_matches_single_device() -> None:
+    """Decomposed fast-diagonalization solve (GSPMD: the dense per-axis
+    eigen-transforms become sharded contractions, XLA inserts the
+    collectives) bit-matches the single-device direct solve."""
+
+    def run(decomp):
+        mesh = Mesh(Box[0:1, 0:1], None, [64, 64])
+        var = Field("p", 1, mesh,
+                    {"domain": poisson_bcs(2), "obstacle": None})
+        rhs = poisson_rhs_nd(mesh, var)
+        cfg = {"method": "fastdiag", "tol": 1e-10, "max_it": 50,
+               "report": False}
+        if decomp is not None:
+            cfg["decomp"] = decomp
+        solver = Solver({"fdm": cfg})
+        fdm = FDM()
+        solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+        solver.solve()
+        assert solver.report["converge"]
+        return np.asarray(var()[0]), solver.report
+
+    ref, rep_ref = run(None)
+    for shape in [(8, 1), (2, 4)]:
+        out, rep = run(DomainDecomposition(shape))
+        assert rep["itr"] == rep_ref["itr"]
+        assert_allclose(out, ref, atol=1e-10, rtol=1e-10)
