@@ -45,6 +45,16 @@ class AdvectionDiffusion:
             "max_it": 2000,
             "report": False,
         }
+        if mesh.obstacle is None and not any(
+            k in (config or {}) for k in ("method", "precond")
+        ):
+            # FD preconditioner from the separable part: for a CONSTANT
+            # velocity the whole operator is separable (the advection
+            # axis matrices sum into the diffusion ones) and the solve
+            # is near-direct (measured 259 -> 2 iterations); a velocity
+            # FIELD leaves a frozen diffusion+dt preconditioner.
+            # fd_fallback degrades gracefully if FD setup is impossible.
+            cfg.update({"precond": "fd", "fd_fallback": "bicgstab"})
         cfg.update(config or {})
         self.solver = Solver({"fdm": cfg})
         self.fdm = FDM({"div": {"limiter": limiter, "edge": False}})

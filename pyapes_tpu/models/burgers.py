@@ -31,6 +31,13 @@ class Burgers1D:
             "report": False,
             "picard": 2,
         }
+        if mesh.obstacle is None and not any(
+            k in (config or {}) for k in ("method", "precond")
+        ):
+            # frozen diffusion+dt FD preconditioner (the nonlinear
+            # advection term is left out; fd_fallback degrades to plain
+            # BiCGSTAB if FD setup is impossible)
+            cfg.update({"precond": "fd", "fd_fallback": "bicgstab"})
         cfg.update(config or {})
         self.solver = Solver({"fdm": cfg})
         self.fdm = FDM(
@@ -95,6 +102,13 @@ class BurgersND:
             "report": False,
             "picard": 2,
         }
+        if mesh.obstacle is None and not any(
+            k in (config or {}) for k in ("method", "precond")
+        ):
+            # frozen diffusion+dt FD preconditioner (the nonlinear
+            # advection term is left out; fd_fallback degrades to plain
+            # BiCGSTAB if FD setup is impossible)
+            cfg.update({"precond": "fd", "fd_fallback": "bicgstab"})
         cfg.update(config or {})
         self.solver = Solver({"fdm": cfg})
         self.fdm = FDM({"div": {"limiter": "none", "edge": False}})

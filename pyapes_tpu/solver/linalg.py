@@ -1053,38 +1053,84 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                     coeffs = ((ap0, ac0 + c1, am0),) + coeffs[1:]
                 return pallas_axis_stencil_dot(coeffs, v, interpret=_interp)
 
-        def _fd_setup(why: str):
+        def _fd_setup(why: str, for_precond: bool = False):
             # Shared setup for the fast-diagonalization DIRECT solve and
-            # the FD PRECONDITIONER (solver/fastdiag.py): the operator
-            # must be a separable Kronecker sum — one constant-
-            # coefficient 3-point axis term plus any number of ddt
-            # (identity-shift) terms — on a product active set.
+            # the FD PRECONDITIONER (solver/fastdiag.py). The DIRECT
+            # solve demands an exactly-separable Kronecker sum: one
+            # constant-coefficient 3-point axis term plus any number of
+            # ddt (identity-shift) terms on a product active set. The
+            # PRECONDITIONER relaxes this: multiple axis terms are
+            # SUMMED (weights frozen at build time) and non-separable
+            # terms (per-point advection, custom operators) are simply
+            # left out — frozen-coefficient / operator-splitting
+            # preconditioning, exact for the separable part.
             if obn or excluded is not None or dyn_idxs:
                 raise ValueError(
                     f"{why}: obstacles break the product structure of "
                     "the active set — use cg/bicgstab with precond 'mg'"
                 )
-            if not (
+            exact_ax = (
                 len(ax_ids) == 1
                 and len(ax_ids) + len(ddt_ids) == len(term_descs)
-                and all(len(cs) == 3 for cs in tparams[ax_ids[0]]["axis"])
-                and np.ndim(tparams[ax_ids[0]].get("param", 0.0)) == 0
-            ):
+            )
+            ok = (
+                len(ax_ids) >= 1
+                and (exact_ax or for_precond)
+                and all(
+                    len(cs) == 3
+                    for i in ax_ids
+                    for cs in tparams[i]["axis"]
+                )
+                and all(
+                    np.ndim(tparams[i].get("param", 0.0)) == 0
+                    for i in ax_ids
+                )
+            )
+            if not ok:
                 raise ValueError(
                     f"{why}: equation must be one 3-point axis term "
                     "(laplacian) plus ddt terms with scalar coefficients"
+                    + (
+                        " (precond 'fd' also accepts extra terms, which"
+                        " it ignores)" if for_precond else ""
+                    )
                 )
             from pyapes_tpu.solver.fastdiag import FastDiag, axis_matrix_np
 
+            def _axis_mats(i):
+                return [
+                    axis_matrix_np(
+                        *tparams[i]["axis"][j],
+                        active=slicer_t[j],
+                        periodic=bool(paxes and j in paxes),
+                    )
+                    for j in range(mesh.dim)
+                ]
+
             i_ax = ax_ids[0]
-            mats = [
-                axis_matrix_np(
-                    *tparams[i_ax]["axis"][j],
-                    active=slicer_t[j],
-                    periodic=bool(paxes and j in paxes),
-                )
-                for j in range(mesh.dim)
-            ]
+            stream_ax = exact_ax or len(ax_ids) == 1
+            if stream_ax:
+                # exactly one axis term: its scalar coefficient streams
+                # through the diagonal symbol at run time
+                mats = _axis_mats(i_ax)
+            else:
+                # several axis terms (e.g. constant-velocity advection +
+                # diffusion): sum the per-axis matrices with the CURRENT
+                # sign*param weights baked in — a frozen-coefficient
+                # preconditioner (c_ax pins to 1; c_dt still streams)
+                mats = None
+                for i in ax_ids:
+                    w = float(term_descs[i][2]) * float(
+                        tparams[i].get("param", 1.0)
+                        if term_descs[i][5]
+                        else 1.0
+                    )
+                    mi = _axis_mats(i)
+                    mats = (
+                        [w * m for m in mi]
+                        if mats is None
+                        else [a + w * m for a, m in zip(mats, mi)]
+                    )
             fd_o = config.get("fd_opts") or {}
             fd = FastDiag(
                 mats,
@@ -1092,29 +1138,69 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 transform_dtype=fd_o.get("dtype"),
                 precision=fd_o.get("precision", "highest"),
             )
-            return fd, i_ax
+            return fd, (i_ax if stream_ax else None)
 
         def _fd_scalars_fn(i_ax):
             # (c_ax, c_dt) of the diagonal symbol from the streamed
             # per-call term params — shared by the direct solve and the
-            # preconditioner's trace-time setup hook.
-            sign0 = term_descs[i_ax][2]
-            has_p0 = term_descs[i_ax][5]
+            # preconditioner's trace-time setup hook. ``i_ax=None``
+            # pins c_ax=1 (weights already baked into the matrices).
+            if i_ax is not None:
+                sign0 = term_descs[i_ax][2]
+                has_p0 = term_descs[i_ax][5]
             dd = tuple(ddt_ids)
             ds = tuple(term_descs[i][2] for i in ddt_ids)
 
             def scalars(tp):
-                c_ax = sign0 * (
-                    tp[i_ax]["param"]
-                    if has_p0
-                    else jnp.asarray(1.0, x0.dtype)
-                )
+                if i_ax is None:
+                    c_ax = jnp.asarray(1.0, x0.dtype)
+                else:
+                    c_ax = sign0 * (
+                        tp[i_ax]["param"]
+                        if has_p0
+                        else jnp.asarray(1.0, x0.dtype)
+                    )
                 c_dt = jnp.asarray(0.0, x0.dtype)
                 for s, i in zip(ds, dd):
                     c_dt = c_dt + s * tp[i]["inv_dt"]
                 return c_ax, c_dt
 
             return scalars
+
+        def _make_fd_precond(why):
+            # FD preconditioner + its trace-time scalar hook. With
+            # ``fd_fallback`` configured, a non-separable system (e.g.
+            # obstacle BCs appended after model construction) silently
+            # degrades to an unpreconditioned solve instead of raising.
+            from pyapes_tpu.solver.fastdiag import FDPrecond
+
+            try:
+                fd, i_ax = _fd_setup(why, for_precond=True)
+            except ValueError:
+                if config.get("fd_fallback"):
+                    return None, None
+                raise
+            pre_scale = None
+            if sym_vecs is not None:
+                # the CG loop solves the row-scaled SPD system D A; the
+                # eigen-solve inverts A, so feed it D^-1 r (the
+                # composition is (D A)^-1 — exact and symmetric)
+                ps = sym_vecs[0][None]
+                for dvv in sym_vecs[1:]:
+                    ps = ps * dvv[None]
+                pre_scale = 1.0 / ps[(slice(None),) + tuple(slicer_t)]
+            p = FDPrecond(
+                fd,
+                act_sel=(slice(None),) + tuple(slicer_t),
+                pseudo=bool(config.get("nullspace") == "mean"),
+                pre_scale=pre_scale,
+            )
+            _sc = _fd_scalars_fn(i_ax)
+
+            def setup(tp, _p=p, _s=_sc):
+                _p.set_scalars(*_s(tp))
+
+            return p, setup
 
         if method == "fastdiag":
             fd, i_ax = _fd_setup("fastdiag")
@@ -1161,28 +1247,9 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             )
         elif method == "cg":
             if precond_kind in ("fd", "fastdiag"):
-                from pyapes_tpu.solver.fastdiag import FDPrecond
-
-                fd, i_ax = _fd_setup("precond 'fd'")
-                pre_scale = None
-                if sym_vecs is not None:
-                    # the loop solves the row-scaled SPD system D A; the
-                    # eigen-solve inverts A, so feed it D^-1 r (the
-                    # composition is (D A)^-1 — exact and symmetric)
-                    ps = sym_vecs[0][None]
-                    for dvv in sym_vecs[1:]:
-                        ps = ps * dvv[None]
-                    pre_scale = 1.0 / ps[(slice(None),) + tuple(slicer_t)]
-                precond = FDPrecond(
-                    fd,
-                    act_sel=(slice(None),) + tuple(slicer_t),
-                    pseudo=bool(config.get("nullspace") == "mean"),
-                    pre_scale=pre_scale,
-                )
-                _fd_scalars = _fd_scalars_fn(i_ax)
-
-                def precond_setup(tp, _p=precond, _sc=_fd_scalars):
-                    _p.set_scalars(*_sc(tp))
+                precond, ps_fn = _make_fd_precond("precond 'fd'")
+                if ps_fn is not None:
+                    precond_setup = ps_fn
             else:
                 precond = (
                     mg_spec.preconditioner() if mg_spec is not None else None
@@ -1220,18 +1287,9 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             )
         else:
             if precond_kind in ("fd", "fastdiag"):
-                from pyapes_tpu.solver.fastdiag import FDPrecond
-
-                fd, i_ax = _fd_setup("precond 'fd'")
-                precond = FDPrecond(
-                    fd,
-                    act_sel=(slice(None),) + tuple(slicer_t),
-                    pseudo=bool(config.get("nullspace") == "mean"),
-                )
-                _fd_scalars = _fd_scalars_fn(i_ax)
-
-                def precond_setup(tp, _p=precond, _sc=_fd_scalars):
-                    _p.set_scalars(*_sc(tp))
+                precond, ps_fn = _make_fd_precond("precond 'fd'")
+                if ps_fn is not None:
+                    precond_setup = ps_fn
             else:
                 precond = (
                     mg_spec.preconditioner() if mg_spec is not None else None

@@ -29,8 +29,12 @@ class FDMSolverConfig(TypedDict, total=False):
     precond: str
     """"mg" enables the geometric-multigrid preconditioner
     (``solver/multigrid.py``); "fd" the fast-diagonalization
-    preconditioner (separable laplacian+ddt operators only — one dense
-    MXU eigen-solve per Krylov iteration, ``solver/fastdiag.py``)."""
+    preconditioner (one dense MXU eigen-solve per Krylov iteration,
+    ``solver/fastdiag.py``). "fd" preconditions NON-separable equations
+    with their separable part: several constant-coefficient axis terms
+    are summed with build-time-frozen weights (constant-velocity
+    advection-diffusion becomes near-direct), per-point advection /
+    custom terms are left out (frozen diffusion+dt preconditioner)."""
     fd_opts: dict
     """Fast-diagonalization options (method "fastdiag" / precond "fd"):
     {"precision": "highest" (default, true-f32 MXU passes, ~1e-6/pass)

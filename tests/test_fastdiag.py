@@ -302,6 +302,62 @@ def test_fd_precond_rejects_nonseparable():
         s.solve()
 
 
+def test_fd_precond_partial_separable():
+    """precond "fd" on NON-separable equations preconditions with the
+    separable part: constant-velocity advection-diffusion (two axis
+    terms, matrices summed with frozen weights) is near-direct; a
+    per-point advector (conv) leaves a frozen diffusion+dt
+    preconditioner that still beats plain BiCGSTAB."""
+    n, dim = 65, 2
+    mesh = Mesh(Box[0:1, 0:1], None, [n] * dim, dtype="single")
+    rng = np.random.default_rng(3)
+    rhs = jnp.asarray(rng.standard_normal(tuple(mesh.nx)),
+                      dtype=jnp.float32)[None]
+    fdm = FDM()
+
+    def solve(cfg, eq_of):
+        var = Field("phi", 1, mesh,
+                    {"domain": homogeneous_bcs(dim, 0.0, "dirichlet"),
+                     "obstacle": None}, init_val=0.0)
+        s = Solver({"fdm": {"method": "bicgstab", "tol": 1e-7,
+                            "max_it": 4000, "report": False,
+                            "criterion": "residual", **cfg}})
+        s.set_eq(eq_of(var))
+        rep = s.solve()
+        return np.asarray(var()[0]), rep
+
+    # two axis terms: div(1.0) + laplacian -> summed matrices, ~direct
+    def adv_diff(var):
+        return fdm.div(1.0, var) - fdm.laplacian(0.05, var) == rhs
+
+    x_p, rep_p = solve({}, adv_diff)
+    x_f, rep_f = solve({"precond": "fd"}, adv_diff)
+    assert rep_f["itr"] <= 5 < rep_p["itr"]
+    assert np.abs(x_f - x_p).max() / np.abs(x_p).max() < 1e-3
+
+    # per-point advector (conv term, ignored by the preconditioner)
+    uvec = jnp.stack([
+        jnp.asarray(2 * np.sin(np.pi * np.asarray(mesh._grid_np[0])),
+                    dtype=jnp.float32),
+        jnp.asarray(np.cos(np.pi * np.asarray(mesh._grid_np[1])),
+                    dtype=jnp.float32),
+    ])
+
+    def transport(var):
+        var.set_time(0.05, 0.0)
+        var.save_old()
+        return (fdm.ddt(var) + fdm.conv(uvec, var)
+                - fdm.laplacian(0.002, var) == rhs)
+
+    # the frozen-diffusion preconditioner's advantage compounds with the
+    # digits asked for (measured 151 vs 366 its at 1e-8; 98 vs 136 at
+    # 1e-4) — the test asks for the modest-tolerance regime
+    x_p, rep_p = solve({"tol": 1e-4}, transport)
+    x_f, rep_f = solve({"tol": 1e-4, "precond": "fd"}, transport)
+    assert rep_f["itr"] < 0.85 * rep_p["itr"]
+    assert np.abs(x_f - x_p).max() / np.abs(x_p).max() < 1e-2
+
+
 def test_fastdiag_rz():
     """rz (axisymmetric) operators ARE separable: the radial operator
     (1/r)d/dr(r d/dr) folds the metric into the per-axis vectors and the
