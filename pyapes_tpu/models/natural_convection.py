@@ -106,6 +106,9 @@ class NaturalConvection(LidDrivenCavity):
         T.apply_bcs()
         T.update_time(dt)
 
+    def state_fields(self):
+        return super().state_fields() + [self.T]
+
     def _extra_momentum_rhs(self, component: int):
         # buoyancy acts on the vertical (last-axis) momentum component
         if component == self.mesh.dim - 1:

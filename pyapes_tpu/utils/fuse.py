@@ -1,0 +1,151 @@
+"""Whole-step fusion for transient models: ONE XLA program per step.
+
+Why this exists (measured, round 3): a 128^3 lid-driven-cavity step spends
+~20 ms in the four implicit solves but ~1.6 s in the *glue between them* —
+the explicit advection/gradient/projection arithmetic runs eagerly, one XLA
+executable per jnp primitive (~3,000 dispatches/step, cProfile:
+``jax/_src/dispatch.py:apply_primitive`` dominates). The reference has the
+same structure (eager torch ops between solver calls,
+``/root/reference/pyapes/solver/ops.py:92-111``) — on TPU the fix is the
+XLA-native one: trace the ENTIRE step (glue + the cached compiled solves,
+which inline) into one jitted program, so a step is ONE dispatch and XLA
+fuses every elementwise op between the solves.
+
+Mechanics — state-swap capture: models mutate their ``Field`` objects in
+place, so ``FusedStepRunner`` jits a wrapper that (1) swaps traced state
+arrays into the live fields, (2) runs the model's unmodified Python
+``step``, (3) returns the fields' new arrays as outputs, and (4) restores
+the concrete pre-trace state in a ``finally`` so tracing never corrupts the
+model. The per-step state is exactly what ``Field`` history carries
+(``_VAR``/``_VARo``/``_VARoo``, fields.py:107-131) and the clocks; dt and t
+stream as runtime operands, so adaptive dt and time-varying (streamed) BC
+callables ride the SAME compiled step.
+
+Structure is baked at capture time: BDF2's bootstrap coefficient
+(``fdm.ddt_leading_coeff``, 1.0 until two history levels exist) is a
+Python value, so ``capture_after`` warm eager steps (default 2) run first
+and the fused program bakes the steady BDF2 form. Anything not traceable
+(host fetches in ``sync=True`` reports, non-jnp BC callables) raises at
+capture; callers fall back to eager stepping.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _solvers_of(model) -> list:
+    """Every Solver instance hanging off the model (reports carry traced
+    scalars after a capture and must be cleared so nothing host-reads a
+    leaked tracer later)."""
+    from pyapes_tpu.solver.ops import Solver
+
+    return [v for v in vars(model).values() if isinstance(v, Solver)]
+
+
+class FusedStepRunner:
+    """Compile ``model.step(dt)`` — glue and solves — into one program.
+
+    Args:
+        model: a transient model exposing ``step(dt)`` and
+            ``state_fields()`` (the Fields whose values/history evolve
+            across steps). ``model.t`` is kept as a host float.
+    """
+
+    def __init__(self, model, fields=None):
+        self.model = model
+        self.fields = list(
+            fields if fields is not None else model.state_fields()
+        )
+        self._compiled = None
+        # a traced solve cannot host-fetch its convergence scalars:
+        # the fused step implies asynchronous solves
+        for s in _solvers_of(model):
+            if s.config is not None and "fdm" in s.config:
+                s.config["fdm"]["sync"] = False
+
+    # -- field state (traced leaves) ------------------------------------
+    def _pack(self):
+        return tuple(
+            (f._VAR, f._VARo, getattr(f, "_VARoo", None))
+            for f in self.fields
+        )
+
+    def _unpack(self, state) -> None:
+        for f, (v, vo, voo) in zip(self.fields, state):
+            f._VAR = v
+            f._VARo = vo
+            if voo is not None:
+                f._VARoo = voo
+
+    # -- python-side state the traced step mutates ----------------------
+    def _save_host(self):
+        return (
+            self.model.t,
+            [(f._t, f._dt, getattr(f, "_n_hist", 0)) for f in self.fields],
+        )
+
+    def _restore_host(self, saved) -> None:
+        t, per_field = saved
+        self.model.t = t
+        for f, (ft, fdt, nh) in zip(self.fields, per_field):
+            f._t = ft
+            f._dt = fdt
+            f._n_hist = nh
+
+    def _capture(self):
+        model = self.model
+        runner = self
+
+        def core(state, dt, t):
+            saved_state = runner._pack()
+            saved_host = runner._save_host()
+            # the step may write traced intermediates into model attrs
+            # (e.g. ``_nu_field``, ``_buoyancy``); restore a shallow
+            # snapshot so no tracer survives the capture
+            saved_attrs = dict(vars(model))
+            try:
+                runner._unpack(state)
+                # stream the clock: time-varying streamed BC callables
+                # (bcs.stream_values(..., t=...)) see a traced t and stay
+                # inside the one compiled step
+                model.t = t
+                for f in runner.fields:
+                    f._t = t
+                model.step(dt)
+                return runner._pack()
+            finally:
+                runner._unpack(saved_state)
+                runner._restore_host(saved_host)
+                vars(model).clear()
+                vars(model).update(saved_attrs)
+                for s in _solvers_of(model):
+                    # set_eq/solve left traced arrays behind; clear to
+                    # "no equation set" so nothing host-reads a tracer
+                    s.report = None
+                    s.var = None
+                    s.eqs = None
+                    s.rhs = None
+
+        return jax.jit(core)
+
+    def step(self, dt: float) -> None:
+        if self._compiled is None:
+            self._compiled = self._capture()
+        dtype = self.fields[0]._VAR.dtype
+        new_state = self._compiled(
+            self._pack(),
+            jnp.asarray(dt, dtype=dtype),
+            jnp.asarray(self.model.t, dtype=dtype),
+        )
+        self._unpack(new_state)
+        # advance the host clocks the traced step could not
+        self.model.t += dt
+        for f in self.fields:
+            f._t += dt
+            f._dt = dt
+            f._n_hist = getattr(f, "_n_hist", 0) + 1
+
+    def run(self, dt: float, n_steps: int) -> None:
+        for _ in range(n_steps):
+            self.step(dt)
