@@ -202,12 +202,17 @@ def bench_rz(nr: int = 512, nz: int = 1024, n_steps: int = 5):
     }
 
 
-def bench_cavity(n: int = 128, n_steps: int = 5):
+def bench_cavity(n: int = 128, n_steps: int = 5, fused: bool = True):
     """Navier-Stokes step throughput: 3-D lid-driven cavity at ``n^3``
     (Re=100, regularized lid). Each step = ``dim`` implicit-diffusion
     momentum BiCGSTAB solves + one all-Neumann pressure MG-PCG solve +
     projection — the flagship-model hot loop. Metric is cell-steps/s
-    (grid cells advanced one time step per second per chip)."""
+    (grid cells advanced one time step per second per chip).
+
+    Default path is the FUSED whole-step runner (utils/fuse.py): one XLA
+    program per step instead of ~3,000 eager dispatches of glue between
+    the solves (measured round 3: ~1.6 s/step of dispatch vs ~20 ms of
+    solves at 128^3). ``PYAPES_BENCH_FUSED=0`` measures the eager A/B."""
     from pyapes_tpu.models.navier_stokes import LidDrivenCavity
 
     enable_compilation_cache()
@@ -230,17 +235,16 @@ def bench_cavity(n: int = 128, n_steps: int = 5):
 
     model = fresh()
     t0 = time.perf_counter()
-    model.run(dt, 1)  # compile every solver structure
+    # 2 eager warm steps (BDF2 bootstrap) + the fused capture/compile
+    model.run(dt, 3, fused=fused)
     settle(model)
     compile_s = time.perf_counter() - t0
 
     walls = []
     for _ in range(3):
-        model = fresh()
-        model.run(dt, 1)  # warm first-step structures (fresh fields)
-        settle(model)
+        # warm model: past the BDF2 bootstrap, compiled structures cached
         tic = time.perf_counter()
-        model.run(dt, n_steps)
+        model.run(dt, n_steps, fused=fused)
         settle(model)
         walls.append(time.perf_counter() - tic)
     wall = min(walls)
@@ -250,6 +254,7 @@ def bench_cavity(n: int = 128, n_steps: int = 5):
     return {
         "n": n,
         "n_steps": n_steps,
+        "fused": fused,
         "wall_s": wall,
         "wall_s_all": [round(w, 4) for w in walls],
         "compile_s": compile_s,
@@ -320,21 +325,26 @@ def main() -> None:
     max_it = int(os.environ.get("PYAPES_BENCH_MAXIT", "4000"))
 
     if os.environ.get("PYAPES_BENCH_CASE") == "cavity":
+        fused = os.environ.get("PYAPES_BENCH_FUSED", "1") != "0"
         result = bench_cavity(
             n=int(os.environ.get("PYAPES_BENCH_CAVITY_N", "128")),
             n_steps=int(os.environ.get("PYAPES_BENCH_CAVITY_STEPS", "5")),
+            fused=fused,
         )
         print(
             f"# cavity {result['n']}^3 x{result['n_steps']} "
+            f"fused={result['fused']} "
             f"wall={result['wall_s']:.3f}s compile={result['compile_s']:.1f}s "
             f"max_div={result['max_div']:.2e}",
             file=sys.stderr,
         )
         print(json.dumps({
-            "metric": "ns_cavity3d_cell_steps_per_s_chip",
+            "metric": "ns_cavity3d_cell_steps_per_s_chip"
+                      + ("" if fused else "_eager"),
             "value": round(result["cell_steps_per_s"], 1),
             "unit": "cell-steps/s/chip",
             "vs_baseline": 0.0,
+            "compile_s": round(result["compile_s"], 1),
         }))
         return
 
@@ -350,6 +360,7 @@ def main() -> None:
             "value": round(result["dof_per_s"], 1),
             "unit": "DOF/s/chip",
             "vs_baseline": 0.0,
+            "compile_s": round(result["compile_s"], 1),
         }))
         return
 
@@ -370,6 +381,7 @@ def main() -> None:
             "value": round(result["dof_per_s"], 1),
             "unit": "DOF/s/chip",
             "vs_baseline": 0.0,
+            "compile_s": round(result["compile_s"], 1),
         }))
         return
 
@@ -409,6 +421,7 @@ def main() -> None:
                 "vs_baseline": round(
                     result["dof_per_s"] / BASELINE_DOF_PER_S_CHIP, 4
                 ),
+                "compile_s": round(result["compile_s"], 1),
             }
         )
     )

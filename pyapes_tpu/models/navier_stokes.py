@@ -265,8 +265,11 @@ class LidDrivenCavity:
         reg_axes = [0] if (dim == 2 or spanwise != "noslip") else [0, 1]
 
         def _lid_mag(t):
+            # No float() coercion: under the fused whole-step capture
+            # (utils/fuse.py) t is a TRACED scalar, and U(t) must stay a
+            # jnp value so the time-varying lid rides the compiled step.
             if callable(lid_velocity):
-                return float(lid_velocity(0.0 if t is None else t))
+                return jnp.asarray(lid_velocity(0.0 if t is None else t))
             return float(lid_velocity)
 
         if lid_profile == "regularized":
@@ -746,8 +749,22 @@ class LidDrivenCavity:
                 self.step(dt)
                 n_steps -= 1
             if n_steps > 0:
-                self.fused_runner().run(dt, n_steps)
-            return
+                import jax
+
+                try:
+                    self.fused_runner().run(dt, n_steps)
+                    return
+                except jax.errors.JAXTypeError as e:
+                    # capture failed (e.g. a BC callable that host-coerces
+                    # the traced t); state is untouched (fuse.py restores
+                    # in a finally) — fall back to eager stepping
+                    import warnings
+
+                    warnings.warn(
+                        "fused step capture failed; falling back to eager "
+                        f"stepping: {type(e).__name__}: {e}"
+                    )
+                    self._fused = None
         for _ in range(n_steps):
             self.step(dt)
 

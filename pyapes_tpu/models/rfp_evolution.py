@@ -51,10 +51,20 @@ class RFPEvolution:
         """One backward-Euler step: ``(I/dt + Fr - Di) f_new = f/dt``,
         solved matrix-free via the ``fdm.custom`` operator hook (the RFP
         operator is linear in f with frozen potentials). Stable far beyond
-        the explicit dt limit."""
+        the explicit dt limit.
+
+        Preconditioning (default): the frozen separable diagonal-diffusion
+        surrogate of the operator (``rfp.rfp_fd_hint``) feeds the
+        fast-diagonalization preconditioner — a direct eigen-solve of
+        ``(I/dt - D̄_sep)`` per BiCGSTAB iteration made of dense MXU
+        contractions. Disable with ``config={"precond": "none"}``."""
         from pyapes_tpu.solver.fdm import FDM
         from pyapes_tpu.solver.ops import Solver
-        from pyapes_tpu.solver.rfp import diffusion_apply, friction_apply
+        from pyapes_tpu.solver.rfp import (
+            diffusion_apply,
+            friction_apply,
+            rfp_fd_hint,
+        )
 
         mesh = self.mesh
         jacH, hessG = self.jacH, self.hessG
@@ -66,7 +76,7 @@ class RFPEvolution:
             )[None]
 
         cfg = {"method": "bicgstab", "tol": 1e-9, "max_it": 2000,
-               "report": False}
+               "report": False, "precond": "fd", "fd_fallback": True}
         cfg.update(config or {})
         solver = Solver({"fdm": cfg})
         fdm = FDM()
@@ -75,8 +85,14 @@ class RFPEvolution:
             f.set_time(dt, 0.0)
         f.save_old()
         params = (jacH.r, jacH.z, hessG.rr, hessG.rz, hessG.zz)
+        hint = (
+            rfp_fd_hint(hessG.rr, hessG.zz, mesh)
+            if cfg.get("precond") in ("fd", "fastdiag")
+            else None
+        )
         solver.set_eq(
-            fdm.ddt(f) + fdm.custom(rfp_op, f, params=params)
+            fdm.ddt(f)
+            + fdm.custom(rfp_op, f, params=params, fd_hint=hint)
             == jnp.zeros_like(f())
         )
         solver.solve()

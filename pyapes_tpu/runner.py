@@ -82,7 +82,8 @@ def _run_cavity(args) -> dict:
         n_steps = model.run_adaptive(cfl, t_end=args.dt * args.steps)
     else:
         n_steps = args.steps
-        model.run(dt=args.dt, n_steps=args.steps)
+        model.run(dt=args.dt, n_steps=args.steps,
+                  fused=getattr(args, "fused", False))
     wall = time.perf_counter() - tic
     _maybe_save(args, model.vel + [model.p])
     import numpy as np
@@ -167,7 +168,8 @@ def _run_convection(args) -> dict:
     model = NaturalConvection(mesh, ra=args.ra, pr=args.pr)
     _maybe_resume(args, model, model.vel + [model.p, model.T])
     tic = time.perf_counter()
-    model.run(dt=args.dt, n_steps=args.steps)
+    model.run(dt=args.dt, n_steps=args.steps,
+              fused=getattr(args, "fused", False))
     wall = time.perf_counter() - tic
     _maybe_save(args, model.vel + [model.p, model.T])
     out = {
@@ -330,6 +332,11 @@ def main(argv=None) -> None:
         help="CFL-adaptive dt (integrates to t_end = dt * steps; "
         "dt streams as a runtime operand, so dt changes never recompile)",
     )
+    sc.add_argument(
+        "--fused", action="store_true",
+        help="whole-step fusion (utils/fuse.py): compile the entire NS "
+        "step — glue and solves — into ONE XLA program per step",
+    )
 
     sb = sub.add_parser("burgers", parents=[common])
     sb.add_argument("--dt", type=float, default=0.01)
@@ -347,6 +354,8 @@ def main(argv=None) -> None:
     sv.add_argument("--pr", type=float, default=0.71)
     sv.add_argument("--dt", type=float, default=0.01)
     sv.add_argument("--steps", type=int, default=100)
+    sv.add_argument("--fused", action="store_true",
+                    help="whole-step fusion (one XLA program per step)")
 
     sd = sub.add_parser("darcy", parents=[common])
     sd.add_argument("--seed", type=int, default=7)

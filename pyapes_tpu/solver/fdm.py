@@ -477,11 +477,28 @@ class Custom(Operators):
     frozen potentials (``models/rfp_evolution.py``). Extra array arguments
     can be bound via ``params`` (streamed through the compiled-solver
     cache, so updating them does not retrace).
+
+    ``fd_hint`` (optional): a frozen SEPARABLE surrogate of ``fn`` for the
+    fast-diagonalization preconditioner (``precond: "fd"``): per mesh
+    axis, three full-length coefficient vectors ``(ap, ac, am)`` (+1/0/-1
+    neighbor offsets) such that ``sum_j tridiag_j`` approximates ``fn``.
+    The hint never changes the operator — only the preconditioner — so
+    any drift/cross-derivative parts of ``fn`` may simply be left out
+    (frozen-coefficient / operator-splitting preconditioning). The hint
+    is content-hashed into the compiled-solver cache key: new hint values
+    (e.g. refreshed RFP potentials) re-factorize but reuse compiles of
+    identical structure.
     """
 
-    def __call__(self, fn, var: Field, params=()) -> "Custom":
+    def __call__(self, fn, var: Field, params=(), fd_hint=None) -> "Custom":
         assert isinstance(var, Field), "FDM Custom: var must be a Field!"
         self._var = var
+        if fd_hint is not None:
+            # normalize to a hashable nested float tuple (cache key)
+            fd_hint = tuple(
+                tuple(tuple(float(x) for x in vec) for vec in ax)
+                for ax in fd_hint
+            )
         self._ops = {
             0: {
                 "name": self.__class__.__name__,
@@ -489,7 +506,7 @@ class Custom(Operators):
                 "target": var,
                 "param": (fn,),
                 "sign": 1.0,
-                "other": {"fn": fn},
+                "other": {"fn": fn, "fd_hint": fd_hint},
                 "axis_coeffs": None,
                 "A_coeffs": None,
                 "adv": None,

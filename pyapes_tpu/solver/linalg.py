@@ -109,7 +109,13 @@ def _term_descriptor(rec) -> tuple:
         else (
             (rec["other"]["inv_dx2"], rec["other"]["avg"])
             if kind == "diff_field"
-            else None
+            # custom: the (hashable) separable fd_hint rides the "form"
+            # slot — consumed only by the FD preconditioner setup
+            else (
+                rec["other"].get("fd_hint")
+                if kind == "custom"
+                else None
+            )
         ),
         rec["other"]["fn"] if kind == "custom" else None,
     )
@@ -1073,8 +1079,20 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 len(ax_ids) == 1
                 and len(ax_ids) + len(ddt_ids) == len(term_descs)
             )
+            # custom terms carrying a separable fd_hint (desc slot 6)
+            # contribute frozen axis matrices to the PRECONDITIONER —
+            # the implicit-RFP / operator-splitting case
+            hint_ids = (
+                [
+                    i
+                    for i, d in enumerate(term_descs)
+                    if d[0] == "custom" and d[6] is not None
+                ]
+                if for_precond
+                else []
+            )
             ok = (
-                len(ax_ids) >= 1
+                (len(ax_ids) >= 1 or hint_ids)
                 and (exact_ax or for_precond)
                 and all(
                     len(cs) == 3
@@ -1092,7 +1110,8 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                     "(laplacian) plus ddt terms with scalar coefficients"
                     + (
                         " (precond 'fd' also accepts extra terms, which"
-                        " it ignores)" if for_precond else ""
+                        " it ignores unless they carry an fd_hint)"
+                        if for_precond else ""
                     )
                 )
             from pyapes_tpu.solver.fastdiag import FastDiag, axis_matrix_np
@@ -1107,17 +1126,20 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                     for j in range(mesh.dim)
                 ]
 
-            i_ax = ax_ids[0]
-            stream_ax = exact_ax or len(ax_ids) == 1
+            i_ax = ax_ids[0] if ax_ids else None
+            stream_ax = (
+                (exact_ax or len(ax_ids) == 1) and not hint_ids
+            )
             if stream_ax:
                 # exactly one axis term: its scalar coefficient streams
                 # through the diagonal symbol at run time
                 mats = _axis_mats(i_ax)
             else:
                 # several axis terms (e.g. constant-velocity advection +
-                # diffusion): sum the per-axis matrices with the CURRENT
-                # sign*param weights baked in — a frozen-coefficient
-                # preconditioner (c_ax pins to 1; c_dt still streams)
+                # diffusion) and/or hinted custom terms: sum the per-axis
+                # matrices with the CURRENT sign*param weights baked in —
+                # a frozen-coefficient preconditioner (c_ax pins to 1;
+                # c_dt still streams)
                 mats = None
                 for i in ax_ids:
                     w = float(term_descs[i][2]) * float(
@@ -1126,6 +1148,21 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                         else 1.0
                     )
                     mi = _axis_mats(i)
+                    mats = (
+                        [w * m for m in mi]
+                        if mats is None
+                        else [a + w * m for a, m in zip(mats, mi)]
+                    )
+                for i in hint_ids:
+                    w = float(term_descs[i][2])
+                    mi = [
+                        axis_matrix_np(
+                            *term_descs[i][6][j],
+                            active=slicer_t[j],
+                            periodic=bool(paxes and j in paxes),
+                        )
+                        for j in range(mesh.dim)
+                    ]
                     mats = (
                         [w * m for m in mi]
                         if mats is None

@@ -211,6 +211,77 @@ class RFP:
     diffusion: Diffusion = Diffusion()
 
 
+def rfp_fd_hint(Drr, Dzz, mesh):
+    """Frozen separable surrogate of the implicit-RFP operator
+    ``friction_apply(...) - diffusion_apply(...)`` for the
+    fast-diagonalization preconditioner (``fdm.custom(..., fd_hint=...)``,
+    consumed by ``precond: "fd"`` in ``solver/linalg.py``).
+
+    Construction: keep the DIAGONAL diffusion parts with the exact
+    conservative face weights and boundary rows of ``diffusion_apply``,
+    with the coefficient fields frozen to their cross-axis means
+    (``D̄rr(r) = mean_z Drr``, ``D̄zz(z) = mean_r Dzz`` — each axis matrix
+    must depend on its own coordinate only, the Kronecker-sum condition).
+    The drift (friction) and the ``D_rz`` cross terms are dropped: drift
+    makes mixed-sign off-diagonals that are not diagonally symmetrizable
+    (``fastdiag._symmetrize_similarity``), and cross terms are not
+    separable — operator-splitting preconditioning, exact for the frozen
+    diagonal-diffusion part. The r=0 row is decoupled radially (the true
+    operator drops all radial flux there, ``diffusion_apply`` r=0 row).
+
+    Returns per-axis ``(ap, ac, am)`` full-length numpy vectors of the
+    surrogate of the custom TERM itself (i.e. MINUS the diffusion
+    surrogate, matching ``rfp_op = friction - diffusion``).
+    """
+    import numpy as np
+
+    Drr = np.asarray(Drr, dtype=np.float64)
+    Dzz = np.asarray(Dzz, dtype=np.float64)
+    r = np.asarray(mesh._x_np[0], dtype=np.float64)
+    dr = float(mesh.dx_np[0])
+    dz = float(mesh.dx_np[1])
+    nr, nz = Drr.shape
+
+    # -- radial axis: (1/r) d_r(r D̄rr d_r f), conservative faces --------
+    Dr = Drr.mean(axis=1)
+    ap_r = np.zeros(nr)
+    am_r = np.zeros(nr)
+    r_p = np.empty(nr)
+    r_m = np.empty(nr)
+    r_p[:-1] = (r[1:] + r[:-1]) / 2.0
+    r_p[-1] = r[-1]  # unused (boundary row overrides)
+    r_m[1:] = (r[1:] + r[:-1]) / 2.0
+    r_m[0] = r[0]
+    i = np.arange(1, nr - 1)
+    ap_r[i] = r_p[i] * (Dr[i + 1] + Dr[i]) / (2.0 * r[i] * dr * dr)
+    am_r[i] = r_m[i] * (Dr[i] + Dr[i - 1]) / (2.0 * r[i] * dr * dr)
+    # r = R boundary row of diffusion_apply: 2 * (-r_m * Drr_Pr_rmz)/(R dr)
+    am_r[-1] = r_m[-1] * (Dr[-1] + Dr[-2]) / (r[-1] * dr * dr)
+    # r = 0 row drops ALL radial flux (axis row) -> decouple both ways so
+    # the tridiagonal stays diagonally symmetrizable
+    am_r[1] = 0.0
+    ac_r = -(ap_r + am_r)
+
+    # -- axial axis: d_z(D̄zz d_z f) --------------------------------------
+    Dz = Dzz.mean(axis=0)
+    ap_z = np.zeros(nz)
+    am_z = np.zeros(nz)
+    j = np.arange(1, nz - 1)
+    ap_z[j] = (Dz[j + 1] + Dz[j]) / (2.0 * dz * dz)
+    am_z[j] = (Dz[j] + Dz[j - 1]) / (2.0 * dz * dz)
+    # zero-flux boundary rows (diffusion_apply z=0 / z=Z: doubled one-
+    # sided face flux)
+    ap_z[0] = (Dz[1] + Dz[0]) / (dz * dz)
+    am_z[-1] = (Dz[-1] + Dz[-2]) / (dz * dz)
+    ac_z = -(ap_z + am_z)
+
+    # the custom term is friction - diffusion: surrogate = -diffusion_sep
+    return (
+        (-ap_r, -ac_r, -am_r),
+        (-ap_z, -ac_z, -am_z),
+    )
+
+
 def mc_limiter(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Monotonized-central flux limiter (reference ``rfp.py:260-263``)."""
     return minmod(2.0 * minmod(a, b), (a + b) / 2.0)

@@ -23,10 +23,19 @@ callables ride the SAME compiled step.
 
 Structure is baked at capture time: BDF2's bootstrap coefficient
 (``fdm.ddt_leading_coeff``, 1.0 until two history levels exist) is a
-Python value, so ``capture_after`` warm eager steps (default 2) run first
+Python value, so warm eager steps run first (``model.run`` handles this)
 and the fused program bakes the steady BDF2 form. Anything not traceable
-(host fetches in ``sync=True`` reports, non-jnp BC callables) raises at
-capture; callers fall back to eager stepping.
+(a BC callable that host-coerces a traced ``t``) raises ``JAXTypeError``
+at capture with the model state untouched; ``model.run(fused=True)``
+catches that and falls back to eager stepping.
+
+Solver ``sync`` flags are forced off only for the DURATION of a fused
+``step()`` call (a traced solve cannot host-fetch its convergence
+scalars) and restored afterwards, so eager steps keep their synchronous
+NaN/Inf tolerance guard. Host clocks after a fused step advance only for
+the fields the eager step actually advances — capture records which
+fields saw ``save_old``/``update_time`` inside the trace — so fused and
+eager runs produce identical field metadata (checkpoint parity).
 """
 from __future__ import annotations
 
@@ -58,11 +67,29 @@ class FusedStepRunner:
             fields if fields is not None else model.state_fields()
         )
         self._compiled = None
-        # a traced solve cannot host-fetch its convergence scalars:
-        # the fused step implies asynchronous solves
-        for s in _solvers_of(model):
+        # per-field flags recorded during capture: did the eager step call
+        # save_old (history shift) / update_time (clock advance) on this
+        # field? Until capture runs, assume all do.
+        self._hist_advanced = [True] * len(self.fields)
+        self._t_advanced = [True] * len(self.fields)
+
+    def _sync_off(self):
+        """Force async solves (a traced solve cannot host-fetch its
+        convergence scalars); returns the saved flags for restore."""
+        saved = []
+        for s in _solvers_of(self.model):
             if s.config is not None and "fdm" in s.config:
+                saved.append((s, s.config["fdm"].get("sync", None)))
                 s.config["fdm"]["sync"] = False
+        return saved
+
+    @staticmethod
+    def _sync_restore(saved) -> None:
+        for s, flag in saved:
+            if flag is None:
+                s.config["fdm"].pop("sync", None)
+            else:
+                s.config["fdm"]["sync"] = flag
 
     # -- field state (traced leaves) ------------------------------------
     def _pack(self):
@@ -113,6 +140,16 @@ class FusedStepRunner:
                 for f in runner.fields:
                     f._t = t
                 model.step(dt)
+                # record which fields the step actually advanced, so the
+                # host-side clock advance after each fused step mirrors
+                # the eager step exactly (p/dp carry no history there)
+                runner._hist_advanced = [
+                    getattr(f, "_n_hist", 0) > nh
+                    for f, (_, _, nh) in zip(runner.fields, saved_host[1])
+                ]
+                runner._t_advanced = [
+                    f._t is not t for f in runner.fields
+                ]
                 return runner._pack()
             finally:
                 runner._unpack(saved_state)
@@ -130,21 +167,30 @@ class FusedStepRunner:
         return jax.jit(core)
 
     def step(self, dt: float) -> None:
-        if self._compiled is None:
-            self._compiled = self._capture()
-        dtype = self.fields[0]._VAR.dtype
-        new_state = self._compiled(
-            self._pack(),
-            jnp.asarray(dt, dtype=dtype),
-            jnp.asarray(self.model.t, dtype=dtype),
-        )
+        saved_sync = self._sync_off()
+        try:
+            if self._compiled is None:
+                self._compiled = self._capture()
+            dtype = self.fields[0]._VAR.dtype
+            new_state = self._compiled(
+                self._pack(),
+                jnp.asarray(dt, dtype=dtype),
+                jnp.asarray(self.model.t, dtype=dtype),
+            )
+        finally:
+            self._sync_restore(saved_sync)
         self._unpack(new_state)
-        # advance the host clocks the traced step could not
+        # advance the host clocks the traced step could not — only for
+        # the fields the eager step advances (recorded at capture)
         self.model.t += dt
-        for f in self.fields:
-            f._t += dt
-            f._dt = dt
-            f._n_hist = getattr(f, "_n_hist", 0) + 1
+        for f, hist, tadv in zip(
+            self.fields, self._hist_advanced, self._t_advanced
+        ):
+            if tadv:
+                f._t += dt
+            if hist:
+                f._dt = dt
+                f._n_hist = getattr(f, "_n_hist", 0) + 1
 
     def run(self, dt: float, n_steps: int) -> None:
         for _ in range(n_steps):

@@ -1,0 +1,171 @@
+"""Fused whole-step runner (utils/fuse.py): the correctness-sensitive
+fast path that compiles an entire transient NS step — explicit glue and
+implicit solves — into ONE XLA program.
+
+Covers (round-4 VERDICT item 1 + ADVICE r3): fused == eager state
+equality for LidDrivenCavity and NaturalConvection, a post-fused eager
+step (no leaked tracers), time-varying streamed lid BCs riding the
+compiled step with a traced t, the eager fallback when a BC callable is
+not traceable, solver ``sync`` flag restoration, and field-clock
+metadata parity between the two paths (checkpoint consistency).
+"""
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyapes_tpu.geometry import Box
+from pyapes_tpu.mesh import Mesh
+from pyapes_tpu.models.navier_stokes import LidDrivenCavity
+
+
+def _cavity(lid=1.0, sync=True):
+    mesh = Mesh(Box[0:1, 0:1], None, [17, 17], dtype="double")
+    return LidDrivenCavity(
+        mesh, nu=0.05, lid_velocity=lid, config={"sync": sync}
+    )
+
+
+def _assert_state_close(m1, m2, atol=1e-9):
+    for j in range(m1.mesh.dim):
+        a, b = np.asarray(m1.vel[j]()), np.asarray(m2.vel[j]())
+        np.testing.assert_allclose(a, b, atol=atol, err_msg=f"u{j}")
+    np.testing.assert_allclose(
+        np.asarray(m1.p()), np.asarray(m2.p()), atol=atol, err_msg="p"
+    )
+
+
+def test_fused_matches_eager_cavity():
+    dt = 0.01
+    m1 = _cavity()
+    m2 = _cavity()
+    m1.run(dt, 8)
+    m2.run(dt, 8, fused=True)
+    _assert_state_close(m1, m2)
+    # a further eager step after fused stepping must still work (no
+    # leaked tracers in solver/model state) and stay in lockstep
+    m1.run(dt, 1)
+    m2.run(dt, 1)
+    _assert_state_close(m1, m2)
+
+
+def test_fused_streamed_lid_callable():
+    """A time-varying lid U(t) is evaluated with a TRACED t inside the
+    fused capture (bcs.stream_values) — it must ride the one compiled
+    step without recompiling or crashing (ADVICE r3, medium #1)."""
+    dt = 0.01
+
+    def lid(t):
+        return 1.0 + 0.5 * jnp.sin(3.0 * t)
+
+    m1 = _cavity(lid=lid)
+    m2 = _cavity(lid=lid)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any eager fallback fails the test
+        m2.run(dt, 8, fused=True)
+    m1.run(dt, 8)
+    _assert_state_close(m1, m2)
+    # the fused program was captured (not fallen back) exactly once
+    assert m2._fused is not None and m2._fused._compiled is not None
+
+
+def test_fused_fallback_to_eager_on_untraceable_bc():
+    """A BC callable that host-coerces the traced t cannot be captured;
+    run(fused=True) must warn and fall back to eager with state intact
+    (the docstring-promised behavior, ADVICE r3 medium #1)."""
+    dt = 0.01
+
+    def lid(t):
+        return float(t) * 0.0 + 1.0  # float() on a tracer -> JAXTypeError
+
+    m1 = _cavity(lid=lid)
+    m2 = _cavity(lid=lid)
+    m1.run(dt, 8)
+    with pytest.warns(UserWarning, match="falling back to eager"):
+        m2.run(dt, 8, fused=True)
+    _assert_state_close(m1, m2, atol=1e-12)
+
+
+def test_fused_restores_sync_flags():
+    """Fused stepping forces async solves only for the DURATION of a
+    fused step; eager steps afterwards keep their synchronous NaN/Inf
+    tolerance guard (ADVICE r3, low #1)."""
+    from pyapes_tpu.solver.ops import Solver
+
+    m = _cavity(sync=True)
+    solvers = [v for v in vars(m).values() if isinstance(v, Solver)]
+    assert solvers, "model exposes no Solver attrs?"
+    before = [s.config["fdm"].get("sync", None) for s in solvers]
+    m.run(0.01, 5, fused=True)
+    after = [s.config["fdm"].get("sync", None) for s in solvers]
+    assert before == after, (before, after)
+
+
+def test_fused_clock_metadata_parity():
+    """Fused and eager runs must produce identical field metadata
+    (t/dt/n_hist feed checkpoints, utils/checkpoint.py) — the fused
+    clock advance touches only fields the eager step advances
+    (ADVICE r3, low #2)."""
+    dt = 0.01
+    m1 = _cavity()
+    m2 = _cavity()
+    m1.run(dt, 6)
+    m2.run(dt, 6, fused=True)
+    for f1, f2 in zip(m1.state_fields(), m2.state_fields()):
+        assert f1.n_hist == f2.n_hist, f1.name
+        assert f1._dt == f2._dt, f1.name
+        t1 = f1._t if f1._t is not None else None
+        t2 = f2._t if f2._t is not None else None
+        if t1 is None or t2 is None:
+            assert t1 is t2, f1.name
+        else:
+            assert abs(float(t1) - float(t2)) < 1e-12, f1.name
+    assert abs(m1.t - m2.t) < 1e-12
+
+
+def test_fused_streams_dt_without_recompile():
+    """dt is a runtime operand of the fused program: changing it between
+    steps must not recompile and must match the eager dt sequence."""
+    m1 = _cavity()
+    m2 = _cavity()
+    seq = [0.01, 0.01, 0.02, 0.005, 0.01, 0.02]
+    for dt in seq:
+        m1.step(dt)
+    # warm the BDF2 bootstrap the same way run(fused=True) does
+    m2.step(seq[0])
+    m2.step(seq[1])
+    runner = m2.fused_runner()
+    for dt in seq[2:]:
+        runner.step(dt)
+    compiled = runner._compiled
+    runner.step(0.01)  # one more, different dt again
+    m1.step(0.01)
+    assert runner._compiled is compiled  # same program object
+    _assert_state_close(m1, m2)
+
+
+def test_fused_natural_convection():
+    """Buoyancy-coupled model (adds the T transport solve + T in the
+    state): fused == eager including the temperature field."""
+    from pyapes_tpu.models import NaturalConvection
+
+    mesh = Mesh(Box[0:1, 0:1], None, [17, 17], dtype="double")
+    dt = 0.0125
+
+    def make():
+        return NaturalConvection(mesh, ra=1e3, pr=0.71)
+
+    m1, m2 = make(), make()
+    m1.run(dt, 8)
+    m2.run(dt, 8, fused=True)
+    _assert_state_close(m1, m2)
+    np.testing.assert_allclose(
+        np.asarray(m1.T()), np.asarray(m2.T()), atol=1e-9, err_msg="T"
+    )
+    # post-fused eager step
+    m1.run(dt, 1)
+    m2.run(dt, 1)
+    np.testing.assert_allclose(
+        np.asarray(m1.T()), np.asarray(m2.T()), atol=1e-9
+    )
