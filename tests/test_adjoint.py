@@ -330,3 +330,133 @@ class TestDifferentiableDiffusionSolve:
         inside = (X - 0.5) ** 2 + (Y - 0.5) ** 2 < 0.12**2
         outside = (X - 0.5) ** 2 + (Y - 0.5) ** 2 > 0.25**2
         assert k_rec[inside].mean() < 0.7 * k_rec[outside & (X > 0) & (X < 1)].mean()
+
+
+class TestDifferentiableTransient:
+    """Round-4 VERDICT item 7: differentiate a TRANSIENT run end-to-end —
+    N implicit steps in one lax.scan with jax.checkpoint-rematerialized
+    reverse; gradients w.r.t. the physical parameter, the initial
+    condition, and the per-point diffusivity field vs finite differences."""
+
+    def _heat(self, n=17, dt=0.02, checkpoint=True):
+        from pyapes_tpu.solver.adjoint import DifferentiableTransient
+
+        mesh = Mesh(Box[0:1, 0:1], None, [n, n])
+        f_bc = mixed_bcs([0.0] * 4, ["dirichlet"] * 4)
+        var = Field("T", 1, mesh, {"domain": f_bc, "obstacle": None})
+        lap = laplacian_axis_coeffs(mesh, var.bcs)
+
+        def coeff_fn(nu):
+            # A(nu) = -nu lap  =>  step solves (I/dt - nu lap) x1 = x/dt
+            return tuple((-nu * ap, -nu * ac, -nu * am)
+                         for ap, ac, am in lap)
+
+        roll = DifferentiableTransient(
+            mesh, var.bcs, coeff_fn, dt=dt, tol=1e-12,
+            checkpoint=checkpoint,
+        )
+        rng = np.random.default_rng(3)
+        x0 = jnp.asarray(rng.standard_normal((1, n, n)))
+        X, Y = mesh.grid
+        target = jnp.sin(np.pi * X) * jnp.sin(np.pi * Y)
+        return roll, x0, target[None]
+
+    def test_grad_wrt_nu_vs_fd(self):
+        roll, x0, target = self._heat()
+        n_steps = 5
+
+        def loss(nu):
+            xN = roll(nu, x0, n_steps)
+            return jnp.sum((xN - target) ** 2)
+
+        nu0 = jnp.asarray(0.05)
+        g = float(jax.grad(loss)(nu0))
+        eps = 1e-5
+        fd = (float(loss(nu0 + eps)) - float(loss(nu0 - eps))) / (2 * eps)
+        assert_allclose(g, fd, rtol=5e-5)
+
+    def test_grad_wrt_initial_condition_vs_fd(self):
+        roll, x0, target = self._heat()
+        n_steps = 4
+
+        def loss(x):
+            return jnp.sum((roll(jnp.asarray(0.05), x, n_steps)
+                            - target) ** 2)
+
+        g = np.asarray(jax.grad(loss)(x0))
+        eps = 1e-6
+        for idx in ((0, 8, 8), (0, 4, 12)):
+            e = jnp.zeros_like(x0).at[idx].set(1.0)
+            fd = (float(loss(x0 + eps * e))
+                  - float(loss(x0 - eps * e))) / (2 * eps)
+            assert_allclose(g[idx], fd, rtol=2e-4, atol=1e-8)
+
+    def test_checkpoint_matches_stored_reverse(self):
+        """jax.checkpoint rematerialization changes memory, not values:
+        gradients with and without it agree to roundoff."""
+        roll_ck, x0, target = self._heat(checkpoint=True)
+        roll_st, _, _ = self._heat(checkpoint=False)
+
+        def loss_of(roll):
+            return lambda nu: jnp.sum(
+                (roll(nu, x0, 4) - target) ** 2
+            )
+
+        nu0 = jnp.asarray(0.07)
+        g_ck = float(jax.grad(loss_of(roll_ck))(nu0))
+        g_st = float(jax.grad(loss_of(roll_st))(nu0))
+        assert_allclose(g_ck, g_st, rtol=1e-12)
+
+    def test_recover_nu_from_trajectory(self):
+        """Inverse problem: recover the diffusivity from one observed
+        endpoint by descending the transient-adjoint gradient."""
+        roll, x0, _ = self._heat()
+        n_steps = 5
+        nu_true = 0.08
+        obs = roll(jnp.asarray(nu_true), x0, n_steps)
+
+        def loss(nu):
+            return jnp.sum((roll(nu, x0, n_steps) - obs) ** 2)
+
+        gfn = jax.jit(jax.grad(loss))
+        # secant iteration on g(nu) = 0 (loss is smooth and convex in nu
+        # near the optimum; derivative-only root find needs no step size)
+        nu0, nu1 = 0.02, 0.04  # bad initial guesses
+        g0 = float(gfn(jnp.asarray(nu0)))
+        for _ in range(12):
+            g1 = float(gfn(jnp.asarray(nu1)))
+            if g1 == g0:
+                break
+            nu0, nu1, g0 = nu1, nu1 - g1 * (nu1 - nu0) / (g1 - g0), g1
+            if abs(nu1 - nu0) < 1e-10:
+                break
+        assert abs(nu1 - nu_true) < 1e-4, nu1
+
+    def test_transient_gamma_grad_vs_fd(self):
+        """Per-point Γ through N steps (DifferentiableTransientDiffusion):
+        the transient permeability-inversion primitive."""
+        from pyapes_tpu.solver.adjoint import (
+            DifferentiableTransientDiffusion,
+        )
+
+        n, dt, n_steps = 13, 0.02, 3
+        mesh = Mesh(Box[0:1, 0:1], None, [n, n])
+        f_bc = mixed_bcs([0.0] * 4, ["dirichlet"] * 4)
+        var = Field("T", 1, mesh, {"domain": f_bc, "obstacle": None})
+        roll = DifferentiableTransientDiffusion(
+            mesh, var.bcs, dt=dt, tol=1e-12
+        )
+        rng = np.random.default_rng(5)
+        x0 = jnp.asarray(rng.standard_normal((1, n, n)))
+        gamma = jnp.asarray(1.0 + 0.3 * rng.random((n, n)))
+
+        def loss(g):
+            return jnp.sum(roll(g, x0, n_steps) ** 2)
+
+        grad = np.asarray(jax.grad(loss)(gamma))
+        eps = 1e-6
+        for idx in ((6, 6), (3, 9)):
+            e = jnp.zeros_like(gamma).at[idx].set(1.0)
+            fd = (float(loss(gamma + eps * e))
+                  - float(loss(gamma - eps * e))) / (2 * eps)
+            assert_allclose(grad[idx], fd, rtol=5e-4, atol=1e-9)
