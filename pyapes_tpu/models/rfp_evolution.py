@@ -25,15 +25,32 @@ class RFPEvolution:
         G: diffusion potential values (*nx).
     """
 
-    def __init__(self, mesh: Mesh, H=None, G=None):
+    def __init__(self, mesh: Mesh, H=None, G=None, scheme: str = "central"):
         assert mesh.coord_sys == "rz"
+        assert scheme in ("central", "muscl", "minmod")
         self.mesh = mesh
         self.jacH = None
         self.hessG = None
         if H is not None:
             self.set_potentials(H, G)
         self.rfp = RFP()
+        # drift discretization for the EXPLICIT paths: "central"
+        # (reference parity, friction_apply) or "muscl"/"minmod" (TVD
+        # limited reconstruction, solver/rfp.py::friction_apply_muscl —
+        # positivity-preserving for sharp distributions)
+        self.scheme = scheme
         self._runner = None
+
+    def _friction(self, Hr, Hz, pdf):
+        from pyapes_tpu.solver.rfp import (
+            friction_apply,
+            friction_apply_muscl,
+        )
+
+        if self.scheme == "central":
+            return friction_apply(Hr, Hz, pdf, self.mesh)
+        lim = "mc" if self.scheme == "muscl" else "minmod"
+        return friction_apply_muscl(Hr, Hz, pdf, self.mesh, limiter=lim)
 
     def set_potentials(self, H, G) -> None:
         """(Re)compute the potential derivatives used by the operators."""
@@ -101,14 +118,14 @@ class RFPEvolution:
 
     def run(self, f: Field, dt: float, n_steps: int) -> Field:
         """Advance ``n_steps`` with forward Euler inside one lax.scan."""
-        jacH, hessG, mesh = self.jacH, self.hessG, self.mesh
-        rfp = self.rfp
-        f_shell = f
+        from pyapes_tpu.solver.rfp import diffusion_apply
+
+        jacH, hessG = self.jacH, self.hessG
 
         def step(pdf, _):
-            fv = f_shell.copy()
-            fv.set_var_tensor(pdf)
-            upd = -rfp.friction(jacH, fv) + rfp.diffusion(hessG, fv)
+            upd = -self._friction(jacH.r, jacH.z, pdf[0]) + diffusion_apply(
+                hessG.rr, hessG.rz, hessG.zz, pdf[0], self.mesh
+            )
             return pdf + dt * upd[None], None
 
         pdf_final, _ = jax.lax.scan(step, f(), None, length=n_steps)
@@ -119,14 +136,15 @@ class RFPEvolution:
     def _make_runner(self):
         """Jitted k-step explicit scan with the potential derivatives as
         runtime operands — compiled once, reused across refreshes."""
-        from pyapes_tpu.solver.rfp import diffusion_apply, friction_apply
+        from pyapes_tpu.solver.rfp import diffusion_apply
 
         mesh = self.mesh
+        friction = self._friction
 
         def run_k(pdf, hr, hz, grr, grz, gzz, dt, k):
             def step(p, _):
                 upd = (
-                    -friction_apply(hr, hz, p[0], mesh)
+                    -friction(hr, hz, p[0])
                     + diffusion_apply(grr, grz, gzz, p[0], mesh)
                 )
                 return p + dt * upd[None], None
