@@ -59,10 +59,10 @@ def main() -> None:
 
         def transforms(x):
             for j in range(3):
-                y = jnp.tensordot(Q, x, axes=[[1], [1 + j]],
+                y = jnp.tensordot(Q, x, axes=[[1], [j]],
                                   preferred_element_type=jnp.float32,
                                   precision="highest")
-                x = jnp.moveaxis(y, 0, 1 + j)
+                x = jnp.moveaxis(y, 0, j)
             return x
 
         tl, tc = t_compile(transforms, rhs[0])
@@ -71,9 +71,9 @@ def main() -> None:
 
         def transforms_def(x):
             for j in range(3):
-                y = jnp.tensordot(Q, x, axes=[[1], [1 + j]],
+                y = jnp.tensordot(Q, x, axes=[[1], [j]],
                                   preferred_element_type=jnp.float32)
-                x = jnp.moveaxis(y, 0, 1 + j)
+                x = jnp.moveaxis(y, 0, j)
             return x
 
         tl, tc = t_compile(transforms_def, rhs[0])
