@@ -39,8 +39,11 @@ BASELINE_DOF_PER_S_CHIP = (512**3) / 2.0 / 8.0
 
 
 def solve_poisson(n: int, tol: float, max_it: int):
-    # Persistent compile cache: the 512^3 whole-solve compile costs minutes
-    # through the tunneled compile service; pay it once across bench runs.
+    # Persistent compile cache: OPT-IN via PYAPES_COMPILE_CACHE (round-4
+    # finding: the cache's executable serialization through the tunneled
+    # backend costs ~3x the compile itself on fresh structures — 242.8 s
+    # cold-cache vs 77.8 s no-cache at 512^3; it pays only for re-running
+    # identical structures, ~14 s warm).
     enable_compilation_cache()
     mesh = Mesh(Box[0:1, 0:1, 0:1], None, [n, n, n], device="tpu", dtype="single")
     f_bc = homogeneous_bcs(3, 0.0, "dirichlet")

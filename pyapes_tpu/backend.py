@@ -112,26 +112,36 @@ TorchDevice = Device
 TORCH_DEVICE = DEVICE_TYPES
 
 
-def enable_compilation_cache(path: str | None = None) -> str:
-    """Enable JAX's persistent compilation cache.
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Maybe enable JAX's persistent compilation cache (opt-in).
 
-    Compiles of the whole-solve ``while_loop`` at 512^3-class grids cost
-    minutes through a tunneled compile service; the on-disk cache pays that
-    once per (program, shape) and makes every later process start in
-    seconds. Call early (before the first jit) from entry points — the
-    library itself never mutates global config.
+    Measured on the tunneled TPU backend (round 4,
+    ``scripts/compile_probe.py``): the cache's executable SERIALIZATION is
+    the dominant first-compile cost, not compilation itself — the 512^3
+    whole-fastdiag bench program compiles in 77.8 s with the cache off vs
+    242.8 s against a cold cache dir (round 3 recorded 437.5 s). The cache
+    only pays when the SAME program structure is re-run in later processes
+    (warm-cache start ~14 s) — a production-sim pattern, not the
+    fresh-structure-per-run pattern benches and CI have.
 
-    Returns the cache directory used.
+    Default is therefore OFF. Opt in with ``PYAPES_COMPILE_CACHE=<dir>``
+    (or ``1`` for the default dir), or pass ``path`` explicitly.
+
+    Returns the cache directory used, or None when disabled.
     """
     import os
 
+    env = os.environ.get("PYAPES_COMPILE_CACHE")
     if path is None:
-        path = os.environ.get(
-            "PYAPES_COMPILE_CACHE",
-            os.path.join(
+        if not env or env == "0":
+            return None
+        path = (
+            env
+            if env != "1"
+            else os.path.join(
                 os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
                 "pyapes_tpu_jax_cache",
-            ),
+            )
         )
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)

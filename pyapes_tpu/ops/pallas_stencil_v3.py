@@ -293,6 +293,181 @@ def pallas_axis_stencil_dot_v3(
 
 
 # ---------------------------------------------------------------------------
+# 5-point (QUICK) variant: per-axis 5-vector stencils (offsets +2..-2,
+# the 3rd-order QUICK advection banks) ride the same slab-resident
+# pipeline with a ±2-row x-halo stage. 3-vector axes are zero-padded to
+# 5 by the caller (two extra fused multiply-adds per axis — the kernel
+# stays bandwidth-bound). Round-4 VERDICT item 5: these previously fell
+# to the jnp roll-sum (linalg.py "5-point (QUICK) vectors: jnp path
+# only").
+# ---------------------------------------------------------------------------
+
+
+def _v5_tile(gs: tuple[int, ...], itemsize: int, streams: int = 2) -> int:
+    nx, ny, nz = gs
+    plane = ny * nz * itemsize
+    best = 0
+    for tx in range(1, min(16, nx) + 1):
+        if nx % tx:
+            continue
+        declared = 2 * (tx + 4) * plane + streams * 2 * tx * plane
+        if declared <= _DECLARED_BUDGET:
+            best = tx
+    return best
+
+
+def v5_supported(shape: tuple[int, ...], dtype=jnp.float32) -> bool:
+    if len(shape) != 3 or shape[-1] % 128 != 0:
+        return False
+    # the ±2 y/z reach wraps via pltpu.roll — needs ny, nz >= 5; the ±2
+    # x-halo staging needs nx >= 2 rows outside any slab
+    if min(shape) < 8:
+        return False
+    return _v5_tile(shape, np.dtype(dtype).itemsize) >= 1
+
+
+def _stage_copies5(x_any, stage, sems, step, slt, tx, nx):
+    """Slab ``step`` + TWO x-halo rows each side into ``stage[slt]``
+    (rows 0-1: i-2, i-1; rows 2..tx+1: body; rows tx+2..tx+3: +1, +2).
+    tx divides nx, so each 2-row halo slice is contiguous mod nx."""
+    sx = step * tx
+    return [
+        pltpu.make_async_copy(
+            x_any.at[pl.ds(_mod(sx - 2, nx), 2)],
+            stage.at[slt, pl.ds(0, 2)],
+            sems.at[slt, 0],
+        ),
+        pltpu.make_async_copy(
+            x_any.at[pl.ds(sx, tx)],
+            stage.at[slt, pl.ds(2, tx)],
+            sems.at[slt, 1],
+        ),
+        pltpu.make_async_copy(
+            x_any.at[pl.ds(_mod(sx + tx, nx), 2)],
+            stage.at[slt, pl.ds(tx + 2, 2)],
+            sems.at[slt, 2],
+        ),
+    ]
+
+
+def _stencil3d_v5_kernel(
+    x_any,
+    app0, ap0, ac0, am0, amm0,
+    app1, ap1, ac1, am1, amm1,
+    app2, ap2, ac2, am2, amm2,
+    out_ref,
+    stage, sems,
+    *, tx: int, nx: int, ny: int, nz: int,
+):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    nslot = jax.lax.rem(i + 1, jnp.int32(2))
+
+    @pl.when(i == 0)
+    def _():
+        for c in _stage_copies5(x_any, stage, sems, i, slot, tx, nx):
+            c.start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for c in _stage_copies5(x_any, stage, sems, i + 1, nslot, tx, nx):
+            c.start()
+
+    for c in _stage_copies5(x_any, stage, sems, i, slot, tx, nx):
+        c.wait()
+
+    cdt = jnp.promote_types(stage.dtype, jnp.float32)
+    xmm = stage[slot, 0:tx].astype(cdt)
+    xm = stage[slot, 1:tx + 1].astype(cdt)
+    xc = stage[slot, 2:tx + 2].astype(cdt)
+    xp = stage[slot, 3:tx + 3].astype(cdt)
+    xpp = stage[slot, 4:tx + 4].astype(cdt)
+
+    def r0(a):
+        return a[:, 0:1].astype(cdt).reshape(tx, 1, 1)
+
+    def r1(a):
+        return a[:, 0:1].astype(cdt).reshape(1, ny, 1)
+
+    def r2(a):
+        return a[:].astype(cdt).reshape(1, 1, nz)
+
+    # term order mirrors apply_axis_stencil: per axis, offsets
+    # (-2, -1, 0, +1, +2) paired with (app, ap, ac, am, amm) reversed —
+    # app multiplies x[i+2], amm x[i-2]
+    out = r0(app0) * xpp + r0(ap0) * xp + r0(ac0) * xc
+    out = out + r0(am0) * xm + r0(amm0) * xmm
+    out = out + r1(app1) * pltpu.roll(xc, ny - 2, 1)
+    out = out + r1(ap1) * pltpu.roll(xc, ny - 1, 1)
+    out = out + r1(ac1) * xc
+    out = out + r1(am1) * pltpu.roll(xc, 1, 1)
+    out = out + r1(amm1) * pltpu.roll(xc, 2, 1)
+    out = out + r2(app2) * pltpu.roll(xc, nz - 2, 2)
+    out = out + r2(ap2) * pltpu.roll(xc, nz - 1, 2)
+    out = out + r2(ac2) * xc
+    out = out + r2(am2) * pltpu.roll(xc, 1, 2)
+    out = out + r2(amm2) * pltpu.roll(xc, 2, 2)
+    out_ref[:, :, :] = out.astype(out_ref.dtype)
+
+
+def _pad5(cs):
+    """Zero-pad a 3-vector axis entry (ap, ac, am) to the 5-vector form
+    (app, ap, ac, am, amm)."""
+    if len(cs) == 5:
+        return tuple(cs)
+    ap, ac, am = cs
+    z = jnp.zeros_like(ac)
+    return (z, ap, ac, am, z)
+
+
+def pallas_axis_stencil_v5(coeffs, x: jnp.ndarray, interpret: bool = False):
+    """Slab-resident 5-point per-axis stencil apply (QUICK banks). Each
+    axis entry is a 3- or 5-vector tuple; 3-vectors are zero-padded.
+    Drop-in equivalent of ``apply_axis_stencil`` for ``v5_supported``
+    shapes."""
+    gs = x.shape[1:]
+    assert v5_supported(gs, x.dtype), gs
+    nx, ny, nz = gs
+    tx = _v5_tile(gs, np.dtype(x.dtype).itemsize)
+
+    padded = [_pad5(cs) for cs in coeffs]
+    flat = []
+    for j, cs in enumerate(padded):
+        for c in cs:
+            flat.append(c if j == 2 else _lane_bcast(c))
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs += [
+        pl.BlockSpec((tx, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ] * 5
+    in_specs += [
+        pl.BlockSpec((ny, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ] * 5
+    in_specs += [
+        pl.BlockSpec((nz,), lambda i: (0,), memory_space=pltpu.VMEM)
+    ] * 5
+    call = pl.pallas_call(
+        partial(_stencil3d_v5_kernel, tx=tx, nx=nx, ny=ny, nz=nz),
+        grid=(nx // tx,),
+        out_shape=jax.ShapeDtypeStruct(gs, x.dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tx, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tx + 4, ny, nz), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )
+    outs = [call(x[d], *flat) for d in range(x.shape[0])]
+    return jnp.stack(outs)
+
+
+# ---------------------------------------------------------------------------
 # Halo-extended variant: the shard_map tier (parallel/halo.py) exchanges
 # ghost rows over ICI with ppermute and hands this kernel a shard-LOCAL
 # block pre-extended by one ghost row on each sharded axis. Neighbor access

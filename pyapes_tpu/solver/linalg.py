@@ -148,6 +148,7 @@ def _make_Aop(
     advect_interpret: bool = False,
     sharded_advect: dict | None = None,
     diff_pallas: bool = False,
+    stencil5_fn=None,
 ) -> Callable:
     def _div_field(x, tp, limiter, surgery, form):
         if advect_pallas and limiter in ("none", "upwind"):
@@ -190,8 +191,13 @@ def _make_Aop(
             kind, _, sign, limiter, surgery, has_param, form, cfn = desc
             if kind == "axis":
                 if any(len(cs) != 3 for cs in tp["axis"]):
-                    # 5-point (QUICK) vectors: jnp path only.
-                    r = apply_axis_stencil(tp["axis"], x)
+                    # 5-point (QUICK) vectors: slab-resident Pallas
+                    # kernel when the shape supports it (round-4 item 5),
+                    # jnp roll-sum otherwise.
+                    if stencil5_fn is not None:
+                        r = stencil5_fn(tp["axis"], x)
+                    else:
+                        r = apply_axis_stencil(tp["axis"], x)
                 else:
                     r = stencil_fn(tp["axis"], x)
                 if has_param:
@@ -887,6 +893,19 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
 
             # kernel="pallas" forced on CPU (tests/debug) -> interpret mode
             interp = jax.default_backend() != "tpu"
+            from pyapes_tpu.ops.pallas_stencil_v3 import (
+                pallas_axis_stencil_v5,
+                v5_supported,
+            )
+
+            stencil5_fn = (
+                partial(pallas_axis_stencil_v5, interpret=interp)
+                if (
+                    len(x0.shape) - 1 == 3
+                    and v5_supported(x0.shape[1:], x0.dtype)
+                )
+                else None
+            )
             Aop = _make_Aop(
                 term_descs,
                 partial(
@@ -897,6 +916,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 advect_pallas=advect_pallas,
                 advect_interpret=interp,
                 diff_pallas=diff_pallas,
+                stencil5_fn=stencil5_fn,
             )
         elif use_sharded_pallas:
             from pyapes_tpu.parallel.halo import (
