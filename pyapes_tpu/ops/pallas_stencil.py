@@ -26,6 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _VMEM_BUDGET = 4 * 1024 * 1024  # per-program tile budget (bytes)
+# Mosaic scoped-vmem ceiling (default 16 MB rejects large-nz tiles)
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _sublane(dtype) -> int:
@@ -394,6 +396,9 @@ def pallas_axis_stencil(coeffs, x: jnp.ndarray, interpret: bool = False):
                 pltpu.VMEM((tx, sub, nz), x.dtype),
                 pltpu.SemaphoreType.DMA((4,)),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
             interpret=interpret,
         )
 
@@ -435,6 +440,9 @@ def pallas_axis_stencil(coeffs, x: jnp.ndarray, interpret: bool = False):
                 pltpu.VMEM((sub, ny), x.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
             interpret=interpret,
         )
 
@@ -601,6 +609,9 @@ def pallas_jacobi3d(
             pltpu.VMEM((tx, sub, nz), x.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )
     outs = [call(x[d], x[d], b[d]) for d in range(x.shape[0])]

@@ -17,6 +17,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Mosaic scoped-vmem ceiling: the default 16 MB limit rejects large-nz
+# tiles (768^3: 19.7 MB needed) even though the chip has 128 MB VMEM.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
 from pyapes_tpu.ops.pallas_stencil import (
     _lane_bcast,
     _mod,
@@ -232,6 +236,9 @@ def pallas_axis_stencil_db(coeffs, x: jnp.ndarray, interpret: bool = False):
             pltpu.VMEM((2, tx, sub, nz), x.dtype),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )
     outs = [call(x[d], x[d], *flat) for d in range(x.shape[0])]
@@ -304,6 +311,9 @@ def pallas_axis_stencil_dot(coeffs, x: jnp.ndarray, interpret: bool = False):
             pltpu.VMEM((2, tx, sub, nz), x.dtype),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )
     outs, dots = [], []
@@ -453,6 +463,9 @@ def pallas_jacobi3d_db(
             pltpu.VMEM((2, tx, sub, nz), x.dtype),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )
     outs = [call(x[d], x[d], b[d]) for d in range(x.shape[0])]
@@ -603,6 +616,9 @@ def pallas_jacobi3d_dot_db(
             pltpu.VMEM((2, tx, sub, nz), x.dtype),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )
     outs, dots = [], []
