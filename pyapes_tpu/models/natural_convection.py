@@ -115,6 +115,25 @@ class NaturalConvection(LidDrivenCavity):
             return self._buoyancy
         return 0.0
 
+    def nusselt_avg(self) -> float:
+        """Cavity-averaged Nusselt number: the mean over x of the plane
+        heat flux ``Nu(x) = ∫ (u T - ∂T/∂x) dy`` — at steady state every
+        plane carries the same flux (energy conservation), so the
+        average is robust to the wall-gradient truncation that makes
+        ``nusselt_hot_wall`` under-read thin boundary layers (measured
+        at Ra=1e4/65²: wall formula 2.155 vs plane average 2.257 vs de
+        Vahl Davis 2.243). 2-D only."""
+        import numpy as np
+
+        assert self.mesh.dim == 2, "nusselt_avg: 2-D cavity diagnostic"
+        T = np.asarray(self.T()[0])
+        u = np.asarray(self.u()[0])
+        dx = float(self.mesh.dx_np[0])
+        dy = float(self.mesh.dx_np[1])
+        dTdx = np.gradient(T, dx, axis=0, edge_order=2)
+        nu_planes = np.trapezoid(u * T - dTdx, dx=dy, axis=1)
+        return float(nu_planes.mean())
+
     def nusselt_hot_wall(self) -> float:
         """Average Nusselt number on the hot (xl) wall: ``-dT/dx``
         integrated over the wall (trapezoidal)."""

@@ -452,19 +452,14 @@ def test_natural_convection_davis_ra1e3() -> None:
 
 def _davis_diagnostics(model, mesh):
     """De Vahl Davis comparison quantities: cavity-averaged Nusselt
-    number (mean of the conserved plane fluxes ``int (uT - dT/dx) dy`` —
-    robust to wall-gradient truncation, unlike the one-sided wall
-    formula) and the mid-line velocity extrema."""
-    T = np.asarray(model.T()[0])
+    number (``NaturalConvection.nusselt_avg`` — robust to wall-gradient
+    truncation, unlike the one-sided wall formula) and the mid-line
+    velocity extrema."""
     u = np.asarray(model.u()[0])
     v = np.asarray(model.v()[0])
-    n = T.shape[0]
-    dx = float(mesh.dx_np[0])
-    dy = float(mesh.dx_np[1])
-    dTdx = np.gradient(T, dx, axis=0, edge_order=2)
-    nu_planes = np.trapezoid(u * T - dTdx, dx=dy, axis=1)
+    n = u.shape[0]
     return {
-        "nu_avg": float(nu_planes.mean()),
+        "nu_avg": model.nusselt_avg(),
         "u_max": float(u[n // 2, :].max()),  # vertical mid-line x=0.5
         "v_max": float(v[:, n // 2].max()),  # horizontal mid-line y=0.5
     }
