@@ -478,7 +478,13 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         var: target ``Field`` (solution is written back to ``var``).
         rhs: right-hand side array (BC adjustments already folded in).
         eqs: equation-term records from ``Solver.set_eq``.
-        config: ``FDMSolverConfig``.
+        config: ``FDMSolverConfig``. Optional ``{"donate": True}`` donates
+            the initial-guess buffer into the compiled solve so XLA
+            aliases it with the loop state/output — one full grid of HBM
+            headroom (what fits 768^3 on a 16 GB chip). Opt-in: donation
+            invalidates the caller's ``var()`` array, so any history that
+            still aliases it (``VARo`` right after ``save_old``) must not
+            donate.
         mesh: the mesh.
     """
     method = config["method"].lower()
@@ -797,6 +803,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         config.get("nullspace"),
         config.get("debug"),
         tuple(sorted((config.get("fd_opts") or {}).items())),
+        bool(config.get("donate")),
     )
 
     grid_r = mesh.grid
@@ -1421,7 +1428,18 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
 
             _SOLVER_CACHE[key] = (fn_checked, rhs_shift, sym_vecs)
         else:
-            _SOLVER_CACHE[key] = (jax.jit(fn), rhs_shift, sym_vecs)
+            # config {"donate": True}: donate the initial-guess buffer so
+            # XLA aliases it with the while-loop state / solution output
+            # — one full grid of HBM headroom (the difference between
+            # fitting 768^3 on a 16 GB chip and RESOURCE_EXHAUSTED).
+            # OPT-IN because donation invalidates the caller's x0 array:
+            # a transient field whose ``save_old`` history still aliases
+            # the passed tensor (VARo is the pre-solve VAR) must not
+            # donate.
+            donate = (0,) if config.get("donate") else ()
+            _SOLVER_CACHE[key] = (
+                jax.jit(fn, donate_argnums=donate), rhs_shift, sym_vecs,
+            )
         while len(_SOLVER_CACHE) > _SOLVER_CACHE_MAX:
             _SOLVER_CACHE.popitem(last=False)
 

@@ -641,3 +641,34 @@ def test_async_solve_sync_false() -> None:
     assert int(rep_async["itr"]) == rep_sync["itr"]
     _close(float(rep_async["tol"]), rep_sync["tol"], rtol=1e-12, atol=0.0)
     _close(x_async, x_sync, rtol=0.0, atol=0.0)
+
+
+def test_donate_initial_guess() -> None:
+    """``{"donate": True}`` (HBM aliasing for the size envelope,
+    BASELINE.md 768^3) must give the identical solution, key its own
+    compile-cache entry (a donating executable must never serve a caller
+    that still holds ``x0``), and survive repeated cached solves."""
+    from pyapes_tpu.solver import linalg
+
+    linalg.clear_cache()
+    mesh = Mesh(Box[0:1, 0:1], None, [33, 33])
+    f_bc = poisson_bcs(2)
+
+    def run(donate):
+        var = Field("p", 1, mesh, {"domain": f_bc, "obstacle": None})
+        rhs = poisson_rhs_nd(mesh, var)
+        solver = Solver(
+            {"fdm": {"method": "cg", "tol": 1e-9, "max_it": 500,
+                     "report": False, "donate": donate}}
+        )
+        fdm = FDM()
+        solver.set_eq(fdm.laplacian(1.0, var) == rhs)
+        solver.solve()
+        return np.asarray(var()[0])
+
+    a = run(False)
+    b = run(True)
+    b2 = run(True)  # cache hit with a fresh x0 buffer
+    assert len(linalg._SOLVER_CACHE) == 2, len(linalg._SOLVER_CACHE)
+    assert_allclose(b, a, atol=1e-12)
+    assert_allclose(b2, a, atol=1e-12)
