@@ -377,6 +377,19 @@ def _bc_signature(bcs) -> tuple:
     return tuple(sig)
 
 
+def _seam_check(mask, paxes, dim: int) -> None:
+    """The torus reduction drops the duplicate seam plane; a body
+    intersecting it would silently lose solid cells."""
+    for j in paxes:
+        seam = tuple(-1 if k == j else slice(None) for k in range(dim))
+        if mask[seam].any():
+            raise NotImplementedError(
+                "obstacle touches the periodic seam plane of "
+                f"axis {j}; place bodies off the duplicate "
+                "endpoint plane"
+            )
+
+
 def _periodic_axes(bcs, mesh_dim: int) -> tuple[int, ...]:
     """Axes whose BOTH faces are periodic."""
     count = [0] * mesh_dim
@@ -813,6 +826,29 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             for j in range(mesh.dim)
         )
         grid_r = tuple(g[red] for g in mesh.grid)
+        # DYNAMIC (moving-body) obstacle masks stream per call: reduce
+        # the CURRENT host mask and seam-check it on EVERY solve — the
+        # body moves between cached solves, so a compile-miss-only
+        # reduction would stream full-grid masks into a reduced-shape
+        # executable (and a miss-only seam check would silently drop
+        # solid cells once the body walks onto the seam plane).
+        if any(getattr(bc, "dynamic", False) for bc in bcs_kept):
+            import copy as _copy
+
+            red_np = tuple(
+                slice(None, -1) if j in paxes else slice(None)
+                for j in range(mesh.dim)
+            )
+            per_call = []
+            for bc in bcs_kept:
+                if getattr(bc, "dynamic", False):
+                    _seam_check(bc.bc_mask, paxes, mesh.dim)
+                    b2 = _copy.copy(bc)
+                    b2.bc_mask = bc.bc_mask[red_np]
+                    per_call.append(b2)
+                else:
+                    per_call.append(bc)
+            bcs_kept = per_call
 
     if key not in _SOLVER_CACHE:
         slicer = list(boundary_slicer(mesh.dim, bcs_kept, mesh.coord_sys))
@@ -835,31 +871,18 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 for j in range(mesh.dim)
             )
             reduced = []
-
-            def _check_seam(mask):
-                # the reduction drops the duplicate seam plane; a body
-                # intersecting it would silently lose solid cells
-                for j in paxes:
-                    seam = tuple(
-                        -1 if k == j else slice(None)
-                        for k in range(mesh.dim)
-                    )
-                    if mask[seam].any():
-                        raise NotImplementedError(
-                            "obstacle touches the periodic seam plane of "
-                            f"axis {j}; place bodies off the duplicate "
-                            "endpoint plane"
-                        )
-
             for bc in bcs_kept:
                 kind = getattr(bc, "bc_type", "")
-                if kind == "obstacle_dirichlet":
-                    _check_seam(bc.bc_mask)
+                if getattr(bc, "dynamic", False):
+                    # already reduced + seam-checked per call above
+                    reduced.append(bc)
+                elif kind == "obstacle_dirichlet":
+                    _seam_check(bc.bc_mask, paxes, mesh.dim)
                     b2 = _copy.copy(bc)
                     b2.bc_mask = bc.bc_mask[red_np]
                     reduced.append(b2)
                 elif kind == "obstacle_neumann":
-                    _check_seam(bc.bc_mask)
+                    _seam_check(bc.bc_mask, paxes, mesh.dim)
                     b2 = _copy.copy(bc)
                     b2.bc_mask = bc.bc_mask[red_np]
                     b2.faces = [
@@ -877,11 +900,11 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 "obstacle_dirichlet", "obstacle_neumann"
             ):
                 if getattr(bc, "dynamic", False):
-                    if paxes:
-                        raise NotImplementedError(
-                            "dynamic obstacles + periodic axes: the torus "
-                            "reduction of a streamed mask is not wired"
-                        )
+                    # Dynamic + periodic composes: the per-call block
+                    # above re-slices the CURRENT host mask every solve
+                    # (live mutation visible, seam-checked), so
+                    # ``stream_values`` streams a reduced-shape mask
+                    # into the reduced-shape executable.
                     dyn_idxs.append(bi)
                 else:
                     excluded = (

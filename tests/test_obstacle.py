@@ -546,3 +546,72 @@ def test_body_force_moving_body_at_rest_fluid() -> None:
                              nu=0.1, u_body=[0.5, 0.0])
     assert F[0] < 0.0, F       # drag opposes the +x body motion
     assert abs(F[1]) < 1e-12, F
+
+
+def test_dynamic_obstacle_with_periodic_axis() -> None:
+    """Moving-body (dynamic) obstacle masks compose with a periodic axis
+    (closed round-4; previously raised NotImplementedError): the torus
+    reduction re-slices the CURRENT streamed mask every solve call, so a
+    body translating along the periodic direction re-uses ONE compiled
+    solver and matches a per-position STATIC solve bit-for-bit."""
+    import pytest
+
+    from pyapes_tpu.variables.bcs import ObstacleDirichlet
+
+    n = 33
+    mesh = Mesh(Box[0:1, 0:1], None, [n, n])
+    f_bc = mixed_bcs(
+        [None, None, 0.0, 0.0],
+        ["periodic", "periodic", "dirichlet", "dirichlet"],
+    )
+    fdm = FDM()
+
+    def body_at(shift):
+        m = np.zeros((n, n), dtype=bool)
+        cols = [(8 + shift + k) % (n - 1) for k in range(5)]  # torus walk
+        for c in cols:
+            m[c, 14:19] = True
+        return m
+
+    def solve_static(mask):
+        var = Field("p", 1, mesh, {"domain": f_bc})
+        var.bcs.append(ObstacleDirichlet("body", 1.0, mask))
+        s = Solver({"fdm": {"method": "cg", "tol": 1e-12, "max_it": 5000,
+                            "report": False, "criterion": "residual"}})
+        s.set_eq(fdm.laplacian(1.0, var) == jnp.zeros_like(var()))
+        s.solve()
+        return np.asarray(var()[0])
+
+    var = Field("p", 1, mesh, {"domain": f_bc})
+    obc = ObstacleDirichlet("body", 1.0, body_at(0), dynamic=True)
+    var.bcs.append(obc)
+    s = Solver({"fdm": {"method": "cg", "tol": 1e-12, "max_it": 5000,
+                        "report": False, "criterion": "residual"}})
+
+    L.clear_cache()
+    shifts = (0, 7, 15)
+    sols = []
+    for shift in shifts:
+        obc.bc_mask = body_at(shift)
+        s.set_eq(fdm.laplacian(1.0, var) == jnp.zeros_like(var()))
+        rep = s.solve()
+        assert rep["converge"]
+        sols.append(np.asarray(var()[0]))
+    # ONE compiled executable served every body position
+    assert len(L._SOLVER_CACHE) == 1, len(L._SOLVER_CACHE)
+    for shift, v in zip(shifts, sols):
+        # periodic seam: duplicate plane restored
+        assert_allclose(v[0, :], v[-1, :], atol=1e-12)
+        # streamed-mask solve == static-mask solve at this position
+        assert_allclose(v, solve_static(body_at(shift)), atol=1e-9)
+        # body pinned, maximum principle
+        assert_allclose(v[body_at(shift)], 1.0, atol=1e-9)
+        assert v.max() <= 1.0 + 1e-9 and v.min() >= -1e-9
+
+    # a body crossing the duplicate seam plane must raise loudly
+    seam = np.zeros((n, n), dtype=bool)
+    seam[-1, 14:19] = True
+    obc.bc_mask = seam
+    s.set_eq(fdm.laplacian(1.0, var) == jnp.zeros_like(var()))
+    with pytest.raises(NotImplementedError, match="seam"):
+        s.solve()
