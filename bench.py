@@ -244,6 +244,10 @@ def bench_cavity(n: int = 128, n_steps: int = 5, fused: bool = True):
         return float(model.p()[0].ravel()[0])
 
     model = fresh()
+    if fused and os.environ.get("PYAPES_BENCH_DONATE", "0") == "1":
+        # donate the state pytree into the compiled step (in-place
+        # stepping: XLA aliases each field's in/out buffer) — A/B knob
+        model.fused_runner(donate=True)
     t0 = time.perf_counter()
     # 2 eager warm steps (BDF2 bootstrap) + the fused capture/compile
     model.run(dt, 3, fused=fused)

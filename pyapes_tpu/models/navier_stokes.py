@@ -728,16 +728,21 @@ class LidDrivenCavity:
             fields.append(self.dp)
         return fields
 
-    def fused_runner(self):
+    def fused_runner(self, donate: bool = False):
         """One-XLA-program-per-step runner (utils/fuse.py): the explicit
         advection/gradient/projection glue AND the implicit solves of a
         step compile into a single program. Measured at 128^3 (round 3):
         the eager step spends ~1.6 s in per-primitive dispatch the fused
-        step eliminates."""
+        step eliminates.
+
+        ``donate=True`` additionally donates the state pytree into the
+        compiled step (XLA aliases each field's in/out buffer — in-place
+        stepping, half the state HBM high-water). Opt-in: invalidates any
+        user-held reference to a pre-step field array (see fuse.py)."""
         if getattr(self, "_fused", None) is None:
             from pyapes_tpu.utils.fuse import FusedStepRunner
 
-            self._fused = FusedStepRunner(self)
+            self._fused = FusedStepRunner(self, donate=donate)
         return self._fused
 
     def run(self, dt: float, n_steps: int, fused: bool = False) -> None:

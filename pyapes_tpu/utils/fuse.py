@@ -61,11 +61,20 @@ class FusedStepRunner:
             across steps). ``model.t`` is kept as a host float.
     """
 
-    def __init__(self, model, fields=None):
+    def __init__(self, model, fields=None, donate: bool = False):
         self.model = model
         self.fields = list(
             fields if fields is not None else model.state_fields()
         )
+        # donate=True donates the state pytree into the compiled step so
+        # XLA aliases each field's input buffer with its output (in-place
+        # stepping: halves the state's HBM high-water across the program
+        # boundary). OPT-IN: donation invalidates the PRE-step arrays, so
+        # user code holding a reference across a step (``u0 = model.u()``
+        # before, read after) would see a deleted buffer. The runner
+        # itself never reads pre-step state after the call (``_unpack``
+        # replaces every field array before returning).
+        self._donate = bool(donate)
         self._compiled = None
         # per-field flags recorded during capture: did the eager step call
         # save_old (history shift) / update_time (clock advance) on this
@@ -90,6 +99,28 @@ class FusedStepRunner:
                 s.config["fdm"].pop("sync", None)
             else:
                 s.config["fdm"]["sync"] = flag
+
+    def _break_aliases(self) -> None:
+        """Donation requires every donated leaf to own a distinct buffer,
+        but eager init/stepping shares arrays freely (e.g. ``p._VARo``
+        and ``dp._VARo`` both hold the init-time zeros). Copy the later
+        duplicates — only when donating, only the aliased leaves, and in
+        steady state never (the compiled step aliases each donated input
+        to its own output, keeping buffers distinct)."""
+        seen: set[int] = set()
+        for f in self.fields:
+            for tag in ("_VAR", "_VARo", "_VARoo"):
+                a = getattr(f, tag, None)
+                if a is None:
+                    continue
+                try:
+                    p = a.unsafe_buffer_pointer()
+                except Exception:
+                    p = id(a)
+                if p in seen:
+                    setattr(f, tag, jnp.copy(a))
+                else:
+                    seen.add(p)
 
     # -- field state (traced leaves) ------------------------------------
     def _pack(self):
@@ -164,13 +195,17 @@ class FusedStepRunner:
                     s.eqs = None
                     s.rhs = None
 
-        return jax.jit(core)
+        return jax.jit(
+            core, donate_argnums=(0,) if self._donate else ()
+        )
 
     def step(self, dt: float) -> None:
         saved_sync = self._sync_off()
         try:
             if self._compiled is None:
                 self._compiled = self._capture()
+            if self._donate:
+                self._break_aliases()
             dtype = self.fields[0]._VAR.dtype
             new_state = self._compiled(
                 self._pack(),

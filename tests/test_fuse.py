@@ -169,3 +169,26 @@ def test_fused_natural_convection():
     np.testing.assert_allclose(
         np.asarray(m1.T()), np.asarray(m2.T()), atol=1e-9
     )
+
+
+def test_fused_donated_state_matches_eager():
+    """``fused_runner(donate=True)`` donates the state pytree into the
+    compiled step (in-place stepping, half the state HBM high-water) —
+    must stay in lockstep with eager, survive many steps through the one
+    executable, and leave the model usable for a further eager step."""
+    dt = 0.01
+    m1 = _cavity()
+    m2 = _cavity()
+    m1.run(dt, 8)
+    # warm the BDF2 bootstrap eagerly (as run(fused=True) does), then
+    # step through the donating runner directly
+    while min(v.n_hist for v in m2.vel) < 2:
+        m2.step(dt)
+    r = m2.fused_runner(donate=True)
+    assert r._donate is True
+    r.run(dt, 8 - 2)
+    _assert_state_close(m1, m2)
+    # post-donation eager step: fields must hold live (undonated) buffers
+    m1.run(dt, 1)
+    m2.run(dt, 1)
+    _assert_state_close(m1, m2)
