@@ -334,7 +334,7 @@ def bench_darcy(n: int = 256, tol: float = 1e-6, max_it: int = 400):
 
 
 def main() -> None:
-    n = int(os.environ.get("PYAPES_BENCH_N", "512"))
+    n = int(os.environ.get("PYAPES_BENCH_N", "768"))
     tol = float(os.environ.get("PYAPES_BENCH_TOL", "1e-6"))
     max_it = int(os.environ.get("PYAPES_BENCH_MAXIT", "4000"))
 
@@ -406,7 +406,17 @@ def main() -> None:
         return
 
     result = None
-    for n_try, budget in [(n, 540), (n // 2, 420), (n // 4, 300)]:
+    # 768^3 is the measured single-chip envelope (x0 donation + lazy
+    # coordinate grids; 0.264 s = 1715 M DOF/s, 2026-08-19). Its fresh
+    # compile through the tunneled service was 815 s under host load, so
+    # it gets a generous budget with the proven 512^3 as the fallback
+    # rung (not n/2: 384 underperforms 512 — small sizes are RTT-bound).
+    ladder = (
+        [(768, 1200), (512, 540), (256, 300)]
+        if n == 768
+        else [(n, 540), (n // 2, 420), (n // 4, 300)]
+    )
+    for n_try, budget in ladder:
         result = _attempt_subprocess(n_try, budget)
         if result is not None:
             break

@@ -132,16 +132,26 @@ class Mesh:
             out.append(mask)
         return out
 
-    @cached_property
-    def grid(self) -> tuple[jnp.ndarray, ...]:
-        """Full N-D coordinate grid, built on device by broadcast."""
+    @property
+    def grid(self) -> "LazyGrid":
+        """Full N-D coordinate grid, materialized PER AXIS on access.
 
-        def build(i):
-            shape = [1] * self.dim
-            shape[i] = -1
-            return jnp.broadcast_to(self.x[i].reshape(shape), self.nx)
+        Each broadcast cube is a full grid of HBM (1.69 GiB per axis at
+        768³) and most solves never read any coordinate — every float-
+        valued BC ignores them. Returning a lazy sequence (was: a
+        ``cached_property`` tuple that pinned ``dim`` cubes on the mesh
+        FOREVER after the first touch) keeps coordinate memory at zero
+        until a callable BC / rz weight actually indexes an axis, and
+        releases it when the consumer drops the reference. Inside a jit
+        trace the broadcast becomes a traced op on the tiny 1-D ``x[i]``
+        constant — XLA fuses it — instead of a full-cube constant baked
+        into the executable."""
+        return LazyGrid(self)
 
-        return tuple(build(i) for i in range(self.dim))
+    def _grid_axis(self, i: int) -> jnp.ndarray:
+        shape = [1] * self.dim
+        shape[i] = -1
+        return jnp.broadcast_to(self.x[i].reshape(shape), self.nx)
 
     @cached_property
     def _grid_np(self) -> list[np.ndarray]:
@@ -266,6 +276,43 @@ class Mesh:
     @property
     def is_cuda(self) -> bool:
         return self.device.platform in ("gpu", "tpu")
+
+
+class LazyGrid:
+    """Sequence of per-axis coordinate cubes, built on first access.
+
+    Drop-in for the old eager grid tuple: supports ``grid[i]``, negative
+    indices, ``len``, iteration, and an optional per-axis reduction
+    slicer ``red`` (the solver's periodic torus reduction). Materialized
+    axes are cached ON THIS OBJECT only — memory is released when the
+    consumer drops the LazyGrid, never pinned to the mesh."""
+
+    def __init__(self, mesh: Mesh, red: tuple | None = None):
+        self._mesh = mesh
+        self._red = red
+        self._cache: dict[int, jnp.ndarray] = {}
+
+    def __len__(self) -> int:
+        return self._mesh.dim
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return tuple(
+                self[j] for j in range(*i.indices(len(self)))
+            )
+        if i < 0:
+            i += len(self)
+        if not 0 <= i < len(self):
+            raise IndexError(i)
+        if i not in self._cache:
+            g = self._mesh._grid_axis(i)
+            if self._red is not None:
+                g = g[self._red]
+            self._cache[i] = g
+        return self._cache[i]
+
+    def __iter__(self):
+        return (self[i] for i in range(len(self)))
 
 
 def boundary_mask(mesh: Mesh) -> tuple[dict, dict]:

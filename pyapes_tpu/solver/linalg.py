@@ -825,7 +825,11 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             slice(None, -1) if j in paxes else slice(None)
             for j in range(mesh.dim)
         )
-        grid_r = tuple(g[red] for g in mesh.grid)
+        # lazy reduced grid: coordinate cubes materialize only if a BC
+        # callable actually reads them (a full cube per axis is real HBM)
+        from pyapes_tpu.mesh._mesh import LazyGrid
+
+        grid_r = LazyGrid(mesh, red)
         # DYNAMIC (moving-body) obstacle masks stream per call: reduce
         # the CURRENT host mask and seam-check it on EVERY solve — the
         # body moves between cached solves, so a compile-miss-only

@@ -86,3 +86,43 @@ def test_d_mask_shift() -> None:
     expected_u = np.zeros(5, dtype=bool)
     expected_u[-2] = True
     np.testing.assert_array_equal(shifted_u, expected_u)
+
+
+def test_lazy_grid_semantics() -> None:
+    """mesh.grid is a LazyGrid: tuple-like (index/negative/slice/iterate/
+    unpack) but materializes coordinate cubes only on access and pins
+    nothing on the mesh (the eager cached_property held dim full cubes
+    forever — 5.06 GiB at 768^3, the round-4 size-envelope OOM)."""
+    from pyapes_tpu.mesh._mesh import LazyGrid
+
+    mesh = Mesh(Box[0:1, 0:2, 0:3], None, [4, 5, 6])
+    g = mesh.grid
+    assert isinstance(g, LazyGrid)
+    assert len(g) == 3
+    assert g._cache == {}  # nothing materialized yet
+
+    X, Y, Z = g  # unpacking via iteration
+    assert X.shape == (4, 5, 6) and Y.shape == (4, 5, 6)
+    np.testing.assert_allclose(np.asarray(X[:, 0, 0]), np.linspace(0, 1, 4))
+    np.testing.assert_allclose(np.asarray(Y[0, :, 0]), np.linspace(0, 2, 5))
+    np.testing.assert_allclose(np.asarray(Z[0, 0, :]), np.linspace(0, 3, 6))
+
+    # negative index + slice, matching tuple semantics
+    np.testing.assert_array_equal(np.asarray(g[-1]), np.asarray(Z))
+    sl = g[1:3]
+    assert isinstance(sl, tuple) and len(sl) == 2
+    np.testing.assert_array_equal(np.asarray(sl[0]), np.asarray(Y))
+    with pytest.raises(IndexError):
+        g[3]
+
+    # a fresh access returns a NEW LazyGrid with an empty cache: nothing
+    # was pinned on the mesh by the accesses above
+    assert mesh.grid._cache == {}
+
+    # per-axis reduction slicer (the solver's periodic torus reduction)
+    red = (slice(None, -1), slice(None), slice(None))
+    gr = LazyGrid(mesh, red)
+    assert gr[0].shape == (3, 5, 6)
+    np.testing.assert_allclose(
+        np.asarray(gr[0]), np.asarray(X[:-1]), atol=0
+    )
