@@ -120,9 +120,9 @@ def laplacian_axis_coeffs(mesh, bcs, dtype=None) -> tuple:
         scale2 = dxj * dxj
         out.append(
             (
-                jnp.asarray(ap / scale2, dtype=dtype),
-                jnp.asarray(ac / scale2, dtype=dtype),
-                jnp.asarray(am / scale2, dtype=dtype),
+                np.asarray(ap / scale2, dtype=dtype),
+                np.asarray(ac / scale2, dtype=dtype),
+                np.asarray(am / scale2, dtype=dtype),
             )
         )
     return tuple(out)
@@ -154,9 +154,9 @@ def grad_axis_coeffs(mesh, bcs, gamma: float = 1.0, dtype=None) -> tuple:
         scale = 2.0 * dxj
         out.append(
             (
-                jnp.asarray(ap / scale, dtype=dtype),
-                jnp.asarray(ac / scale, dtype=dtype),
-                jnp.asarray(am / scale, dtype=dtype),
+                np.asarray(ap / scale, dtype=dtype),
+                np.asarray(ac / scale, dtype=dtype),
+                np.asarray(am / scale, dtype=dtype),
             )
         )
     return tuple(out)
@@ -242,16 +242,16 @@ def div_axis_coeffs(
         if limiter == "quick":
             out.append(
                 tuple(
-                    jnp.asarray(c / scale, dtype=dtype)
+                    np.asarray(c / scale, dtype=dtype)
                     for c in (app, ap, ac, am, amm)
                 )
             )
         else:
             out.append(
                 (
-                    jnp.asarray(ap / scale, dtype=dtype),
-                    jnp.asarray(ac / scale, dtype=dtype),
-                    jnp.asarray(am / scale, dtype=dtype),
+                    np.asarray(ap / scale, dtype=dtype),
+                    np.asarray(ac / scale, dtype=dtype),
+                    np.asarray(am / scale, dtype=dtype),
                 )
             )
     return tuple(out)

@@ -152,6 +152,11 @@ class FastDiag:
         # size here; "default" remains available as a cheap first-pass /
         # preconditioner mode via fd_opts={"precision": "default"}.
         self.precision = precision
+        # Factors stay HOST numpy: FastDiag can be constructed while an
+        # outer trace is live (fused-step capture with a solver-cache
+        # miss) — jnp arrays created there would be tracers and LEAK
+        # into the cached closure, crashing later eager solves. As numpy
+        # constants they fold into each jitted consumer identically.
         self.fwd = []   # F_j = Q^T diag(d)
         self.inv = []   # G_j = diag(1/d) Q
         self.lams = []  # eigenvalues, float64 precision kept until use
@@ -159,9 +164,9 @@ class FastDiag:
         for A in axis_mats:
             d, S = _symmetrize_similarity(A)
             lam, Q = np.linalg.eigh(S)
-            self.fwd.append(jnp.asarray(Q.T * d[None, :], dtype=tdt))
-            self.inv.append(jnp.asarray(Q / d[:, None], dtype=tdt))
-            self.lams.append(jnp.asarray(lam, dtype=dtype))
+            self.fwd.append(np.asarray(Q.T * d[None, :], dtype=tdt))
+            self.inv.append(np.asarray(Q / d[:, None], dtype=tdt))
+            self.lams.append(np.asarray(lam, dtype=dtype))
             lam_np.append(lam)
         # scale of the symbol, for the singular-mode cut
         self.lam_scale = float(sum(np.abs(l).max() for l in lam_np))

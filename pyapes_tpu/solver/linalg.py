@@ -137,7 +137,16 @@ def _term_params(rec, desc) -> dict:
         return {"gamma": jnp.asarray(rec["param"][0])}
     p = {"axis": rec["axis_coeffs"]}
     if desc[5]:
-        p["param"] = jnp.asarray(rec["param"][0])
+        # host scalars stay host floats (NOT jnp.asarray): inside an
+        # outer trace (fused-step capture) a jnp cast would return a
+        # tracer, breaking the host analysis that freezes coefficient
+        # weights (``float(param)`` in the FD-preconditioner setup); as
+        # a jit-argument leaf a float streams exactly like a 0-d array.
+        v = rec["param"][0]
+        if isinstance(v, (int, float, np.floating, np.integer)):
+            p["param"] = float(v)
+        else:
+            p["param"] = jnp.asarray(v)
     return p
 
 
@@ -433,14 +442,23 @@ def _reduce_periodic(terms, term_descs, tparams, x0, rhs, bcs, mesh):
         """Reduce a per-axis coefficient tuple (3- or 5-vector): drop the
         duplicate entry on periodic axes and undo the seam surgery
         (coefficients are constant along a periodic axis, so fill with the
-        mid value)."""
+        mid value). Stays in HOST numpy — axis vectors are static
+        metadata the solver's host analysis (fastdiag probe, sym_vecs,
+        FD setup) must be able to read even when ``solve`` runs inside an
+        outer trace (the fused whole-step capture), where any jnp op
+        would return a tracer."""
         out = []
         for ax, cs in enumerate(vecs):
             if ax in paxes:
                 n = cs[0].shape[0] - 1
                 mid = n // 2
                 out.append(
-                    tuple(jnp.full((n,), c[mid], dtype=c.dtype) for c in cs)
+                    tuple(
+                        np.full((n,), c[mid], dtype=c.dtype)
+                        if isinstance(c, np.ndarray)
+                        else jnp.full((n,), c[mid], dtype=c.dtype)
+                        for c in cs
+                    )
                 )
             else:
                 out.append(tuple(cs))
@@ -1043,8 +1061,13 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                             any_scale = True
                 dvs.append(dv)
             if any_scale:
+                # HOST numpy (not jnp): this block can run inside an
+                # outer trace (fused-step capture with a cache miss);
+                # jnp-created scales would be tracers and LEAK into the
+                # cached closure, crashing later eager solves. Numpy
+                # constants fold into the jitted program identically.
                 sym_vecs = tuple(
-                    jnp.asarray(
+                    np.asarray(
                         dv.reshape(
                             tuple(
                                 -1 if k == j else 1

@@ -192,3 +192,50 @@ def test_fused_donated_state_matches_eager():
     m1.run(dt, 1)
     m2.run(dt, 1)
     _assert_state_close(m1, m2)
+
+
+def test_fused_periodic_flow_les():
+    """PeriodicFlow (all-periodic torus NS) + Smagorinsky LES under the
+    fused whole-step capture. Regression for the round-4 fix that made
+    the solver's host analysis trace-safe: per-axis coefficient vectors,
+    ``sym_vecs``, and FastDiag factors are HOST numpy, so the fastdiag
+    ``fd_fallback`` probe (``linalg.solve``) and compile-path setup can
+    run inside the capture — previously the periodic torus reduction
+    handed the probe traced vectors and the capture ALWAYS fell back to
+    eager stepping (TracerArrayConversionError)."""
+    from math import pi
+
+    from pyapes_tpu.models import PeriodicFlow
+    from pyapes_tpu.models.navier_stokes import smagorinsky_viscosity
+
+    n, L = 16, 2 * pi
+    mesh = Mesh(Box[0:L, 0:L, 0:L], None, [n, n, n], dtype="double")
+
+    def mk():
+        m = PeriodicFlow(
+            mesh, nu=1.0 / 1600.0,
+            mu_strain_fn=smagorinsky_viscosity(1.0 / 1600.0, mesh, cs=0.17),
+        )
+        X, Y, Z = mesh.X, mesh.Y, mesh.Z
+        m.set_velocity(
+            jnp.sin(X) * jnp.cos(Y) * jnp.cos(Z),
+            -jnp.cos(X) * jnp.sin(Y) * jnp.cos(Z),
+            jnp.zeros_like(X),
+        )
+        return m
+
+    dt = 0.05
+    m1, m2 = mk(), mk()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m2.run(dt, 4, fused=True)
+        fellback = [x for x in w if "falling back" in str(x.message)]
+    assert not fellback, f"fused capture fell back to eager: {fellback[0]}"
+    assert m2._fused is not None and m2._fused._compiled is not None
+    m1.run(dt, 4)
+    _assert_state_close(m1, m2, atol=1e-9)
+    # post-fused eager step: no leaked tracers in the solver cache
+    # (numpy-vector regression guard), lockstep continues
+    m1.run(dt, 1)
+    m2.run(dt, 1)
+    _assert_state_close(m1, m2, atol=1e-9)
