@@ -968,7 +968,8 @@ class PeriodicFlow(LidDrivenCavity):
 
     def __init__(self, mesh: Mesh, nu: float = 0.01, config=None,
                  implicit_advection: bool = False, rhie_chow: bool = True,
-                 incremental: bool = True, mu_strain_fn=None):
+                 incremental: bool = True, mu_strain_fn=None,
+                 advection_form: str = "auto"):
         assert mesh.dim in (2, 3) and mesh.coord_sys == "xyz"
         self.mesh = mesh
         self.nu = self._init_viscosity(nu, mu_strain_fn)
@@ -976,6 +977,20 @@ class PeriodicFlow(LidDrivenCavity):
         self.implicit_advection = implicit_advection
         self.rhie_chow = rhie_chow
         self.incremental = incremental
+        # Explicit-advection form. "skew" = the energy-conserving
+        # skew-symmetric split ``(u . grad phi + div(u phi)) / 2``:
+        # on a uniform torus with central differences its quadratic
+        # aliasing errors cancel, so under-resolved turbulence (the TGV
+        # transition) stays bounded where the advective form blows up —
+        # measured 64^3 Re=1600 Smagorinsky: advective diverges at
+        # t ~ 4.5, skew completes with the dissipation peak at the DNS
+        # location (demos/tgv3d_les.py). "auto": skew on an obstacle-free
+        # torus, advective otherwise (immersed bodies break the
+        # integration-by-parts identity the split relies on).
+        if advection_form == "auto":
+            advection_form = "skew" if mesh.obstacle is None else "advective"
+        assert advection_form in ("advective", "skew")
+        self.advection_form = advection_form
 
         from pyapes_tpu.geometry.basis import FDIR
 
@@ -1009,6 +1024,37 @@ class PeriodicFlow(LidDrivenCavity):
         self._rc_mask = jnp.ones(tuple(mesh.nx), dtype=bool)
         self._singular_pressure = True
         self._init_solvers(config)
+
+    def _torus_dj(self, a: jnp.ndarray, j: int) -> jnp.ndarray:
+        """Exact-torus central derivative along axis ``j`` of a raw
+        (non-Field) array whose endpoint rows are duplicates (the stored
+        periodic grid): reduce the seam, roll, restore the wrap row."""
+        dim = self.mesh.dim
+        red = tuple(
+            slice(None, -1) if k == j else slice(None) for k in range(dim)
+        )
+        r = a[red]
+        d = (jnp.roll(r, -1, j) - jnp.roll(r, 1, j)) / (
+            2.0 * float(self.mesh.dx_np[j])
+        )
+        head = tuple(
+            slice(0, 1) if k == j else slice(None) for k in range(dim)
+        )
+        return jnp.concatenate([d, d[head]], axis=j)
+
+    def _advect(self, field: Field):
+        """Explicit advection; ``advection_form="skew"`` uses the
+        energy-conserving split ``(u . grad phi + div(u phi)) / 2``
+        (see ``__init__``)."""
+        adv = super()._advect(field)
+        if self.advection_form != "skew":
+            return adv
+        phi = field()[0]
+        div = None
+        for j in range(self.mesh.dim):
+            t = self._torus_dj(self.vel[j]()[0] * phi, j)
+            div = t if div is None else div + t
+        return 0.5 * (adv + div)
 
     def set_velocity(self, *components) -> None:
         """Set the velocity (one ``(*nx)`` array per component) and

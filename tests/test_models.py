@@ -931,3 +931,61 @@ def test_taylor_green_3d_z_invariant() -> None:
     rel_u = np.linalg.norm(u - u_ex) / np.linalg.norm(u_ex)
     assert rel_u < 0.02, rel_u
     assert np.abs(w).max() < 1e-6, np.abs(w).max()
+
+
+@pytest.mark.slow
+def test_tgv3d_les_dissipation_peak() -> None:
+    """3-D Taylor-Green vortex at Re=1600 with the Smagorinsky closure —
+    THE quantitative LES anchor (transition to turbulence). The total
+    dissipation rate eps(t) = -d<E>/dt must trace the canonical curve:
+    a slow start, a sharp peak at the transition, then decay. DNS
+    reference (van Rees et al. 2011, 512^3 spectral; Brachet 1983):
+    eps_max ~ 0.0122 at t ~ 9.0. A 64^3 Smagorinsky LES reproduces the
+    peak approximately (measured here on TPU and CPU: 0.0108 at t=7.7 —
+    slightly early/low, as expected of a dissipative SGS model at
+    coarse resolution with 2nd-order stencils).
+
+    Runs the SKEW-SYMMETRIC advection form (the PeriodicFlow default):
+    the advective form blows up at t ~ 4.5 on this grid (quadratic
+    aliasing), which this test would catch as a NaN/absurd peak.
+    """
+    from pyapes_tpu.models import PeriodicFlow
+    from pyapes_tpu.models.navier_stokes import smagorinsky_viscosity
+
+    n, L, nu = 64, 2 * pi, 1.0 / 1600.0
+    mesh = Mesh(Box[0:L, 0:L, 0:L], None, [n, n, n], dtype="single")
+    model = PeriodicFlow(
+        mesh, nu=nu, mu_strain_fn=smagorinsky_viscosity(nu, mesh, cs=0.17),
+        config={"sync": False},
+    )
+    X, Y, Z = mesh.X, mesh.Y, mesh.Z
+    model.set_velocity(
+        jnp.sin(X) * jnp.cos(Y) * jnp.cos(Z),
+        -jnp.cos(X) * jnp.sin(Y) * jnp.cos(Z),
+        jnp.zeros_like(X),
+    )
+
+    vol = L**3
+    dt = 0.2 * (L / (n - 1))
+    every = max(1, int(round(0.25 / dt)))
+    t_end = 12.0
+    ts, Es = [0.0], [float(model.kinetic_energy()) / vol]
+    assert abs(Es[0] - 0.125) < 2e-3  # <E>(0) = 1/8
+    for _ in range(int(np.ceil(t_end / (every * dt)))):
+        model.run(dt, every, fused=True)
+        ts.append(model.t)
+        Es.append(float(model.kinetic_energy()) / vol)
+
+    es, ts_np = np.asarray(Es), np.asarray(ts)
+    assert np.all(np.isfinite(es)), "energy blew up"
+    assert np.all(np.diff(es) < 0), "kinetic energy must decay monotonically"
+    eps = -(es[1:] - es[:-1]) / (ts_np[1:] - ts_np[:-1])
+    t_mid = 0.5 * (ts_np[1:] + ts_np[:-1])
+    i_pk = int(np.argmax(eps))
+    eps_max, t_pk = float(eps[i_pk]), float(t_mid[i_pk])
+    # DNS: 0.0122 @ t=9.0; 64^3 LES bounds (generous for dt/cs jitter)
+    assert 0.008 < eps_max < 0.0135, eps_max
+    assert 6.0 < t_pk < 10.0, t_pk
+    # the transition actually happened: late-time energy well below the
+    # laminar-decay value exp(-2 nu t) * E0 it would keep without it
+    assert es[-1] < 0.07
