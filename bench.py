@@ -334,6 +334,24 @@ def bench_darcy(n: int = 256, tol: float = 1e-6, max_it: int = 400):
 
 
 def main() -> None:
+    # Warm-start tier, scoped to the BENCH only: if a repo-local
+    # ``.jax_cache/`` directory exists (pre-populated by a previous
+    # opted-in run of this same bench), read it. The 768^3 program's
+    # fresh compile through the tunneled compile service is strongly
+    # host-load-sensitive (measured 78-437 s at 512^3, 815 s at 768^3
+    # under load) while a warm-cache start deserializes in tens of
+    # seconds — this keeps the size-envelope rung inside its subprocess
+    # budget regardless of host load. Deliberately NOT a library-wide
+    # default: against a cold cache the executable SERIALIZATION costs
+    # ~3x the compile itself (scripts/compile_probe.py), which is the
+    # wrong trade for fresh-structure interactive runs.
+    if "PYAPES_COMPILE_CACHE" not in os.environ:
+        _cache = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+        )
+        if os.path.isdir(_cache) and os.listdir(_cache):
+            os.environ["PYAPES_COMPILE_CACHE"] = _cache
+
     n = int(os.environ.get("PYAPES_BENCH_N", "768"))
     tol = float(os.environ.get("PYAPES_BENCH_TOL", "1e-6"))
     max_it = int(os.environ.get("PYAPES_BENCH_MAXIT", "4000"))
