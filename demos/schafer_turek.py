@@ -1,0 +1,147 @@
+"""Schaefer-Turek 2D-2 benchmark: unsteady flow past a cylinder, Re=100.
+
+The canonical quantitative anchor for incompressible flow past a body
+(Schaefer & Turek 1996, "Benchmark computations of laminar flow around
+a cylinder"). Geometry: channel [0, 2.2] x [0, 0.41], cylinder d=0.1
+centered at (0.2, 0.2) (0.05 off-center -> the wake instability onsets
+deterministically); parabolic inflow with peak Um=1.5 (mean U = 2/3 Um
+= 1.0), nu=0.001 -> Re = U d / nu = 100. Published reference intervals
+(lower/upper bounds over the contributed solutions):
+
+    St      in [0.2950, 0.3050]
+    Cd_max  in [3.2200, 3.2400]
+    Cl_max  in [0.9900, 1.0100]
+    dP(t0+T/2) in [2.4600, 2.5000]   (front-rear pressure difference)
+
+The cylinder here is a staircase immersed body (``MaskObstacle``) on an
+equidistant grid with first-order force quadrature
+(``staircase_body_force``), so the force amplitudes carry O(dx)
+boundary error; the shedding FREQUENCY is far more robust. The recorded
+on-chip result (MEASURE_r4.jsonl, BASELINE.md) asserts St against the
+published interval and reports Cd/Cl/dP for honesty.
+
+Run (TPU, fused batched stepping; ~10 min incl. compile):
+
+    python demos/schafer_turek.py
+
+Smoke mode (CPU, tiny; machinery only, no developed shedding):
+
+    SMOKE=1 python demos/schafer_turek.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np  # noqa: E402
+
+SMOKE = bool(os.environ.get("SMOKE"))
+if SMOKE:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+from pyapes_tpu.backend import enable_compilation_cache  # noqa: E402
+from pyapes_tpu.geometry import Box, MaskObstacle  # noqa: E402
+from pyapes_tpu.mesh import Mesh  # noqa: E402
+from pyapes_tpu.models import ChannelFlow  # noqa: E402
+
+
+def run_benchmark(ny: int = 83, t_end: float = 8.0, every: int = 25,
+                  verbose: bool = True) -> dict:
+    """Run the 2D-2 case; returns the measured functionals."""
+    d, um, nu = 0.1, 1.5, 0.001  # U_mean = 2/3 * 1.5 = 1.0, Re = 100
+    u_mean = 2.0 / 3.0 * um
+    dy = 0.41 / (ny - 1)
+    nx = int(round(2.2 / dy)) + 1
+    body = MaskObstacle(
+        lambda X, Y: (X - 0.2) ** 2 + (Y - 0.2) ** 2 < (d / 2) ** 2
+    )
+    mesh = Mesh(Box[0:2.2, 0:0.41], [body], [nx, ny])
+    model = ChannelFlow(mesh, nu=nu, u_in=um, config={"sync": False})
+    # peak speed ~2.3 (blockage acceleration over the cylinder)
+    dt = 0.2 * dy / 2.3
+    steps = int(t_end / dt)
+    n_batches = steps // every
+
+    # front/rear pressure probe nodes (0.15, 0.2) and (0.25, 0.2)
+    ia = int(round(0.15 / dy))
+    ib = int(round(0.25 / dy))
+    jc = int(round(0.20 / dy))
+
+    t_hist, cd_hist, cl_hist, dp_hist = [], [], [], []
+    t0 = time.perf_counter()
+    for i in range(n_batches):
+        model.run(dt, every, fused=True)
+        F = model.body_force()
+        p = np.asarray(model.p()[0])
+        t_hist.append(model.t)
+        cd_hist.append(2.0 * F[0] / (u_mean**2 * d))
+        cl_hist.append(2.0 * F[1] / (u_mean**2 * d))
+        dp_hist.append(float(p[ia, jc] - p[ib, jc]))
+        if verbose and (i + 1) % 40 == 0:
+            print(f"step {(i+1)*every}/{steps} t={model.t:.2f} "
+                  f"Cd={cd_hist[-1]:.4f} Cl={cl_hist[-1]:+.4f}",
+                  flush=True)
+    wall = time.perf_counter() - t0
+
+    t_arr = np.asarray(t_hist)
+    cl = np.asarray(cl_hist)
+    cd = np.asarray(cd_hist)
+    dp = np.asarray(dp_hist)
+    out = {
+        "nx": nx, "ny": ny, "dt": dt, "steps": n_batches * every,
+        "t_end": float(t_arr[-1]) if len(t_arr) else 0.0,
+        "wall_s": round(wall, 2),
+        "cell_steps_per_s": round(nx * ny * n_batches * every / wall, 1),
+    }
+    # spectrum of the developed half of the lift signal
+    half = len(cl) // 2
+    sig = cl[half:] - cl[half:].mean()
+    if len(sig) > 16 and np.abs(sig).max() > 1e-6:
+        dt_s = float(t_arr[1] - t_arr[0])
+        freqs = np.fft.rfftfreq(len(sig), dt_s)
+        amp = np.abs(np.fft.rfft(sig))
+        k = int(np.argmax(amp[1:])) + 1
+        # parabolic interpolation of the spectral peak (the window holds
+        # only ~12 shedding periods, so the raw bin is ~4% wide)
+        if 1 <= k < len(amp) - 1:
+            a, b, c = amp[k - 1], amp[k], amp[k + 1]
+            delta = 0.5 * (a - c) / (a - 2 * b + c)
+        else:
+            delta = 0.0
+        f_shed = float(freqs[k] + delta * (freqs[1] - freqs[0]))
+        out["St"] = round(f_shed * d / u_mean, 4)
+        out["Cl_max"] = round(float(cl[half:].max()), 4)
+        out["Cd_max"] = round(float(cd[half:].max()), 4)
+        out["Cl_amp"] = round(float(np.abs(sig).max()), 4)
+        # dP at the instant of max lift + half a period (the benchmark's
+        # reporting instant t0 + T/2 with t0 the max-Cl time)
+        i_max = half + int(np.argmax(cl[half:]))
+        t_rep = t_arr[i_max] + 0.5 / f_shed
+        i_rep = int(np.argmin(np.abs(t_arr - t_rep)))
+        out["dP"] = round(float(dp[i_rep]), 4)
+    return out
+
+
+def main() -> None:
+    enable_compilation_cache()
+    if SMOKE:
+        res = run_benchmark(ny=21, t_end=0.2, every=5)
+    else:
+        res = run_benchmark(ny=83, t_end=8.0, every=25)
+    print(json.dumps(res))
+    if "St" in res:
+        print(f"St = {res['St']}   (Schaefer-Turek interval "
+              f"[0.2950, 0.3050])")
+        print(f"Cd_max = {res['Cd_max']} [3.22, 3.24]   "
+              f"Cl_max = {res['Cl_max']} [0.99, 1.01]   "
+              f"dP = {res['dP']} [2.46, 2.50]")
+
+
+if __name__ == "__main__":
+    main()
