@@ -615,3 +615,61 @@ def test_dynamic_obstacle_with_periodic_axis() -> None:
     s.set_eq(fdm.laplacian(1.0, var) == jnp.zeros_like(var()))
     with pytest.raises(NotImplementedError, match="seam"):
         s.solve()
+
+
+def test_cv_force_quadrature_exactness() -> None:
+    """Control-volume force quadrature pins (``control_volume_force``):
+    (a) zero fields give zero; (b) p = x with zero velocity gives
+    F = -∮ p n dS = -V_CV e_x EXACTLY (trapezoid + central differences
+    are exact for linear fields); (c) the manufactured Poiseuille
+    solution (quadratic u, linear p) is an exact discrete momentum
+    balance -> F = 0 to round-off."""
+    from pyapes_tpu.models.navier_stokes import control_volume_force
+
+    nx, ny = 61, 41
+    x = np.linspace(0.0, 3.0, nx)
+    y = np.linspace(0.0, 1.0, ny)
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    dx = [x[1] - x[0], y[1] - y[0]]
+    lo, hi = [10, 8], [40, 30]
+    nu, U = 0.05, 1.0
+
+    z = np.zeros_like(X)
+    F0 = control_volume_force(z, [z, z], dx, lo, hi, nu)
+    assert np.abs(F0).max() == 0.0, F0
+
+    Fp = control_volume_force(X, [z, z], dx, lo, hi, nu)
+    v_cv = (x[hi[0]] - x[lo[0]]) * (y[hi[1]] - y[lo[1]])
+    assert abs(Fp[0] + v_cv) < 1e-12, (Fp, v_cv)
+    assert abs(Fp[1]) < 1e-12, Fp
+
+    u = 4.0 * U * Y * (1.0 - Y)
+    p = 2.5 - 8.0 * nu * U * X
+    Fb = control_volume_force(p, [u, z], dx, lo, hi, nu)
+    assert np.abs(Fb).max() < 1e-12, Fb
+
+
+def test_cv_force_cylinder_vs_staircase() -> None:
+    """On a (near-)steady flow past a cylinder the control-volume force
+    must be margin-invariant (the momentum balance holds for ANY box
+    enclosing the body) and consistent with the staircase surface
+    quadrature; lift stays near zero for the symmetric geometry."""
+    from pyapes_tpu.geometry import MaskObstacle
+    from pyapes_tpu.models import ChannelFlow
+
+    body_fn = lambda X, Y: (X - 0.7) ** 2 + (Y - 0.5) ** 2 < 0.12**2
+    mesh = Mesh(Box[0:3, 0:1], [MaskObstacle(body_fn)], [97, 33])
+    model = ChannelFlow(mesh, nu=0.02, u_in=1.0)  # Re = Ud/nu ~ 12
+    model.run(dt=0.005, n_steps=60, fused=True)
+
+    F_st = model.body_force()
+    F3 = model.body_force_cv(margin=3)
+    F6 = model.body_force_cv(margin=6)
+    # margin invariance: the balance is box-independent (incl. the
+    # unsteady term: the run is not fully steady yet)
+    assert abs(F6[0] - F3[0]) < 0.1 * abs(F3[0]), (F3, F6)
+    # consistency with the staircase drag (first-order vs second-order
+    # quadrature of the SAME flow agree to quadrature error)
+    assert abs(F3[0] - F_st[0]) < 0.35 * abs(F_st[0]), (F3, F_st)
+    assert F3[0] > 0.0
+    assert abs(F3[1]) < 0.2 * abs(F3[0]), F3
