@@ -67,10 +67,26 @@ def main() -> None:
         jax.random.PRNGKey(0), (1, n, n, n), dtype=var().dtype
     )
 
-    solver = Solver({"fdm": {
-        "method": "fastdiag", "tol": 1e-6, "max_it": 8,
-        "report": True, "decomp": decomp, "donate": True,
-    }})
+    # Method choice is memory-driven on the emulated host: the sharded
+    # fast-diagonalization transforms all-gather the contracted axis
+    # (each device temporarily holds full-axis slabs), which OOM-kills a
+    # 125 GB host at 1024^3 — measured 2026-08-19 (the REAL multi-chip
+    # fastdiag fit is per-chip HBM x n_chips with ICI all-gathers; the
+    # emulation pays all 8 devices' gathers from ONE memory). The MG-PCG
+    # path is communication-light (ghost-plane ppermutes + scalar psums)
+    # and fits, and is the honest multi-chip recommendation anyway.
+    method = os.environ.get("PYAPES_DECOMP_METHOD",
+                            "cg" if n >= 512 else "fastdiag")
+    cfg = {
+        "method": method, "tol": 1e-6, "max_it": 40,
+        "report": True, "criterion": "residual",
+        "decomp": decomp, "donate": True,
+    }
+    if method == "cg":
+        cfg["precond"] = "mg"
+        cfg["mg_opts"] = {"dtype": "bfloat16", "n_pre": 2, "n_post": 2,
+                          "omega": 0.857, "fmg": True}
+    solver = Solver({"fdm": cfg})
     fdm = FDM()
 
     t0 = time.perf_counter()
@@ -91,6 +107,7 @@ def main() -> None:
         "phase": f"size_{n}_decomp",
         "ok": bool(rep["converge"]),
         "n": n,
+        "method": method,
         "decomp": list(shape),
         "itr": int(rep["itr"]),
         "tol": float(rep["tol"]),
