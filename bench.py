@@ -122,12 +122,18 @@ def solve_poisson(n: int, tol: float, max_it: int):
         jax.block_until_ready(var())
         walls.append(time.perf_counter() - tic)
     wall = min(walls)
+    median = sorted(walls)[len(walls) // 2]
 
     return {
         "n": n,
         "wall_s": wall,
         "wall_s_all": [round(w, 4) for w in walls],
+        "wall_s_median": round(median, 4),
         "compile_s": t_compile,
+        # compile amortization: how many solves of this size pay for the
+        # fresh compile (BASELINE.md carries the 512^3-vs-768^3 break-even
+        # interpretation)
+        "amortize_solves": round(t_compile / wall, 1),
         "itr": report["itr"],
         "tol": report["tol"],
         "converge": report["converge"],
@@ -423,50 +429,84 @@ def main() -> None:
         print(json.dumps(result))
         return
 
-    result = None
-    # 768^3 is the measured single-chip envelope (x0 donation + lazy
-    # coordinate grids; 0.264 s = 1715 M DOF/s, 2026-08-19). Its fresh
-    # compile through the tunneled service was 815 s under host load, so
-    # it gets a generous budget with the proven 512^3 as the fallback
-    # rung (not n/2: 384 underperforms 512 — small sizes are RTT-bound).
-    ladder = (
-        [(768, 1200), (512, 540), (256, 300)]
-        if n == 768
-        else [(n, 540), (n // 2, 420), (n // 4, 300)]
-    )
-    for n_try, budget in ladder:
-        result = _attempt_subprocess(n_try, budget)
-        if result is not None:
-            break
-    if result is None:
-        print(json.dumps({"metric": "poisson3d_cg_dof_per_s_chip", "value": 0.0,
-                          "unit": "DOF/s/chip", "vs_baseline": 0.0}))
-        return
-
-    print(
-        f"# n={result['n']} itr={result['itr']} wall={result['wall_s']:.3f}s "
-        f"compile={result['compile_s']:.1f}s tol={result['tol']:.2e} "
-        f"converge={result['converge']}",
-        file=sys.stderr,
-    )
+    # ASCENDING ladder with incremental emission (round-4 postmortem:
+    # BENCH_r04.json was rc=124/parsed=null because the DESCENDING ladder
+    # put 768^3 — whose fresh compile measured 814.5 s under host load —
+    # first, and printed nothing until a rung fully succeeded, so two
+    # timed-out rungs left the driver's outer timeout to kill the rest).
+    # Now: smallest rung first, and the result JSON line is printed
+    # IMMEDIATELY after every successful rung (later rungs overwrite by
+    # printing a fresh line — the driver parses the last JSON line, and
+    # either way a timeout can only cost the upgrade, never the number).
+    # A running elapsed-time guard keeps the whole ladder inside
+    # PYAPES_BENCH_TOTAL_BUDGET (default 1380 s < the driver's outer
+    # timeout): a rung is attempted only if the time remaining covers its
+    # worst measured fresh compile + solve (min_need), and its subprocess
+    # budget is clamped to the time actually left.
     method = os.environ.get("PYAPES_BENCH_METHOD", "fastdiag")
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "poisson3d_cg_dof_per_s_chip"
-                    if method == "cg"
-                    else f"poisson3d_{method}_dof_per_s_chip"
-                ),
-                "value": round(result["dof_per_s"], 1),
-                "unit": "DOF/s/chip",
-                "vs_baseline": round(
-                    result["dof_per_s"] / BASELINE_DOF_PER_S_CHIP, 4
-                ),
-                "compile_s": round(result["compile_s"], 1),
-            }
-        )
+    metric = (
+        "poisson3d_cg_dof_per_s_chip"
+        if method == "cg"
+        else f"poisson3d_{method}_dof_per_s_chip"
     )
+
+    def emit(result):
+        print(
+            f"# n={result['n']} itr={result['itr']} "
+            f"wall={result['wall_s']:.3f}s "
+            f"compile={result['compile_s']:.1f}s tol={result['tol']:.2e} "
+            f"converge={result['converge']}",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": round(result["dof_per_s"], 1),
+                    "unit": "DOF/s/chip",
+                    "vs_baseline": round(
+                        result["dof_per_s"] / BASELINE_DOF_PER_S_CHIP, 4
+                    ),
+                    "n": result["n"],
+                    "compile_s": round(result["compile_s"], 1),
+                    "wall_s_median": result.get("wall_s_median"),
+                    "amortize_solves": result.get("amortize_solves"),
+                }
+            ),
+            flush=True,
+        )
+
+    t_start = time.perf_counter()
+    total_budget = float(os.environ.get("PYAPES_BENCH_TOTAL_BUDGET", "1380"))
+    # (rung, nominal budget, min seconds that must remain to bother):
+    # min_need = worst measured fresh compile + margin (512^3: 78-437 s
+    # load-dependent; 768^3: 814.5 s under load, MEASURE_r4.jsonl).
+    if n == 768:
+        ladder = [(256, 300, 120), (512, 600, 360), (768, 1000, 600)]
+    else:
+        rungs = sorted({max(n // 4, 16), max(n // 2, 16), n})
+        budgets = [(300, 120), (480, 300), (600, 420)][-len(rungs):]
+        ladder = [(r, b, m) for r, (b, m) in zip(rungs, budgets)]
+    emitted = False
+    for n_try, budget, min_need in ladder:
+        remaining = total_budget - (time.perf_counter() - t_start)
+        if emitted and remaining < min_need:
+            print(
+                f"# bench: skipping n={n_try} "
+                f"({remaining:.0f}s left < {min_need}s needed)",
+                file=sys.stderr,
+            )
+            break
+        result = _attempt_subprocess(n_try, int(min(budget, max(remaining, 60))))
+        if result is not None:
+            emit(result)
+            emitted = True
+        elif emitted:
+            # a bigger rung timing out under load — keep the number we have
+            break
+    if not emitted:
+        print(json.dumps({"metric": metric, "value": 0.0,
+                          "unit": "DOF/s/chip", "vs_baseline": 0.0}))
 
 
 if __name__ == "__main__":
