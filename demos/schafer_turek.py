@@ -51,9 +51,21 @@ from pyapes_tpu.mesh import Mesh  # noqa: E402
 from pyapes_tpu.models import ChannelFlow  # noqa: E402
 
 
-def run_benchmark(ny: int = 83, t_end: float = 8.0, every: int = 25,
-                  verbose: bool = True) -> dict:
-    """Run the 2D-2 case; returns the measured functionals."""
+def run_benchmark(ny: int = 83, t_end: float = 8.0, every: int = 200,
+                  verbose: bool = True, margin: int = 6) -> dict:
+    """Run the 2D-2 case; returns the measured functionals.
+
+    Round-5 design (VERDICT items 3+4): the force/probe time series
+    accumulate ON DEVICE inside the scanned whole-step batch
+    (``model.run_batched`` + traced ``body_force_device`` /
+    ``body_force_cv_device`` diagnostics) at PER-STEP resolution, and
+    are fetched ONCE at the end — the round-4 version paid 3 host
+    fetches (~35 ms RTT each) plus a per-step dispatch RTT per 25-step
+    batch, which made the whole run host-latency-bound (946 K
+    cell-steps/s for ~ms of per-step compute).
+    """
+    import jax
+
     d, um, nu = 0.1, 1.5, 0.001  # U_mean = 2/3 * 1.5 = 1.0, Re = 100
     u_mean = 2.0 / 3.0 * um
     dy = 0.41 / (ny - 1)
@@ -66,46 +78,61 @@ def run_benchmark(ny: int = 83, t_end: float = 8.0, every: int = 25,
     # peak speed ~2.3 (blockage acceleration over the cylinder)
     dt = 0.2 * dy / 2.3
     steps = int(t_end / dt)
-    n_batches = steps // every
 
-    # front/rear pressure probe nodes (0.15, 0.2) and (0.25, 0.2)
+    # front/rear pressure probes: the 2D-2 dP is defined at the cylinder
+    # SURFACE points (0.15, 0.2)/(0.25, 0.2). Record both the node value
+    # and a quadratic extrapolation from the 3 clean fluid nodes behind
+    # each probe (offsets h, 2h, 3h along the centerline, away from the
+    # staircase shell): p_s = 3 p(h) - 3 p(2h) + p(3h) — avoids the
+    # first-order boundary-cell contamination at the surface node.
     ia = int(round(0.15 / dy))
     ib = int(round(0.25 / dy))
     jc = int(round(0.20 / dy))
 
-    t_hist, cd_hist, cl_hist, dp_hist = [], [], [], []
-    cd_cv_hist, cl_cv_hist = [], []
+    def diag(m):
+        p = m.p()[0]
+        dp_node = p[ia, jc] - p[ib, jc]
+        p_front = 3.0 * p[ia - 1, jc] - 3.0 * p[ia - 2, jc] + p[ia - 3, jc]
+        p_rear = 3.0 * p[ib + 1, jc] - 3.0 * p[ib + 2, jc] + p[ib + 3, jc]
+        return (m.body_force_device(),
+                m.body_force_cv_device(margin=margin),
+                dp_node, p_front - p_rear)
+
+    # eager BDF2 bootstrap, then uniform one-dispatch scanned batches
+    model.run(dt, 2)
+    n_batches = (steps - 2) // every
     t0 = time.perf_counter()
+    chunks = []
     for i in range(n_batches):
-        model.run(dt, every, fused=True)
-        F = model.body_force()          # first-order staircase traction
-        Fcv = model.body_force_cv(margin=6)  # 2nd-order momentum balance
-        p = np.asarray(model.p()[0])
-        t_hist.append(model.t)
-        cd_hist.append(2.0 * F[0] / (u_mean**2 * d))
-        cl_hist.append(2.0 * F[1] / (u_mean**2 * d))
-        cd_cv_hist.append(2.0 * Fcv[0] / (u_mean**2 * d))
-        cl_cv_hist.append(2.0 * Fcv[1] / (u_mean**2 * d))
-        dp_hist.append(float(p[ia, jc] - p[ib, jc]))
-        if verbose and (i + 1) % 40 == 0:
-            print(f"step {(i+1)*every}/{steps} t={model.t:.2f} "
-                  f"Cd={cd_hist[-1]:.4f} Cl={cl_hist[-1]:+.4f}",
-                  flush=True)
+        chunks.append(model.run_batched(dt, every, diag_fn=diag))
+        if verbose and (i + 1) % max(1, n_batches // 8) == 0:
+            print(f"batch {i+1}/{n_batches} t={model.t:.2f} "
+                  f"(+{time.perf_counter()-t0:.1f}s)", flush=True)
+    # ONE host fetch for the whole run's diagnostics
+    host = jax.device_get(chunks)
+    # force completion of the final state too (wall time honesty)
+    float(np.asarray(model.p()[0])[0, 0])
     wall = time.perf_counter() - t0
 
-    t_arr = np.asarray(t_hist)
-    cl = np.asarray(cl_hist)
-    cd = np.asarray(cd_hist)
-    dp = np.asarray(dp_hist)
+    F = np.concatenate([np.asarray(c[0]) for c in host])
+    Fcv = np.concatenate([np.asarray(c[1]) for c in host])
+    dp = np.concatenate([np.asarray(c[2]) for c in host])
+    dp_surf = np.concatenate([np.asarray(c[3]) for c in host])
+    total = n_batches * every
+    t_arr = (np.arange(total) + 3) * dt  # diag starts after 2 eager steps
+    scale = 2.0 / (u_mean**2 * d)
+    cd, cl = scale * F[:, 0], scale * F[:, 1]
+    cd_cv, cl_cv = scale * Fcv[:, 0], scale * Fcv[:, 1]
     out = {
-        "nx": nx, "ny": ny, "dt": dt, "steps": n_batches * every,
-        "t_end": float(t_arr[-1]) if len(t_arr) else 0.0,
+        "nx": nx, "ny": ny, "dt": dt, "steps": total + 2,
+        "t_end": float(t_arr[-1]) if total else 0.0,
         "wall_s": round(wall, 2),
-        "cell_steps_per_s": round(nx * ny * n_batches * every / wall, 1),
+        "cell_steps_per_s": round(nx * ny * total / wall, 1),
     }
-    # spectrum of the developed half of the lift signal
+    # spectrum of the developed half of the lift signal (CV lift — the
+    # smoother second-order functional; per-step resolution now)
     half = len(cl) // 2
-    sig = cl[half:] - cl[half:].mean()
+    sig = cl_cv[half:] - cl_cv[half:].mean()
     if len(sig) > 16 and np.abs(sig).max() > 1e-6:
         dt_s = float(t_arr[1] - t_arr[0])
         freqs = np.fft.rfftfreq(len(sig), dt_s)
@@ -123,16 +150,15 @@ def run_benchmark(ny: int = 83, t_end: float = 8.0, every: int = 25,
         out["Cl_max"] = round(float(cl[half:].max()), 4)
         out["Cd_max"] = round(float(cd[half:].max()), 4)
         out["Cl_amp"] = round(float(np.abs(sig).max()), 4)
-        cd_cv = np.asarray(cd_cv_hist)
-        cl_cv = np.asarray(cl_cv_hist)
         out["Cd_max_cv"] = round(float(cd_cv[half:].max()), 4)
         out["Cl_max_cv"] = round(float(cl_cv[half:].max()), 4)
         # dP at the instant of max lift + half a period (the benchmark's
         # reporting instant t0 + T/2 with t0 the max-Cl time)
-        i_max = half + int(np.argmax(cl[half:]))
+        i_max = half + int(np.argmax(cl_cv[half:]))
         t_rep = t_arr[i_max] + 0.5 / f_shed
         i_rep = int(np.argmin(np.abs(t_arr - t_rep)))
         out["dP"] = round(float(dp[i_rep]), 4)
+        out["dP_surf"] = round(float(dp_surf[i_rep]), 4)
     return out
 
 
@@ -141,7 +167,9 @@ def main() -> None:
     if SMOKE:
         res = run_benchmark(ny=21, t_end=0.2, every=5)
     else:
-        res = run_benchmark(ny=83, t_end=8.0, every=25)
+        ny = int(os.environ.get("ST_NY", "83"))
+        t_end = float(os.environ.get("ST_TEND", "8.0"))
+        res = run_benchmark(ny=ny, t_end=t_end)
     print(json.dumps(res))
     if "St" in res:
         print(f"St = {res['St']}   (Schaefer-Turek interval "
@@ -150,7 +178,8 @@ def main() -> None:
               f"Cl_max = {res['Cl_max']} [0.99, 1.01]   "
               f"dP = {res['dP']} [2.46, 2.50]")
         print(f"control-volume: Cd_max = {res['Cd_max_cv']}   "
-              f"Cl_max = {res['Cl_max_cv']}")
+              f"Cl_max = {res['Cl_max_cv']}   "
+              f"dP_surf = {res['dP_surf']}")
 
 
 if __name__ == "__main__":

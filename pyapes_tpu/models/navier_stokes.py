@@ -162,6 +162,18 @@ def staircase_body_force(p, vels, body, dx, nu, u_body=None):
     """
     import numpy as np_
 
+    return np_.asarray(staircase_body_force_device(
+        p, vels, body, dx, nu, u_body=u_body
+    ))
+
+
+def staircase_body_force_device(p, vels, body, dx, nu, u_body=None):
+    """Traced (pure-jnp) form of ``staircase_body_force`` — usable as a
+    per-step diagnostic inside the fused/scanned step (the shell masks
+    are static host constants; everything touching ``p``/``vels`` is
+    jnp). Returns a device vector of ``len(dx)`` components."""
+    import numpy as np_
+
     from pyapes_tpu.geometry.mask import MaskObstacle
 
     body = np_.asarray(body, dtype=bool)
@@ -187,7 +199,7 @@ def staircase_body_force(p, vels, body, dx, nu, u_body=None):
         for i, v in enumerate(vels):
             dudn = jnp.sum(jnp.where(fluid, v, 0.0) - fluid * ub[i])
             F = F.at[i].add(nu * dudn / float(dx[ax]) * dS)
-    return np_.asarray(F)
+    return F
 
 
 def control_volume_force(p, vels, dx, lo, hi, nu,
@@ -304,6 +316,103 @@ def control_volume_force(p, vels, dx, lo, hi, nu,
             F[a] -= sgn * float(np_.sum(w * pa)) * dS
 
     return F
+
+
+def control_volume_force_device(p, vels, dx, lo, hi, nu,
+                                vels_old=None, dt=None):
+    """Traced (pure-jnp) twin of ``control_volume_force`` — identical
+    quadrature (trapezoid faces/volume, central normal derivatives,
+    ``edge_order=2`` tangential gradients), but every field op is jnp on
+    static slices, so it can run as a per-step diagnostic inside the
+    fused/scanned step and accumulate the force time series ON DEVICE.
+    ``dt`` may be a traced scalar. Equality with the host version is
+    pinned by ``tests/test_obstacle.py``."""
+    import numpy as np_
+
+    dim = p.ndim
+    dx = [float(d) for d in dx]
+    lo = [int(v) for v in lo]
+    hi = [int(v) for v in hi]
+    nu_arr = nu if getattr(nu, "ndim", 0) else None
+
+    def trapz_w(n_nodes: int) -> np_.ndarray:
+        w = np_.ones(n_nodes)
+        w[0] = w[-1] = 0.5
+        return w
+
+    def grad_tang(arr, d, axis):
+        """np.gradient(edge_order=2) equivalent along ``axis`` of a face
+        plane: central interior, 2nd-order one-sided ends."""
+        g = (jnp.roll(arr, -1, axis) - jnp.roll(arr, 1, axis)) / (2 * d)
+
+        def sl(s):
+            return tuple(
+                s if k == axis else slice(None) for k in range(arr.ndim)
+            )
+
+        f0, f1, f2 = arr[sl(slice(0, 1))], arr[sl(slice(1, 2))], \
+            arr[sl(slice(2, 3))]
+        g = g.at[sl(slice(0, 1))].set((-3 * f0 + 4 * f1 - f2) / (2 * d))
+        e0, e1, e2 = arr[sl(slice(-1, None))], arr[sl(slice(-2, -1))], \
+            arr[sl(slice(-3, -2))]
+        g = g.at[sl(slice(-1, None))].set((3 * e0 - 4 * e1 + e2) / (2 * d))
+        return g
+
+    F = [jnp.zeros(()) for _ in range(dim)]
+
+    if vels_old is not None and dt is not None:
+        vol_sl = tuple(slice(lo[a], hi[a] + 1) for a in range(dim))
+        w_vol = np_.ones(())
+        for a in range(dim):
+            shape = [1] * dim
+            shape[a] = -1
+            w_vol = w_vol * trapz_w(hi[a] - lo[a] + 1).reshape(shape)
+        dv = float(np_.prod(dx))
+        w_vol = jnp.asarray(w_vol, dtype=p.dtype)
+        for i in range(dim):
+            dudt = (vels[i][vol_sl] - vels_old[i][vol_sl]) / dt
+            F[i] = F[i] - jnp.sum(w_vol * dudt) * dv
+
+    for a in range(dim):
+        dS = float(np_.prod([dx[j] for j in range(dim) if j != a]))
+        for k, sgn in ((lo[a], -1.0), (hi[a], +1.0)):
+            plane = tuple(
+                slice(lo[j], hi[j] + 1) if j != a else k
+                for j in range(dim)
+            )
+            plane_p = tuple(
+                slice(lo[j], hi[j] + 1) if j != a else k + 1
+                for j in range(dim)
+            )
+            plane_m = tuple(
+                slice(lo[j], hi[j] + 1) if j != a else k - 1
+                for j in range(dim)
+            )
+            w = np_.ones(())
+            tang = [j for j in range(dim) if j != a]
+            for t_i, j in enumerate(tang):
+                shape = [1] * (dim - 1)
+                shape[t_i] = -1
+                w = w * trapz_w(hi[j] - lo[j] + 1).reshape(shape)
+            w = jnp.asarray(w, dtype=p.dtype)
+
+            pa = p[plane]
+            ua = vels[a][plane]
+            nu_f = nu_arr[plane] if nu_arr is not None else float(nu)
+            for i in range(dim):
+                ui = vels[i][plane]
+                F[i] = F[i] - sgn * jnp.sum(w * ui * ua) * dS
+                dui_da = (vels[i][plane_p] - vels[i][plane_m]) / (2 * dx[a])
+                if i == a:
+                    dua_di = dui_da
+                else:
+                    dua_di = grad_tang(ua, dx[i], tang.index(i))
+                F[i] = F[i] + sgn * jnp.sum(
+                    w * nu_f * (dui_da + dua_di)
+                ) * dS
+            F[a] = F[a] - sgn * jnp.sum(w * pa) * dS
+
+    return jnp.stack(F)
 
 
 class LidDrivenCavity:
@@ -958,15 +1067,18 @@ class LidDrivenCavity:
             [float(d) for d in self.mesh.dx_np], self.nu,
         )
 
-    def body_force_cv(self, idx: int = 0, margin: int = 4):
-        """Hydrodynamic force on immersed obstacle ``idx`` by
-        control-volume momentum balance (``control_volume_force``) over
-        the body's node bounding box grown by ``margin`` nodes —
-        second-order, vs the first-order staircase traction of
-        ``body_force``. The unsteady ∫∂u/∂t term uses the fields' stored
-        previous step (``VARo``) when a step has been taken."""
+    def _cv_box(self, idx: int, margin: int):
+        """Static CV node box ``(lo, hi)`` for obstacle ``idx``: the
+        body's bounding box grown by ``margin`` nodes, validated (host,
+        once — cached) so every face plane lies in fluid."""
         import numpy as np_
 
+        key = (idx, margin)
+        cache = getattr(self, "_cv_box_cache", None)
+        if cache is None:
+            cache = self._cv_box_cache = {}
+        if key in cache:
+            return cache[key]
         assert self.mesh.obstacle is not None, "body_force_cv: no obstacles"
         body = self.mesh.obstacle_body_masks[idx]
         nx = self.mesh.nx
@@ -988,6 +1100,19 @@ class LidDrivenCavity:
                     f"body_force_cv: CV face {a}@{k} intersects a body; "
                     f"reduce margin or check obstacle placement"
                 )
+        cache[key] = (lo, hi)
+        return lo, hi
+
+    def body_force_cv(self, idx: int = 0, margin: int = 4):
+        """Hydrodynamic force on immersed obstacle ``idx`` by
+        control-volume momentum balance (``control_volume_force``) over
+        the body's node bounding box grown by ``margin`` nodes —
+        second-order, vs the first-order staircase traction of
+        ``body_force``. The unsteady ∫∂u/∂t term uses the fields' stored
+        previous step (``VARo``) when a step has been taken."""
+        import numpy as np_
+
+        lo, hi = self._cv_box(idx, margin)
         vels = [np_.asarray(v()[0]) for v in self.vel]
         vo = dt = None
         if all(getattr(v, "_n_hist", 0) > 0 for v in self.vel) and (
@@ -1001,6 +1126,50 @@ class LidDrivenCavity:
             [float(d) for d in self.mesh.dx_np], lo, hi, nu,
             vels_old=vo, dt=dt,
         )
+
+    def body_force_device(self, idx: int = 0):
+        """Traced staircase force (``staircase_body_force_device``) —
+        usable inside a ``run_batched`` ``diag_fn`` to accumulate the
+        drag/lift time series on device."""
+        assert self.mesh.obstacle is not None, "body_force: no obstacles"
+        return staircase_body_force_device(
+            self.p()[0], [v()[0] for v in self.vel],
+            self.mesh.obstacle_body_masks[idx],
+            [float(d) for d in self.mesh.dx_np], self.nu,
+        )
+
+    def body_force_cv_device(self, idx: int = 0, margin: int = 4,
+                             dt=None):
+        """Traced control-volume force (``control_volume_force_device``)
+        for per-step on-device diagnostics. The unsteady term uses the
+        fields' in-trace history (``VARo``); ``dt`` defaults to the
+        fields' current step size (may be a traced scalar)."""
+        lo, hi = self._cv_box(idx, margin)
+        if dt is None:
+            dt = self.vel[0]._dt
+        vo = [v.VARo[0] for v in self.vel] if dt is not None else None
+        nu = self._nu_field if self._nu_field is not None else self.nu
+        return control_volume_force_device(
+            self.p()[0], [v()[0] for v in self.vel],
+            [float(d) for d in self.mesh.dx_np], lo, hi, nu,
+            vels_old=vo, dt=dt,
+        )
+
+    def run_batched(self, dt: float, n_steps: int, diag_fn=None):
+        """``n_steps`` fused steps in ONE device dispatch
+        (``FusedStepRunner.run_batched``): a ``lax.scan`` over the
+        whole-step program, with optional per-step on-device diagnostics
+        (``diag_fn: model -> pytree``, e.g. ``body_force_device`` +
+        probe reads). Runs the eager BDF2 bootstrap first if needed.
+        Returns the stacked diagnostics pytree (device arrays, leading
+        axis = scanned steps) or None; note bootstrap steps are eager
+        and carry no diagnostics."""
+        while n_steps > 0 and min(v.n_hist for v in self.vel) < 2:
+            self.step(dt)
+            n_steps -= 1
+        if n_steps <= 0:
+            return None
+        return self.fused_runner().run_batched(dt, n_steps, diag_fn)
 
 
 class ChannelFlow(LidDrivenCavity):

@@ -239,3 +239,69 @@ def test_fused_periodic_flow_les():
     m1.run(dt, 1)
     m2.run(dt, 1)
     _assert_state_close(m1, m2, atol=1e-9)
+
+
+def test_run_batched_matches_stepped():
+    """ONE-dispatch scanned batch (``run_batched``) == per-step fused
+    stepping: identical final state, correct clock advance, and the
+    per-step on-device diagnostics series matches values computed by
+    per-step host reads."""
+    dt = 0.01
+    m1 = _cavity()
+    m2 = _cavity()
+
+    # reference: per-step fused stepping with host-read diagnostics
+    m1.run(dt, 2)  # BDF2 bootstrap
+    ref_diag = []
+    for _ in range(6):
+        m1.run(dt, 1, fused=True)
+        ref_diag.append(
+            (float(jnp.mean(m1.vel[0]())), float(m1.p()[0][8, 8]))
+        )
+
+    def diag(model):
+        return jnp.mean(model.vel[0]()), model.p()[0][8, 8]
+
+    d = m2.run_batched(dt, 8, diag_fn=diag)
+    _assert_state_close(m1, m2)
+    assert m2.t == pytest.approx(m1.t)
+    assert m2.vel[0].n_hist == m1.vel[0].n_hist
+    # 2 bootstrap steps were eager -> 6 scanned steps of diagnostics
+    um, pc = np.asarray(d[0]), np.asarray(d[1])
+    assert um.shape == (6,) and pc.shape == (6,)
+    ref = np.asarray(ref_diag)
+    np.testing.assert_allclose(um, ref[:, 0], atol=1e-9)
+    np.testing.assert_allclose(pc, ref[:, 1], atol=1e-9)
+
+    # a further eager step must still work (no leaked tracers)
+    m1.run(dt, 1)
+    m2.run(dt, 1)
+    _assert_state_close(m1, m2)
+
+
+def test_run_batched_obstacle_force_series():
+    """Scanned-batch diagnostics with the traced body forces: the last
+    entry of the on-device series equals the host force evaluated on the
+    final state."""
+    from pyapes_tpu.geometry import MaskObstacle
+    from pyapes_tpu.models import ChannelFlow
+
+    body_fn = lambda X, Y: (X - 0.7) ** 2 + (Y - 0.5) ** 2 < 0.14**2
+    mesh = Mesh(Box[0:2, 0:1], [MaskObstacle(body_fn)], [49, 25],
+                dtype="double")
+    model = ChannelFlow(mesh, nu=0.05, u_in=1.0)
+    dt = 0.005
+
+    def diag(m):
+        return m.body_force_device(), m.body_force_cv_device(margin=3)
+
+    d = model.run_batched(dt, 10, diag_fn=diag)
+    F_st = np.asarray(d[0])
+    F_cv = np.asarray(d[1])
+    assert F_st.shape == (8, 2) and F_cv.shape == (8, 2)
+    np.testing.assert_allclose(
+        F_st[-1], model.body_force(), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        F_cv[-1], model.body_force_cv(margin=3), atol=1e-9
+    )

@@ -673,3 +673,74 @@ def test_cv_force_cylinder_vs_staircase() -> None:
     assert abs(F3[0] - F_st[0]) < 0.35 * abs(F_st[0]), (F3, F_st)
     assert F3[0] > 0.0
     assert abs(F3[1]) < 0.2 * abs(F3[0]), F3
+
+
+def test_cv_force_device_matches_host() -> None:
+    """The traced ``control_volume_force_device`` (per-step on-device
+    diagnostics in the fused/scanned runner) must reproduce the host
+    numpy quadrature bit-for-bit-in-f64 — same trapezoid weights,
+    central normal derivatives, and edge_order=2 tangential gradients."""
+    import jax
+
+    from pyapes_tpu.models.navier_stokes import (
+        control_volume_force,
+        control_volume_force_device,
+    )
+
+    rng = np.random.default_rng(7)
+    nx, ny = 41, 31
+    x = np.linspace(0.0, 2.0, nx)
+    y = np.linspace(0.0, 1.0, ny)
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    dx = [x[1] - x[0], y[1] - y[0]]
+    lo, hi = [6, 5], [30, 24]
+    nu = 0.03
+    p = np.sin(2 * X) * np.cos(3 * Y) + 0.1 * rng.standard_normal(X.shape)
+    u = Y * (1 - Y) + 0.05 * rng.standard_normal(X.shape)
+    v = 0.1 * np.sin(X) + 0.05 * rng.standard_normal(X.shape)
+    uo = u - 0.01 * rng.standard_normal(X.shape)
+    vo = v - 0.01 * rng.standard_normal(X.shape)
+    dt = 0.01
+
+    F_host = control_volume_force(p, [u, v], dx, lo, hi, nu,
+                                  vels_old=[uo, vo], dt=dt)
+    F_dev = jax.jit(
+        lambda pp, uu, vv, uoo, voo, dtt: control_volume_force_device(
+            pp, [uu, vv], dx, lo, hi, nu, vels_old=[uoo, voo], dt=dtt
+        )
+    )(p, u, v, uo, vo, dt)
+    assert_allclose(np.asarray(F_dev), F_host, rtol=1e-12, atol=1e-13)
+
+    # steady form (no unsteady term), variable viscosity
+    nu_field = 0.02 + 0.01 * np.cos(X * Y)
+    F_host2 = control_volume_force(p, [u, v], dx, lo, hi, nu_field)
+    F_dev2 = control_volume_force_device(
+        jnp.asarray(p), [jnp.asarray(u), jnp.asarray(v)], dx, lo, hi,
+        jnp.asarray(nu_field)
+    )
+    assert_allclose(np.asarray(F_dev2), F_host2, rtol=1e-12, atol=1e-13)
+
+
+def test_staircase_force_device_matches_host() -> None:
+    """Traced staircase force == host staircase force on a random flow
+    around a masked cylinder."""
+    from pyapes_tpu.geometry import MaskObstacle
+    from pyapes_tpu.models.navier_stokes import (
+        staircase_body_force,
+        staircase_body_force_device,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 33
+    x = np.linspace(0, 1, n)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    body = (X - 0.5) ** 2 + (Y - 0.5) ** 2 < 0.15**2
+    dx = [x[1] - x[0]] * 2
+    p = rng.standard_normal((n, n))
+    u = rng.standard_normal((n, n))
+    v = rng.standard_normal((n, n))
+    F_host = staircase_body_force(p, [u, v], body, dx, 0.04)
+    F_dev = staircase_body_force_device(
+        jnp.asarray(p), [jnp.asarray(u), jnp.asarray(v)], body, dx, 0.04
+    )
+    assert_allclose(np.asarray(F_dev), F_host, rtol=1e-12, atol=1e-13)
