@@ -989,3 +989,56 @@ def test_tgv3d_les_dissipation_peak() -> None:
     # the transition actually happened: late-time energy well below the
     # laminar-decay value exp(-2 nu t) * E0 it would keep without it
     assert es[-1] < 0.07
+
+
+def test_beltrami_abc_decay_3d_anchor() -> None:
+    """Decaying ABC/Beltrami flow — an EXACT fully-3-D nonlinear NS
+    solution (Ethier & Steinman 1994 class; Antuono 2020 tri-periodic):
+
+        u = (A sin z + C cos y, B sin x + A cos z, C sin y + B cos x)
+
+    is a Beltrami field (curl u = u), so the advection term is a pure
+    gradient balanced by ``p = -|u|^2/2 e^{-2 nu t}`` and the velocity
+    decays self-similarly: ``u(t) = u0 e^{-nu t}``. Unlike the 2-D
+    Taylor-Green anchor this is genuinely three-dimensional (all three
+    components, all three directions active), so it pins the 3-D
+    advection + projection + periodic machinery against exact values —
+    the round-4 gap was that 3-D NS had only self-convergence plus the
+    TGV LES peak. Asserts pointwise accuracy at two resolutions AND the
+    grid-convergence order; the kinetic energy must track the exact
+    ``E0 e^{-2 nu t}``."""
+    from pyapes_tpu.models import PeriodicFlow
+
+    L, nu, t_end = 2 * pi, 0.2, 0.5
+
+    def run(n):
+        mesh = Mesh(Box[0:L, 0:L, 0:L], None, [n, n, n], dtype="double")
+        model = PeriodicFlow(mesh, nu=nu, config={"sync": False})
+        X, Y, Z = mesh.X, mesh.Y, mesh.Z
+        u0 = jnp.sin(Z) + jnp.cos(Y)
+        v0 = jnp.sin(X) + jnp.cos(Z)
+        w0 = jnp.sin(Y) + jnp.cos(X)
+        model.set_velocity(u0, v0, w0)
+        E0 = float(model.kinetic_energy())
+        h = L / (n - 1)
+        steps = int(round(t_end / (0.2 * h / 2.0)))
+        dt = t_end / steps
+        model.run(dt, steps, fused=True)
+        dec = np.exp(-nu * model.t)
+        num = den = 0.0
+        for j, e0 in enumerate((u0, v0, w0)):
+            ue = np.asarray(e0) * dec
+            num += float(np.sum((np.asarray(model.vel[j]()[0]) - ue) ** 2))
+            den += float(np.sum(ue**2))
+        E = float(model.kinetic_energy())
+        return np.sqrt(num / den), E / E0, dec
+
+    e17, Er17, dec = run(17)
+    # measured (CPU f64): 1.73e-3 at 17^3, 8.1e-4 at 25^3 (order ~1.96)
+    assert e17 < 3.0e-3, e17
+    assert abs(Er17 - dec**2) < 4e-3, (Er17, dec**2)
+
+    e25, Er25, _ = run(25)
+    assert e25 < 1.5e-3, e25
+    order = np.log(e17 / e25) / np.log(24.0 / 16.0)
+    assert order > 1.5, (e17, e25, order)
