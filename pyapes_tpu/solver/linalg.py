@@ -502,6 +502,306 @@ def _restore_periodic(x, paxes) -> jnp.ndarray:
     return x
 
 
+def _neumann_row_scale_vecs(mesh, x0_shape, bcs_kept, paxes):
+    """Per-axis row-scale vectors for the Neumann/Symmetry
+    boundary-elimination asymmetry (``A[1,2]=2/3`` vs ``A[2,1]=1`` —
+    scaling the surgered rows by 3/2 per axis restores exact symmetry;
+    see the sym_vecs derivation in ``_build_solver``). Returns
+    ``(dvs, any_scale)`` with ``dvs`` a list of 1-D numpy vectors, one
+    per mesh axis (HOST numpy: this can run inside an outer trace)."""
+    dvs = []
+    any_scale = False
+    for j in range(mesh.dim):
+        n = x0_shape[1 + j]
+        dv = np.ones(n)
+        if not (paxes and j in paxes):
+            for bc in bcs_kept:
+                if (
+                    getattr(bc, "bc_type", "") in ("neumann", "symmetry")
+                    and bc.bc_face_dim == j
+                ):
+                    dv[1 if bc.bc_n_dir < 0 else n - 2] = 1.5
+                    any_scale = True
+        dvs.append(dv)
+    return dvs, any_scale
+
+
+def _separable_scale_field(dvs, mesh_dim, dtype, as_numpy: bool):
+    """Outer product of the per-axis scale vectors as a broadcastable
+    ``(1, *nx)`` field (numpy for trace-safe closure constants, jnp for
+    direct device use)."""
+    xp = np if as_numpy else jnp
+    ns = None
+    for j, dv in enumerate(dvs):
+        d = xp.asarray(
+            dv.reshape(tuple(-1 if k == j else 1 for k in range(mesh_dim))),
+            dtype=dtype,
+        )
+        ns = d[None] if ns is None else ns * d[None]
+    return ns
+
+
+def _torus_grid_and_dynamic_bcs(mesh, paxes, bcs_kept):
+    """Per-call torus-reduction stage: the (lazy) reduced coordinate
+    grid for BC callables, and per-call reduction + seam-checking of
+    DYNAMIC (moving-body) obstacle masks. Dynamic masks must be reduced
+    on EVERY solve — the body moves between cached solves, so a
+    compile-miss-only reduction would stream full-grid masks into a
+    reduced-shape executable (and a miss-only seam check would silently
+    drop solid cells once the body walks onto the seam plane)."""
+    grid_r = mesh.grid
+    if not paxes:
+        return grid_r, bcs_kept
+    red = tuple(
+        slice(None, -1) if j in paxes else slice(None)
+        for j in range(mesh.dim)
+    )
+    # lazy reduced grid: coordinate cubes materialize only if a BC
+    # callable actually reads them (a full cube per axis is real HBM)
+    from pyapes_tpu.mesh._mesh import LazyGrid
+
+    grid_r = LazyGrid(mesh, red)
+    if any(getattr(bc, "dynamic", False) for bc in bcs_kept):
+        import copy as _copy
+
+        per_call = []
+        for bc in bcs_kept:
+            if getattr(bc, "dynamic", False):
+                _seam_check(bc.bc_mask, paxes, mesh.dim)
+                b2 = _copy.copy(bc)
+                b2.bc_mask = bc.bc_mask[red]
+                per_call.append(b2)
+            else:
+                per_call.append(bc)
+        bcs_kept = per_call
+    return grid_r, bcs_kept
+
+
+def _commit_to_decomp(decomp, x0, rhs_r, tparams, mesh):
+    """GSPMD tier: commit solve inputs to the domain decomposition — the
+    jitted while_loop then partitions rolls into collective-permutes and
+    dot products into all-reduces over the device mesh. Streamed
+    per-point operands (advection fields, Γ) shard with the grid;
+    everything else replicates."""
+    for j, nd in enumerate(decomp.mesh_shape):
+        if nd > 1 and x0.shape[1 + j] % nd != 0:
+            raise ValueError(
+                f"DomainDecomposition: grid axis {j} has "
+                f"{x0.shape[1 + j]} active nodes (after periodic "
+                f"de-duplication), not divisible by {nd} devices. "
+                "Choose node counts divisible by the device count "
+                "(periodic axes: 2^k + 1 nodes reduce to 2^k)."
+            )
+    shard = decomp.sharding(x0.ndim)
+    x0 = jax.device_put(x0, shard)
+    rhs_r = jax.device_put(rhs_r, shard)
+    repl = decomp.replicated()
+    tparams = tuple(
+        {
+            k: (
+                jax.device_put(
+                    v,
+                    decomp.sharding(v.ndim, leading=v.ndim - mesh.dim)
+                    if k == "gamma"
+                    else shard,
+                )
+                if k in ("adv", "gamma")
+                else jax.tree_util.tree_map(
+                    lambda a: jax.device_put(a, repl), v
+                )
+            )
+            for k, v in tp.items()
+        }
+        for tp in tparams
+    )
+    return x0, rhs_r, tparams
+
+
+def _make_mg_spec(config, x0, var, mesh, paxes, term_descs, decomp, kernel):
+    """The multigrid-preconditioner spec for ``precond: "mg"``: BC-aware
+    level operators (Neumann/Symmetry faces get boundary-node elimination
+    at every V-cycle level, matching the fine operator's rows — VERDICT
+    r2 item 1), optional heterogeneous-Γ hierarchy, and the kernel-tier
+    routing for the level smoothers. Tuning knobs ride ``mg_opts``
+    ({"n_pre", "n_post", "n_coarse", "omega", "dtype", ...} — e.g.
+    {"dtype": "bfloat16"} runs the V-cycle in bf16; the outer Krylov
+    stays full precision)."""
+    from pyapes_tpu.solver.multigrid import MGSpec
+
+    mg_opts = dict(config.get("mg_opts") or {})
+    cycle_dtype = mg_opts.pop("dtype", None)
+    fk = [["dirichlet", "dirichlet"] for _ in range(mesh.dim)]
+    for bc in var.bcs or []:
+        if getattr(bc, "bc_type", "") in ("neumann", "symmetry"):
+            fk[bc.bc_face_dim][0 if bc.bc_n_dir < 0 else 1] = "neumann"
+    # Heterogeneous-diffusivity equations get Γ-aware level operators
+    # (Γ restricted through the hierarchy, per-point Jacobi diagonals;
+    # ``MGSpec.set_gamma``); Γ streams in via the precond_setup hook,
+    # so Γ updates never recompile the preconditioned solver.
+    vg_ids = [i for i, d in enumerate(term_descs) if d[0] == "diff_field"]
+    return MGSpec(
+        x0.shape[1:],
+        [float(l) for l in np.asarray(mesh._lx_np)],
+        paxes=paxes or (),
+        dtype=x0.dtype,
+        use_pallas=(
+            decomp is None
+            and (
+                jax.default_backend() == "tpu"
+                # kernel="pallas" forces the Pallas tiers on CPU
+                # (interpret mode) so tests exercise the MG kernel
+                # wiring end-to-end
+                or kernel == "pallas"
+            )
+        ),
+        rz=(mesh.coord_sys == "rz"),
+        r_lower=float(mesh._lower_np[0]),
+        cycle_dtype=cycle_dtype,
+        # under a decomposition the finest V-cycle levels ride the
+        # shard_map+Pallas operator (coarse levels: GSPMD jnp)
+        decomp=(
+            decomp
+            if (
+                decomp is not None
+                and kernel in ("auto", "pallas")
+                and (kernel == "pallas" or jax.default_backend() == "tpu")
+            )
+            else None
+        ),
+        face_kinds=tuple(tuple(p) for p in fk),
+        var_gamma=bool(vg_ids),
+        vg_avg=(term_descs[vg_ids[0]][6][1] if vg_ids else "arithmetic"),
+        **mg_opts,
+    )
+
+
+def _fd_fallback_method(config, term_descs, tparams, bcs_kept, paxes, mesh):
+    """Resolve ``method: "fastdiag"`` + ``fd_fallback``: return
+    ``"fastdiag"`` when the equation is exactly separable (one
+    constant-coefficient 3-point axis term + ddt terms, product active
+    set, every axis diagonally symmetrizable — cheap O(n) host probe, no
+    eigendecomposition), else the configured fallback Krylov method."""
+    _ax = [i for i, d in enumerate(term_descs) if d[0] == "axis"]
+    _dd = [i for i, d in enumerate(term_descs) if d[0] == "ddt"]
+    fd_ok = (
+        not mesh.obstacle
+        and not any(
+            getattr(bc, "bc_mask", None) is not None
+            for bc in (bcs_kept or [])
+        )
+        and len(_ax) == 1
+        and len(_ax) + len(_dd) == len(term_descs)
+        and all(len(cs) == 3 for cs in tparams[_ax[0]]["axis"])
+        and np.ndim(tparams[_ax[0]].get("param", 0.0)) == 0
+    )
+    if fd_ok:
+        # an rz r-axis or an advection-carrying axis may not be
+        # diagonally symmetrizable
+        from pyapes_tpu.solver.fastdiag import (
+            _symmetrize_similarity,
+            axis_matrix_np,
+        )
+
+        _sl = list(boundary_slicer(mesh.dim, bcs_kept, mesh.coord_sys))
+        if paxes:
+            for j in paxes:
+                _sl[j] = slice(None)
+        try:
+            for j in range(mesh.dim):
+                _symmetrize_similarity(
+                    axis_matrix_np(
+                        *tparams[_ax[0]]["axis"][j],
+                        active=_sl[j],
+                        periodic=bool(paxes and j in paxes),
+                    )
+                )
+        except ValueError:
+            fd_ok = False
+    return "fastdiag" if fd_ok else str(config["fd_fallback"]).lower()
+
+
+def _select_kernel_tiers(config, x0, term_descs, tparams, paxes, decomp):
+    """Which compute tier each operator family rides, from the config's
+    ``kernel`` knob ("auto" | "pallas" | "jnp"), the shape/dtype support
+    predicates, and the backend. Returns ``(kernel, use_pallas,
+    use_sharded_pallas, advect_pallas, diff_pallas)``.
+
+    * ``use_pallas`` — the fused axis-stencil Pallas kernel (TPU hot
+      path); the jnp roll-sum is the portable fallback.
+    * ``use_sharded_pallas`` — shard_map + ppermute halo exchange feeding
+      the fused kernel per shard, under a domain decomposition.
+    * ``advect_pallas`` / ``diff_pallas`` — the fused varying-advection
+      and variable-Γ diffusion single-pass kernels.
+    """
+    from pyapes_tpu.ops.pallas_stencil import (
+        pallas_padded_supported,
+        pallas_supported,
+    )
+
+    kernel = config.get("kernel", "auto")
+    if kernel == "pallas":
+        # forced: unaligned grids ride the kernel via zero pad-and-crop
+        # (exact, but measured SLOWER than the jnp rolls when the lane dim
+        # pads far — e.g. 129 -> 256 — so "auto" never picks it)
+        shape_ok = pallas_padded_supported(
+            x0.shape[1:], x0.dtype, paxes or ()
+        )
+    elif kernel == "auto":
+        shape_ok = pallas_supported(x0.shape[1:], x0.dtype)
+    else:
+        shape_ok = False
+    use_pallas = (kernel == "pallas" and shape_ok) or (
+        kernel == "auto"
+        and shape_ok
+        and decomp is None
+        and jax.default_backend() == "tpu"
+    )
+
+    advect_pallas = False
+    if (
+        decomp is None
+        and x0.ndim - 1 == 3
+        and kernel in ("auto", "pallas")
+        and any(d[0] in ("div_field", "conv_field") for d in term_descs)
+    ):
+        from pyapes_tpu.ops.pallas_advect import pallas_advect_supported
+
+        advect_pallas = pallas_advect_supported(
+            x0.shape[1:], x0.dtype
+        ) and (kernel == "pallas" or jax.default_backend() == "tpu")
+
+    diff_pallas = False
+    if (
+        decomp is None
+        and x0.ndim - 1 == 3
+        and x0.shape[0] == 1
+        and kernel in ("auto", "pallas")
+        and any(d[0] == "diff_field" for d in term_descs)
+        and all(
+            tp["gamma"].ndim == x0.ndim - 1
+            for d, tp in zip(term_descs, tparams)
+            if d[0] == "diff_field"
+        )
+    ):
+        from pyapes_tpu.ops.pallas_advect import pallas_diff_supported
+
+        diff_pallas = pallas_diff_supported(
+            x0.shape[1:], x0.dtype
+        ) and (kernel == "pallas" or jax.default_backend() == "tpu")
+
+    use_sharded_pallas = False
+    if decomp is not None and x0.ndim - 1 in (2, 3) and kernel in (
+        "auto", "pallas"
+    ):
+        from pyapes_tpu.parallel.halo import sharded_pallas_supported
+
+        use_sharded_pallas = sharded_pallas_supported(
+            decomp, x0.shape[1:], x0.dtype
+        ) and (kernel == "pallas" or jax.default_backend() == "tpu")
+
+    return kernel, use_pallas, use_sharded_pallas, advect_pallas, diff_pallas
+
+
 def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     """Dispatch to CG / BiCGSTAB (reference ``linalg.py:33-71``).
 
@@ -558,118 +858,13 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
 
     decomp = config.get("decomp")
     if decomp is not None:
-        for j, nd in enumerate(decomp.mesh_shape):
-            if nd > 1 and x0.shape[1 + j] % nd != 0:
-                raise ValueError(
-                    f"DomainDecomposition: grid axis {j} has "
-                    f"{x0.shape[1 + j]} active nodes (after periodic "
-                    f"de-duplication), not divisible by {nd} devices. "
-                    "Choose node counts divisible by the device count "
-                    "(periodic axes: 2^k + 1 nodes reduce to 2^k)."
-                )
-        # GSPMD tier: commit inputs to the domain decomposition; the jitted
-        # while_loop partitions rolls into collective-permutes and dot
-        # products into all-reduces over the device mesh.
-        shard = decomp.sharding(x0.ndim)
-        x0 = jax.device_put(x0, shard)
-        rhs_r = jax.device_put(rhs_r, shard)
-        repl = decomp.replicated()
-        tparams = tuple(
-            {
-                k: (
-                    jax.device_put(
-                        v,
-                        decomp.sharding(
-                            v.ndim, leading=v.ndim - mesh.dim
-                        )
-                        if k == "gamma"
-                        else shard,
-                    )
-                    if k in ("adv", "gamma")
-                    else jax.tree_util.tree_map(
-                        lambda a: jax.device_put(a, repl), v
-                    )
-                )
-                for k, v in tp.items()
-            }
-            for tp in tparams
+        x0, rhs_r, tparams = _commit_to_decomp(
+            decomp, x0, rhs_r, tparams, mesh
         )
 
-    # Stencil kernel selection: the fused Pallas kernel is the TPU hot
-    # path; the jnp roll-sum is the portable fallback (and the only option
-    # under a domain decomposition, where XLA partitions the rolls).
-    from pyapes_tpu.ops.pallas_stencil import (
-        pallas_padded_supported,
-        pallas_supported,
+    kernel, use_pallas, use_sharded_pallas, advect_pallas, diff_pallas = (
+        _select_kernel_tiers(config, x0, term_descs, tparams, paxes, decomp)
     )
-
-    kernel = config.get("kernel", "auto")
-    if kernel == "pallas":
-        # forced: unaligned grids ride the kernel via zero pad-and-crop
-        # (exact, but measured SLOWER than the jnp rolls when the lane dim
-        # pads far — e.g. 129 -> 256 — so "auto" never picks it)
-        shape_ok = pallas_padded_supported(
-            x0.shape[1:], x0.dtype, paxes or ()
-        )
-    elif kernel == "auto":
-        shape_ok = pallas_supported(x0.shape[1:], x0.dtype)
-    else:
-        shape_ok = False
-    use_pallas = (kernel == "pallas" and shape_ok) or (
-        kernel == "auto"
-        and shape_ok
-        and decomp is None
-        and jax.default_backend() == "tpu"
-    )
-
-    # Fused varying-advection kernels (nonlinear Div / Conv): single-pass
-    # Pallas vs the jnp multi-roll path (VERDICT r1 item 3).
-    advect_pallas = False
-    if (
-        decomp is None
-        and x0.ndim - 1 == 3
-        and kernel in ("auto", "pallas")
-        and any(d[0] in ("div_field", "conv_field") for d in term_descs)
-    ):
-        from pyapes_tpu.ops.pallas_advect import pallas_advect_supported
-
-        advect_pallas = pallas_advect_supported(
-            x0.shape[1:], x0.dtype
-        ) and (kernel == "pallas" or jax.default_backend() == "tpu")
-
-    # Fused variable-Γ diffusion kernel (one pass over x + Γ vs the jnp
-    # flux form's ~5; isotropic Γ, single-component fields).
-    diff_pallas = False
-    if (
-        decomp is None
-        and x0.ndim - 1 == 3
-        and x0.shape[0] == 1
-        and kernel in ("auto", "pallas")
-        and any(d[0] == "diff_field" for d in term_descs)
-        and all(
-            tp["gamma"].ndim == x0.ndim - 1
-            for d, tp in zip(term_descs, tparams)
-            if d[0] == "diff_field"
-        )
-    ):
-        from pyapes_tpu.ops.pallas_advect import pallas_diff_supported
-
-        diff_pallas = pallas_diff_supported(
-            x0.shape[1:], x0.dtype
-        ) and (kernel == "pallas" or jax.default_backend() == "tpu")
-
-    # Domain-decomposed Pallas tier: shard_map + ppermute halo exchange
-    # feeding the fused kernel per shard (closes the round-1 gap where a
-    # decomposition forced the jnp roll-sum; VERDICT r1 item 2).
-    use_sharded_pallas = False
-    if decomp is not None and x0.ndim - 1 in (2, 3) and kernel in (
-        "auto", "pallas"
-    ):
-        from pyapes_tpu.parallel.halo import sharded_pallas_supported
-
-        use_sharded_pallas = sharded_pallas_supported(
-            decomp, x0.shape[1:], x0.dtype
-        ) and (kernel == "pallas" or jax.default_backend() == "tpu")
 
     # Model-auto fastdiag with graceful fallback: models default to the
     # direct solver for the separable equations they OWN, but a user can
@@ -680,45 +875,9 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     # config carries — fastdiag itself ignores it). An explicit
     # ``method: "fastdiag"`` WITHOUT fd_fallback still raises loudly.
     if method == "fastdiag" and config.get("fd_fallback"):
-        _ax = [i for i, d in enumerate(term_descs) if d[0] == "axis"]
-        _dd = [i for i, d in enumerate(term_descs) if d[0] == "ddt"]
-        fd_ok = (
-            not mesh.obstacle
-            and not any(
-                getattr(bc, "bc_mask", None) is not None
-                for bc in (bcs_kept or [])
-            )
-            and len(_ax) == 1
-            and len(_ax) + len(_dd) == len(term_descs)
-            and all(len(cs) == 3 for cs in tparams[_ax[0]]["axis"])
-            and np.ndim(tparams[_ax[0]].get("param", 0.0)) == 0
+        method = _fd_fallback_method(
+            config, term_descs, tparams, bcs_kept, paxes, mesh
         )
-        if fd_ok:
-            # cheap host probe: each axis operator must be diagonally
-            # symmetrizable (an rz r-axis or an advection-carrying axis
-            # may not be) — O(n) per axis, no eigendecomposition
-            from pyapes_tpu.solver.fastdiag import (
-                _symmetrize_similarity,
-                axis_matrix_np,
-            )
-
-            _sl = list(boundary_slicer(mesh.dim, bcs_kept, mesh.coord_sys))
-            if paxes:
-                for j in paxes:
-                    _sl[j] = slice(None)
-            try:
-                for j in range(mesh.dim):
-                    _symmetrize_similarity(
-                        axis_matrix_np(
-                            *tparams[_ax[0]]["axis"][j],
-                            active=_sl[j],
-                            periodic=bool(paxes and j in paxes),
-                        )
-                    )
-            except ValueError:
-                fd_ok = False
-        if not fd_ok:
-            method = str(config["fd_fallback"]).lower()
 
     # Multigrid-preconditioned CG: the reference has no preconditioner;
     # for Poisson-class problems this cuts O(N) CG iterations to O(10).
@@ -727,72 +886,21 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         # the direct solver needs no preconditioner (a model's default
         # "mg" setting is simply ignored)
         precond_kind = None
-    mg_spec = None
-    if precond_kind == "mg":
-        from pyapes_tpu.solver.multigrid import MGSpec
-
-        # Optional tuning knobs: {"n_pre", "n_post", "n_coarse", "omega",
-        # "dtype"} — e.g. {"dtype": "bfloat16"} runs the V-cycle in bf16
-        # (half the preconditioner bandwidth; outer Krylov stays full
-        # precision).
-        mg_opts = dict(config.get("mg_opts") or {})
-        cycle_dtype = mg_opts.pop("dtype", None)
-        # BC kinds per axis face for the level-operator surgery (VERDICT
-        # r2 item 1): Neumann/Symmetry faces get boundary-node elimination
-        # at every V-cycle level, matching the fine operator's rows.
-        fk = [["dirichlet", "dirichlet"] for _ in range(mesh.dim)]
-        for bc in var.bcs or []:
-            if getattr(bc, "bc_type", "") in ("neumann", "symmetry"):
-                fk[bc.bc_face_dim][0 if bc.bc_n_dir < 0 else 1] = "neumann"
-        # Heterogeneous-diffusivity equations get G-aware level operators
-        # (G restricted through the hierarchy, per-point Jacobi diagonals;
-        # ``MGSpec.set_gamma``); G streams in via the precond_setup hook
-        # below, so G updates never recompile the preconditioned solver.
-        vg_ids = [i for i, d in enumerate(term_descs) if d[0] == "diff_field"]
-        mg_spec = MGSpec(
-            x0.shape[1:],
-            [float(l) for l in np.asarray(mesh._lx_np)],
-            paxes=paxes or (),
-            dtype=x0.dtype,
-            use_pallas=(
-                decomp is None
-                and (
-                    jax.default_backend() == "tpu"
-                    # kernel="pallas" forces the Pallas tiers on CPU
-                    # (interpret mode) so tests exercise the MG kernel
-                    # wiring end-to-end
-                    or kernel == "pallas"
-                )
-            ),
-            rz=(mesh.coord_sys == "rz"),
-            r_lower=float(mesh._lower_np[0]),
-            cycle_dtype=cycle_dtype,
-            # under a decomposition the finest V-cycle levels ride the
-            # shard_map+Pallas operator (coarse levels: GSPMD jnp)
-            decomp=(
-                decomp
-                if (
-                    decomp is not None
-                    and kernel in ("auto", "pallas")
-                    and (
-                        kernel == "pallas"
-                        or jax.default_backend() == "tpu"
-                    )
-                )
-                else None
-            ),
-            face_kinds=tuple(tuple(p) for p in fk),
-            var_gamma=bool(vg_ids),
-            vg_avg=(term_descs[vg_ids[0]][6][1] if vg_ids else "arithmetic"),
-            **mg_opts,
-        )
+    mg_spec = (
+        _make_mg_spec(config, x0, var, mesh, paxes, term_descs, decomp,
+                      kernel)
+        if precond_kind == "mg"
+        else None
+    )
 
     # Trace-time hook: stream the (first) diff_field term's G into the
     # V-cycle hierarchy before the Krylov loop (loop-invariant level
     # fields; G stays a runtime operand).
     precond_setup = None
     if mg_spec is not None and mg_spec.var_gamma:
-        i_vg = vg_ids[0]
+        i_vg = next(
+            i for i, d in enumerate(term_descs) if d[0] == "diff_field"
+        )
 
         def precond_setup(tp, _s=mg_spec, _i=i_vg):
             _s.set_gamma(tp[_i]["gamma"])
@@ -837,40 +945,7 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
         bool(config.get("donate")),
     )
 
-    grid_r = mesh.grid
-    if paxes:
-        red = tuple(
-            slice(None, -1) if j in paxes else slice(None)
-            for j in range(mesh.dim)
-        )
-        # lazy reduced grid: coordinate cubes materialize only if a BC
-        # callable actually reads them (a full cube per axis is real HBM)
-        from pyapes_tpu.mesh._mesh import LazyGrid
-
-        grid_r = LazyGrid(mesh, red)
-        # DYNAMIC (moving-body) obstacle masks stream per call: reduce
-        # the CURRENT host mask and seam-check it on EVERY solve — the
-        # body moves between cached solves, so a compile-miss-only
-        # reduction would stream full-grid masks into a reduced-shape
-        # executable (and a miss-only seam check would silently drop
-        # solid cells once the body walks onto the seam plane).
-        if any(getattr(bc, "dynamic", False) for bc in bcs_kept):
-            import copy as _copy
-
-            red_np = tuple(
-                slice(None, -1) if j in paxes else slice(None)
-                for j in range(mesh.dim)
-            )
-            per_call = []
-            for bc in bcs_kept:
-                if getattr(bc, "dynamic", False):
-                    _seam_check(bc.bc_mask, paxes, mesh.dim)
-                    b2 = _copy.copy(bc)
-                    b2.bc_mask = bc.bc_mask[red_np]
-                    per_call.append(b2)
-                else:
-                    per_call.append(bc)
-            bcs_kept = per_call
+    grid_r, bcs_kept = _torus_grid_and_dynamic_bcs(mesh, paxes, bcs_kept)
 
     if key not in _SOLVER_CACHE:
         slicer = list(boundary_slicer(mesh.dim, bcs_kept, mesh.coord_sys))
@@ -1045,21 +1120,9 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
                 np.ndim(tp.get("param", 0.0)) == 0 for tp in tparams
             )
         ):
-            dvs = []
-            any_scale = False
-            for j in range(mesh.dim):
-                n = x0.shape[1 + j]
-                dv = np.ones(n)
-                if not (paxes and j in paxes):
-                    for bc in bcs_kept:
-                        if (
-                            getattr(bc, "bc_type", "")
-                            in ("neumann", "symmetry")
-                            and bc.bc_face_dim == j
-                        ):
-                            dv[1 if bc.bc_n_dir < 0 else n - 2] = 1.5
-                            any_scale = True
-                dvs.append(dv)
+            dvs, any_scale = _neumann_row_scale_vecs(
+                mesh, x0.shape, bcs_kept, paxes
+            )
             if any_scale:
                 # HOST numpy (not jnp): this block can run inside an
                 # outer trace (fused-step capture with a cache miss);
@@ -1346,35 +1409,13 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
             # field (see _build_cg's null_shift derivation)
             null_shift = None
             if config.get("nullspace") == "mean":
-                dvs = []
-                any_scale = False
-                for j in range(mesh.dim):
-                    n = x0.shape[1 + j]
-                    dv = np.ones(n)
-                    if not (paxes and j in paxes):
-                        for bc in bcs_kept:
-                            if (
-                                getattr(bc, "bc_type", "")
-                                in ("neumann", "symmetry")
-                                and bc.bc_face_dim == j
-                            ):
-                                dv[1 if bc.bc_n_dir < 0 else n - 2] = 1.5
-                                any_scale = True
-                    dvs.append(dv)
+                dvs, any_scale = _neumann_row_scale_vecs(
+                    mesh, x0.shape, bcs_kept, paxes
+                )
                 if any_scale:
-                    ns = None
-                    for j, dv in enumerate(dvs):
-                        d = jnp.asarray(
-                            dv.reshape(
-                                tuple(
-                                    -1 if k == j else 1
-                                    for k in range(mesh.dim)
-                                )
-                            ),
-                            dtype=x0.dtype,
-                        )
-                        ns = d[None] if ns is None else ns * d[None]
-                    null_shift = ns
+                    null_shift = _separable_scale_field(
+                        dvs, mesh.dim, x0.dtype, as_numpy=False
+                    )
             fn = _build_fastdiag(
                 Aop, apply_bcs, M, tol, max_it, fd,
                 act_sel=(slice(None),) + tuple(slicer_t),
