@@ -802,6 +802,604 @@ def _select_kernel_tiers(config, x0, term_descs, tparams, paxes, decomp):
     return kernel, use_pallas, use_sharded_pallas, advect_pallas, diff_pallas
 
 
+def _build_solver(
+    method, criterion, tol, max_it, config, mesh, x0, grid_r,
+    term_descs, tparams, bcs_kept, paxes, decomp, kernel,
+    use_pallas, use_sharded_pallas, advect_pallas, diff_pallas,
+    mg_spec, precond_kind, precond_setup,
+):
+    """Build one compiled solver for a problem STRUCTURE (cache miss
+    path of ``solve``): static masks + BC reductions, operator assembly
+    over the selected kernel tiers, symmetrization row scaling, fused
+    operator+dot tiers, fast-diagonalization setup, and the method
+    builder (``_build_cg`` / ``_build_bicgstab`` / ``_build_fastdiag``).
+    Returns ``(compiled_fn, rhs_shift, sym_vecs)`` — the solver-cache
+    entry. Pure function of its arguments; never touches the cache."""
+    slicer = list(boundary_slicer(mesh.dim, bcs_kept, mesh.coord_sys))
+    red_nx = list(mesh.nx)
+    if paxes:
+        for j in paxes:
+            slicer[j] = slice(None)  # every torus node is active
+            red_nx[j] -= 1
+    red_nx_t, slicer_t, xdtype = tuple(red_nx), tuple(slicer), x0.dtype
+    # Obstacle cells are pinned (Dirichlet) or dependent (Neumann
+    # neighbor copies) and leave the active set. Under a torus
+    # reduction the duplicate seam plane is dropped from the masks too
+    # (bodies sit in the interior, so only non-body planes go; wrap
+    # across the seam is the physical periodic neighbor).
+    if paxes:
+        import copy as _copy
+
+        red_np = tuple(
+            slice(None, -1) if j in paxes else slice(None)
+            for j in range(mesh.dim)
+        )
+        reduced = []
+        for bc in bcs_kept:
+            kind = getattr(bc, "bc_type", "")
+            if getattr(bc, "dynamic", False):
+                # already reduced + seam-checked per call above
+                reduced.append(bc)
+            elif kind == "obstacle_dirichlet":
+                _seam_check(bc.bc_mask, paxes, mesh.dim)
+                b2 = _copy.copy(bc)
+                b2.bc_mask = bc.bc_mask[red_np]
+                reduced.append(b2)
+            elif kind == "obstacle_neumann":
+                _seam_check(bc.bc_mask, paxes, mesh.dim)
+                b2 = _copy.copy(bc)
+                b2.bc_mask = bc.bc_mask[red_np]
+                b2.faces = [
+                    (m[red_np], ax, sh, fdx)
+                    for (m, ax, sh, fdx) in bc.faces
+                ]
+                reduced.append(b2)
+            else:
+                reduced.append(bc)
+        bcs_kept = reduced
+    excluded = None
+    dyn_idxs = []
+    for bi, bc in enumerate(bcs_kept):
+        if getattr(bc, "bc_type", "") in (
+            "obstacle_dirichlet", "obstacle_neumann"
+        ):
+            if getattr(bc, "dynamic", False):
+                # Dynamic + periodic composes: the per-call block
+                # above re-slices the CURRENT host mask every solve
+                # (live mutation visible, seam-checked), so
+                # ``stream_values`` streams a reduced-shape mask
+                # into the reduced-shape executable.
+                dyn_idxs.append(bi)
+            else:
+                excluded = (
+                    bc.bc_mask
+                    if excluded is None
+                    else (excluded | bc.bc_mask)
+                )
+    M = _MaskSpec(red_nx_t, slicer_t, xdtype, excluded, dyn_idxs)
+    apply_bcs = apply_bcs_fn(bcs_kept, grid_r)
+    if use_pallas:
+        from functools import partial
+
+        from pyapes_tpu.ops.pallas_stencil import (
+            pallas_axis_stencil_padded,
+        )
+
+        # kernel="pallas" forced on CPU (tests/debug) -> interpret mode
+        interp = jax.default_backend() != "tpu"
+        from pyapes_tpu.ops.pallas_stencil_v3 import (
+            pallas_axis_stencil_v5,
+            v5_supported,
+        )
+
+        stencil5_fn = (
+            partial(pallas_axis_stencil_v5, interpret=interp)
+            if (
+                len(x0.shape) - 1 == 3
+                and v5_supported(x0.shape[1:], x0.dtype)
+            )
+            else None
+        )
+        Aop = _make_Aop(
+            term_descs,
+            partial(
+                pallas_axis_stencil_padded,
+                paxes=paxes or (),
+                interpret=interp,
+            ),
+            advect_pallas=advect_pallas,
+            advect_interpret=interp,
+            diff_pallas=diff_pallas,
+            stencil5_fn=stencil5_fn,
+        )
+    elif use_sharded_pallas:
+        from pyapes_tpu.parallel.halo import (
+            make_sharded_advect_apply,
+            make_sharded_pallas_apply,
+            sharded_advect_supported,
+        )
+
+        interp = jax.default_backend() != "tpu"
+        sp_apply = make_sharded_pallas_apply(
+            decomp, mesh.dim, interpret=interp,
+        )
+        # nonlinear Div/Conv ride shard_map + ppermute too (halo
+        # overlap + per-shard fused kernels where the block fits)
+        sadv: dict = {}
+        for ti, desc in enumerate(term_descs):
+            if desc[0] in ("div_field", "conv_field"):
+                if sharded_advect_supported(
+                    decomp, x0.shape[1:], x0.dtype, desc[3]
+                ):
+                    sadv[ti] = make_sharded_advect_apply(
+                        decomp,
+                        "div" if desc[0] == "div_field" else "conv",
+                        x0.shape[0],
+                        desc[3],
+                        desc[4],
+                        desc[6],
+                        interpret=interp,
+                    )
+        Aop = _make_Aop(term_descs, sp_apply, sharded_advect=sadv)
+    else:
+        Aop = _make_Aop(
+            term_descs,
+            advect_pallas=advect_pallas,
+            advect_interpret=jax.default_backend() != "tpu",
+            diff_pallas=diff_pallas,
+        )
+    # Neumann-obstacle shells are affine functions of their fluid
+    # neighbors; fold the LINEAR (zero-flux) part into the operator so
+    # search-direction products see the same reduced system as the
+    # residual map. A nonzero flux contributes a constant shell shift
+    # ``e``, eliminated below by ``rhs -= A_raw(e)`` — the iterate's
+    # full affine BC application then makes the computed residual the
+    # true one.
+    obn = tuple(
+        bc for bc in bcs_kept
+        if getattr(bc, "bc_type", "") == "obstacle_neumann"
+    )
+    raw_Aop = Aop
+    if obn:
+        base_Aop = Aop
+
+        def Aop(v, tp, _A=base_Aop, _obn=obn):
+            for bc in _obn:
+                v = bc.apply_linear(v, None)
+            return _A(v, tp)
+    # Symmetrization row scaling (CG + Neumann/Symmetry faces): the
+    # boundary-node elimination makes the surgered rows nonsymmetric
+    # (``A[1,2] = 2/3`` vs ``A[2,1] = 1``); scaling those rows by 3/2
+    # per axis (a separable field ``D = kron_j D_j``) restores exact
+    # symmetry, so CG on ``D A x = D b`` is rigorous — and matches the
+    # symmetrized V-cycle preconditioner (``multigrid._dvec_np``).
+    # Only pure diffusion/transient equations qualify (advection terms
+    # are genuinely nonsymmetric; they go to BiCGSTAB anyway).
+    sym_vecs = None
+    if (
+        method == "cg"
+        and mesh.coord_sys == "xyz"
+        and all(d[1] in ("laplacian", "ddt") for d in term_descs)
+        # variable-Γ terms excluded: their surgered-row asymmetry is
+        # Γ-dependent, not the fixed 2/3-vs-1 the 3/2 scale repairs
+        and all(d[0] in ("axis", "ddt") for d in term_descs)
+        and all(
+            np.ndim(tp.get("param", 0.0)) == 0 for tp in tparams
+        )
+    ):
+        dvs, any_scale = _neumann_row_scale_vecs(
+            mesh, x0.shape, bcs_kept, paxes
+        )
+        if any_scale:
+            # HOST numpy (not jnp): this block can run inside an
+            # outer trace (fused-step capture with a cache miss);
+            # jnp-created scales would be tracers and LEAK into the
+            # cached closure, crashing later eager solves. Numpy
+            # constants fold into the jitted program identically.
+            sym_vecs = tuple(
+                np.asarray(
+                    dv.reshape(
+                        tuple(
+                            -1 if k == j else 1
+                            for k in range(mesh.dim)
+                        )
+                    ),
+                    dtype=x0.dtype,
+                )
+                for j, dv in enumerate(dvs)
+            )
+            sym_Aop = Aop
+
+            def Aop(v, tp, _A=sym_Aop, _dv=sym_vecs):
+                out = _A(v, tp)
+                for d in _dv:
+                    out = out * d[None]
+                return out
+
+    # Fused operator+dot: the CG alpha-dot rides inside the stencil
+    # kernel (both tiles are register-resident — saves re-reading d
+    # and A d). Round 3 generalizes beyond the single-term case to
+    # EVERY {one axis term + any number of ddt terms} equation — the
+    # transient heat/NS hot loop — by folding the ddt identity
+    # ``c1 x`` into the axis-0 CENTER coefficient vector at runtime
+    # (``c1 x + c2 A x`` IS an axis stencil; the merge is a tiny
+    # traced vector op on streamed operands, so BDF2 bootstrap still
+    # never recompiles).
+    from pyapes_tpu.ops.pallas_stencil import pallas_supported
+
+    Aop_dot = None
+    Aop_ydot = None
+    ax_ids = [i for i, d in enumerate(term_descs) if d[0] == "axis"]
+    ddt_ids = [i for i, d in enumerate(term_descs) if d[0] == "ddt"]
+    if (
+        method in ("cg", "bicgstab")
+        and use_pallas
+        and sym_vecs is None
+        and not obn
+        and len(ax_ids) == 1
+        and len(ax_ids) + len(ddt_ids) == len(term_descs)
+        and x0.ndim - 1 == 3
+        # the dot kernel needs the exact (unpadded) shape
+        and pallas_supported(x0.shape[1:], x0.dtype)
+        and all(len(cs) == 3 for cs in tparams[ax_ids[0]]["axis"])
+        and np.ndim(tparams[ax_ids[0]].get("param", 0.0)) == 0
+    ):
+        from pyapes_tpu.ops.pallas_stencil_db import (
+            pallas_axis_stencil_dot,
+        )
+        from pyapes_tpu.ops.pallas_stencil_v3 import (
+            pallas_axis_stencil_ydot_v3,
+            v3_supported,
+        )
+
+        i_ax = ax_ids[0]
+        sign0 = term_descs[i_ax][2]
+        has_p0 = term_descs[i_ax][5]
+        ddt_signs = tuple(term_descs[i][2] for i in ddt_ids)
+
+        _interp = jax.default_backend() != "tpu"
+
+        def _merged_coeffs(tp):
+            scale = sign0 * (tp[i_ax]["param"] if has_p0 else 1.0)
+            coeffs = tuple(
+                tuple(c * scale for c in cs) for cs in tp[i_ax]["axis"]
+            )
+            if ddt_ids:
+                c1 = sum(
+                    s * tp[i]["inv_dt"]
+                    for s, i in zip(ddt_signs, ddt_ids)
+                )
+                ap0, ac0, am0 = coeffs[0]
+                coeffs = ((ap0, ac0 + c1, am0),) + coeffs[1:]
+            return coeffs
+
+        if method == "cg":
+
+            def Aop_dot(v, tp):
+                return pallas_axis_stencil_dot(
+                    _merged_coeffs(tp), v, interpret=_interp
+                )
+
+        elif v3_supported(x0.shape[1:], x0.dtype, streams=3):
+            # BiCGSTAB fusion tier: the dot against a SECOND vector
+            # (r0 in the p-stage, s in the t-stage) rides the
+            # operator kernel — saves one full re-read of A v per
+            # stage (round-4 VERDICT item 3)
+
+            def Aop_ydot(v, y, tp):
+                return pallas_axis_stencil_ydot_v3(
+                    _merged_coeffs(tp), v, y, interpret=_interp
+                )
+
+    def _fd_setup(why: str, for_precond: bool = False):
+        # Shared setup for the fast-diagonalization DIRECT solve and
+        # the FD PRECONDITIONER (solver/fastdiag.py). The DIRECT
+        # solve demands an exactly-separable Kronecker sum: one
+        # constant-coefficient 3-point axis term plus any number of
+        # ddt (identity-shift) terms on a product active set. The
+        # PRECONDITIONER relaxes this: multiple axis terms are
+        # SUMMED (weights frozen at build time) and non-separable
+        # terms (per-point advection, custom operators) are simply
+        # left out — frozen-coefficient / operator-splitting
+        # preconditioning, exact for the separable part.
+        if obn or excluded is not None or dyn_idxs:
+            raise ValueError(
+                f"{why}: obstacles break the product structure of "
+                "the active set — use cg/bicgstab with precond 'mg'"
+            )
+        exact_ax = (
+            len(ax_ids) == 1
+            and len(ax_ids) + len(ddt_ids) == len(term_descs)
+        )
+        # custom terms carrying a separable fd_hint (desc slot 6)
+        # contribute frozen axis matrices to the PRECONDITIONER —
+        # the implicit-RFP / operator-splitting case
+        hint_ids = (
+            [
+                i
+                for i, d in enumerate(term_descs)
+                if d[0] == "custom" and d[6] is not None
+            ]
+            if for_precond
+            else []
+        )
+        ok = (
+            (len(ax_ids) >= 1 or hint_ids)
+            and (exact_ax or for_precond)
+            and all(
+                len(cs) == 3
+                for i in ax_ids
+                for cs in tparams[i]["axis"]
+            )
+            and all(
+                np.ndim(tparams[i].get("param", 0.0)) == 0
+                for i in ax_ids
+            )
+        )
+        if not ok:
+            raise ValueError(
+                f"{why}: equation must be one 3-point axis term "
+                "(laplacian) plus ddt terms with scalar coefficients"
+                + (
+                    " (precond 'fd' also accepts extra terms, which"
+                    " it ignores unless they carry an fd_hint)"
+                    if for_precond else ""
+                )
+            )
+        from pyapes_tpu.solver.fastdiag import FastDiag, axis_matrix_np
+
+        def _axis_mats(i):
+            return [
+                axis_matrix_np(
+                    *tparams[i]["axis"][j],
+                    active=slicer_t[j],
+                    periodic=bool(paxes and j in paxes),
+                )
+                for j in range(mesh.dim)
+            ]
+
+        i_ax = ax_ids[0] if ax_ids else None
+        stream_ax = (
+            (exact_ax or len(ax_ids) == 1) and not hint_ids
+        )
+        if stream_ax:
+            # exactly one axis term: its scalar coefficient streams
+            # through the diagonal symbol at run time
+            mats = _axis_mats(i_ax)
+        else:
+            # several axis terms (e.g. constant-velocity advection +
+            # diffusion) and/or hinted custom terms: sum the per-axis
+            # matrices with the CURRENT sign*param weights baked in —
+            # a frozen-coefficient preconditioner (c_ax pins to 1;
+            # c_dt still streams)
+            mats = None
+            for i in ax_ids:
+                w = float(term_descs[i][2]) * float(
+                    tparams[i].get("param", 1.0)
+                    if term_descs[i][5]
+                    else 1.0
+                )
+                mi = _axis_mats(i)
+                mats = (
+                    [w * m for m in mi]
+                    if mats is None
+                    else [a + w * m for a, m in zip(mats, mi)]
+                )
+            for i in hint_ids:
+                w = float(term_descs[i][2])
+                mi = [
+                    axis_matrix_np(
+                        *term_descs[i][6][j],
+                        active=slicer_t[j],
+                        periodic=bool(paxes and j in paxes),
+                    )
+                    for j in range(mesh.dim)
+                ]
+                mats = (
+                    [w * m for m in mi]
+                    if mats is None
+                    else [a + w * m for a, m in zip(mats, mi)]
+                )
+        fd_o = config.get("fd_opts") or {}
+        fd = FastDiag(
+            mats,
+            dtype=x0.dtype,
+            transform_dtype=fd_o.get("dtype"),
+            precision=fd_o.get("precision", "highest"),
+        )
+        return fd, (i_ax if stream_ax else None)
+
+    def _fd_scalars_fn(i_ax):
+        # (c_ax, c_dt) of the diagonal symbol from the streamed
+        # per-call term params — shared by the direct solve and the
+        # preconditioner's trace-time setup hook. ``i_ax=None``
+        # pins c_ax=1 (weights already baked into the matrices).
+        if i_ax is not None:
+            sign0 = term_descs[i_ax][2]
+            has_p0 = term_descs[i_ax][5]
+        dd = tuple(ddt_ids)
+        ds = tuple(term_descs[i][2] for i in ddt_ids)
+
+        def scalars(tp):
+            if i_ax is None:
+                c_ax = jnp.asarray(1.0, x0.dtype)
+            else:
+                c_ax = sign0 * (
+                    tp[i_ax]["param"]
+                    if has_p0
+                    else jnp.asarray(1.0, x0.dtype)
+                )
+            c_dt = jnp.asarray(0.0, x0.dtype)
+            for s, i in zip(ds, dd):
+                c_dt = c_dt + s * tp[i]["inv_dt"]
+            return c_ax, c_dt
+
+        return scalars
+
+    def _make_fd_precond(why):
+        # FD preconditioner + its trace-time scalar hook. With
+        # ``fd_fallback`` configured, a non-separable system (e.g.
+        # obstacle BCs appended after model construction) silently
+        # degrades to an unpreconditioned solve instead of raising.
+        from pyapes_tpu.solver.fastdiag import FDPrecond
+
+        try:
+            fd, i_ax = _fd_setup(why, for_precond=True)
+        except ValueError:
+            if config.get("fd_fallback"):
+                return None, None
+            raise
+        pre_scale = None
+        if sym_vecs is not None:
+            # the CG loop solves the row-scaled SPD system D A; the
+            # eigen-solve inverts A, so feed it D^-1 r (the
+            # composition is (D A)^-1 — exact and symmetric)
+            ps = sym_vecs[0][None]
+            for dvv in sym_vecs[1:]:
+                ps = ps * dvv[None]
+            pre_scale = 1.0 / ps[(slice(None),) + tuple(slicer_t)]
+        p = FDPrecond(
+            fd,
+            act_sel=(slice(None),) + tuple(slicer_t),
+            pseudo=bool(config.get("nullspace") == "mean"),
+            pre_scale=pre_scale,
+        )
+        _sc = _fd_scalars_fn(i_ax)
+
+        def setup(tp, _p=p, _s=_sc):
+            _p.set_scalars(*_s(tp))
+
+        return p, setup
+
+    if method == "fastdiag":
+        fd, i_ax = _fd_setup("fastdiag")
+        # compatibility weights for singular eliminated-Neumann
+        # systems: the LEFT null vector is the separable row-scale
+        # field (see _build_cg's null_shift derivation)
+        null_shift = None
+        if config.get("nullspace") == "mean":
+            dvs, any_scale = _neumann_row_scale_vecs(
+                mesh, x0.shape, bcs_kept, paxes
+            )
+            if any_scale:
+                null_shift = _separable_scale_field(
+                    dvs, mesh.dim, x0.dtype, as_numpy=False
+                )
+        fn = _build_fastdiag(
+            Aop, apply_bcs, M, tol, max_it, fd,
+            act_sel=(slice(None),) + tuple(slicer_t),
+            scalars=_fd_scalars_fn(i_ax),
+            project_mean=bool(config.get("nullspace") == "mean"),
+            null_shift=null_shift,
+        )
+    elif method == "cg":
+        if precond_kind in ("fd", "fastdiag"):
+            precond, ps_fn = _make_fd_precond("precond 'fd'")
+            if ps_fn is not None:
+                precond_setup = ps_fn
+        else:
+            precond = (
+                mg_spec.preconditioner() if mg_spec is not None else None
+            )
+        # fused dot(r, z): only when the interior mask is exactly the
+        # MG mask (no obstacles, no torus reduction) so the in-kernel
+        # dot equals vsum(r * z * M)
+        precond_dot = None
+        if (
+            mg_spec is not None
+            and mg_spec.can_fuse_rz()
+            and excluded is None
+            and not dyn_idxs
+            and not paxes
+            and not obn
+        ):
+            precond_dot = mg_spec.preconditioner_dot()
+        fmg_init = (
+            mg_spec.fmg_initializer()
+            if (mg_spec is not None and mg_spec.fmg_init)
+            else None
+        )
+        null_shift = None
+        if sym_vecs is not None:
+            ns = sym_vecs[0][None]
+            for d in sym_vecs[1:]:
+                ns = ns * d[None]
+            null_shift = ns
+        fn = _build_cg(
+            Aop, apply_bcs, M, tol, max_it, criterion, precond,
+            project_mean=bool(config.get("nullspace") == "mean"),
+            Aop_dot=Aop_dot, fmg_init=fmg_init,
+            precond_dot=precond_dot, null_shift=null_shift,
+            precond_setup=precond_setup,
+        )
+    else:
+        if precond_kind in ("fd", "fastdiag"):
+            precond, ps_fn = _make_fd_precond("precond 'fd'")
+            if ps_fn is not None:
+                precond_setup = ps_fn
+        else:
+            precond = (
+                mg_spec.preconditioner() if mg_spec is not None else None
+            )
+        fmg_init = (
+            mg_spec.fmg_initializer()
+            if (mg_spec is not None and mg_spec.fmg_init)
+            else None
+        )
+        fn = _build_bicgstab(
+            Aop, apply_bcs, M, tol, max_it, criterion, precond,
+            fmg_init=fmg_init, precond_setup=precond_setup,
+            Aop_ydot=Aop_ydot,
+        )
+    # Nonzero-flux obstacle Neumann: eliminate the affine shell shift
+    # ``e`` into the RHS (computed per call — the flux scale is static
+    # but the raw operator may stream per-call coefficients).
+    affine_obn = tuple(
+        bc for bc in obn if getattr(bc, "bc_val", 0.0) != 0.0
+    )
+    if affine_obn:
+        @jax.jit
+        def rhs_shift(tp, _raw=raw_Aop, _bcs=affine_obn,
+                      _shape=x0.shape, _dtype=x0.dtype):
+            e = jnp.zeros(_shape, _dtype)
+            for bc in _bcs:
+                e = e + bc.affine_field(_shape, _dtype)
+            return _raw(e, tp)
+    else:
+        rhs_shift = None
+    if config.get("debug") == "nan":
+        # In-loop NaN/div checking (SURVEY §5.2): checkify instruments
+        # every float op INSIDE the compiled while_loop — opt-in (it
+        # costs throughput) but pinpoints the first bad operation
+        # instead of the post-solve "Invalid tolerance" symptom.
+        from jax.experimental import checkify
+
+        cfn = jax.jit(
+            checkify.checkify(
+                fn,
+                errors=checkify.float_checks | checkify.nan_checks,
+            )
+        )
+
+        def fn_checked(x0_, rhs_, tp_, bv_, _cfn=cfn):
+            err, out = _cfn(x0_, rhs_, tp_, bv_)
+            err.throw()
+            return out
+
+        return fn_checked, rhs_shift, sym_vecs
+    else:
+        # config {"donate": True}: donate the initial-guess buffer so
+        # XLA aliases it with the while-loop state / solution output
+        # — one full grid of HBM headroom (the difference between
+        # fitting 768^3 on a 16 GB chip and RESOURCE_EXHAUSTED).
+        # OPT-IN because donation invalidates the caller's x0 array:
+        # a transient field whose ``save_old`` history still aliases
+        # the passed tensor (VARo is the pre-solve VAR) must not
+        # donate.
+        donate = (0,) if config.get("donate") else ()
+        return jax.jit(fn, donate_argnums=donate), rhs_shift, sym_vecs
+
+
 def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     """Dispatch to CG / BiCGSTAB (reference ``linalg.py:33-71``).
 
@@ -948,589 +1546,12 @@ def solve(var, rhs, eqs: dict, config, mesh) -> ReportType:
     grid_r, bcs_kept = _torus_grid_and_dynamic_bcs(mesh, paxes, bcs_kept)
 
     if key not in _SOLVER_CACHE:
-        slicer = list(boundary_slicer(mesh.dim, bcs_kept, mesh.coord_sys))
-        red_nx = list(mesh.nx)
-        if paxes:
-            for j in paxes:
-                slicer[j] = slice(None)  # every torus node is active
-                red_nx[j] -= 1
-        red_nx_t, slicer_t, xdtype = tuple(red_nx), tuple(slicer), x0.dtype
-        # Obstacle cells are pinned (Dirichlet) or dependent (Neumann
-        # neighbor copies) and leave the active set. Under a torus
-        # reduction the duplicate seam plane is dropped from the masks too
-        # (bodies sit in the interior, so only non-body planes go; wrap
-        # across the seam is the physical periodic neighbor).
-        if paxes:
-            import copy as _copy
-
-            red_np = tuple(
-                slice(None, -1) if j in paxes else slice(None)
-                for j in range(mesh.dim)
-            )
-            reduced = []
-            for bc in bcs_kept:
-                kind = getattr(bc, "bc_type", "")
-                if getattr(bc, "dynamic", False):
-                    # already reduced + seam-checked per call above
-                    reduced.append(bc)
-                elif kind == "obstacle_dirichlet":
-                    _seam_check(bc.bc_mask, paxes, mesh.dim)
-                    b2 = _copy.copy(bc)
-                    b2.bc_mask = bc.bc_mask[red_np]
-                    reduced.append(b2)
-                elif kind == "obstacle_neumann":
-                    _seam_check(bc.bc_mask, paxes, mesh.dim)
-                    b2 = _copy.copy(bc)
-                    b2.bc_mask = bc.bc_mask[red_np]
-                    b2.faces = [
-                        (m[red_np], ax, sh, fdx)
-                        for (m, ax, sh, fdx) in bc.faces
-                    ]
-                    reduced.append(b2)
-                else:
-                    reduced.append(bc)
-            bcs_kept = reduced
-        excluded = None
-        dyn_idxs = []
-        for bi, bc in enumerate(bcs_kept):
-            if getattr(bc, "bc_type", "") in (
-                "obstacle_dirichlet", "obstacle_neumann"
-            ):
-                if getattr(bc, "dynamic", False):
-                    # Dynamic + periodic composes: the per-call block
-                    # above re-slices the CURRENT host mask every solve
-                    # (live mutation visible, seam-checked), so
-                    # ``stream_values`` streams a reduced-shape mask
-                    # into the reduced-shape executable.
-                    dyn_idxs.append(bi)
-                else:
-                    excluded = (
-                        bc.bc_mask
-                        if excluded is None
-                        else (excluded | bc.bc_mask)
-                    )
-        M = _MaskSpec(red_nx_t, slicer_t, xdtype, excluded, dyn_idxs)
-        apply_bcs = apply_bcs_fn(bcs_kept, grid_r)
-        if use_pallas:
-            from functools import partial
-
-            from pyapes_tpu.ops.pallas_stencil import (
-                pallas_axis_stencil_padded,
-            )
-
-            # kernel="pallas" forced on CPU (tests/debug) -> interpret mode
-            interp = jax.default_backend() != "tpu"
-            from pyapes_tpu.ops.pallas_stencil_v3 import (
-                pallas_axis_stencil_v5,
-                v5_supported,
-            )
-
-            stencil5_fn = (
-                partial(pallas_axis_stencil_v5, interpret=interp)
-                if (
-                    len(x0.shape) - 1 == 3
-                    and v5_supported(x0.shape[1:], x0.dtype)
-                )
-                else None
-            )
-            Aop = _make_Aop(
-                term_descs,
-                partial(
-                    pallas_axis_stencil_padded,
-                    paxes=paxes or (),
-                    interpret=interp,
-                ),
-                advect_pallas=advect_pallas,
-                advect_interpret=interp,
-                diff_pallas=diff_pallas,
-                stencil5_fn=stencil5_fn,
-            )
-        elif use_sharded_pallas:
-            from pyapes_tpu.parallel.halo import (
-                make_sharded_advect_apply,
-                make_sharded_pallas_apply,
-                sharded_advect_supported,
-            )
-
-            interp = jax.default_backend() != "tpu"
-            sp_apply = make_sharded_pallas_apply(
-                decomp, mesh.dim, interpret=interp,
-            )
-            # nonlinear Div/Conv ride shard_map + ppermute too (halo
-            # overlap + per-shard fused kernels where the block fits)
-            sadv: dict = {}
-            for ti, desc in enumerate(term_descs):
-                if desc[0] in ("div_field", "conv_field"):
-                    if sharded_advect_supported(
-                        decomp, x0.shape[1:], x0.dtype, desc[3]
-                    ):
-                        sadv[ti] = make_sharded_advect_apply(
-                            decomp,
-                            "div" if desc[0] == "div_field" else "conv",
-                            x0.shape[0],
-                            desc[3],
-                            desc[4],
-                            desc[6],
-                            interpret=interp,
-                        )
-            Aop = _make_Aop(term_descs, sp_apply, sharded_advect=sadv)
-        else:
-            Aop = _make_Aop(
-                term_descs,
-                advect_pallas=advect_pallas,
-                advect_interpret=jax.default_backend() != "tpu",
-                diff_pallas=diff_pallas,
-            )
-        # Neumann-obstacle shells are affine functions of their fluid
-        # neighbors; fold the LINEAR (zero-flux) part into the operator so
-        # search-direction products see the same reduced system as the
-        # residual map. A nonzero flux contributes a constant shell shift
-        # ``e``, eliminated below by ``rhs -= A_raw(e)`` — the iterate's
-        # full affine BC application then makes the computed residual the
-        # true one.
-        obn = tuple(
-            bc for bc in bcs_kept
-            if getattr(bc, "bc_type", "") == "obstacle_neumann"
+        _SOLVER_CACHE[key] = _build_solver(
+            method, criterion, tol, max_it, config, mesh, x0, grid_r,
+            term_descs, tparams, bcs_kept, paxes, decomp, kernel,
+            use_pallas, use_sharded_pallas, advect_pallas, diff_pallas,
+            mg_spec, precond_kind, precond_setup,
         )
-        raw_Aop = Aop
-        if obn:
-            base_Aop = Aop
-
-            def Aop(v, tp, _A=base_Aop, _obn=obn):
-                for bc in _obn:
-                    v = bc.apply_linear(v, None)
-                return _A(v, tp)
-        # Symmetrization row scaling (CG + Neumann/Symmetry faces): the
-        # boundary-node elimination makes the surgered rows nonsymmetric
-        # (``A[1,2] = 2/3`` vs ``A[2,1] = 1``); scaling those rows by 3/2
-        # per axis (a separable field ``D = kron_j D_j``) restores exact
-        # symmetry, so CG on ``D A x = D b`` is rigorous — and matches the
-        # symmetrized V-cycle preconditioner (``multigrid._dvec_np``).
-        # Only pure diffusion/transient equations qualify (advection terms
-        # are genuinely nonsymmetric; they go to BiCGSTAB anyway).
-        sym_vecs = None
-        if (
-            method == "cg"
-            and mesh.coord_sys == "xyz"
-            and all(d[1] in ("laplacian", "ddt") for d in term_descs)
-            # variable-Γ terms excluded: their surgered-row asymmetry is
-            # Γ-dependent, not the fixed 2/3-vs-1 the 3/2 scale repairs
-            and all(d[0] in ("axis", "ddt") for d in term_descs)
-            and all(
-                np.ndim(tp.get("param", 0.0)) == 0 for tp in tparams
-            )
-        ):
-            dvs, any_scale = _neumann_row_scale_vecs(
-                mesh, x0.shape, bcs_kept, paxes
-            )
-            if any_scale:
-                # HOST numpy (not jnp): this block can run inside an
-                # outer trace (fused-step capture with a cache miss);
-                # jnp-created scales would be tracers and LEAK into the
-                # cached closure, crashing later eager solves. Numpy
-                # constants fold into the jitted program identically.
-                sym_vecs = tuple(
-                    np.asarray(
-                        dv.reshape(
-                            tuple(
-                                -1 if k == j else 1
-                                for k in range(mesh.dim)
-                            )
-                        ),
-                        dtype=x0.dtype,
-                    )
-                    for j, dv in enumerate(dvs)
-                )
-                sym_Aop = Aop
-
-                def Aop(v, tp, _A=sym_Aop, _dv=sym_vecs):
-                    out = _A(v, tp)
-                    for d in _dv:
-                        out = out * d[None]
-                    return out
-
-        # Fused operator+dot: the CG alpha-dot rides inside the stencil
-        # kernel (both tiles are register-resident — saves re-reading d
-        # and A d). Round 3 generalizes beyond the single-term case to
-        # EVERY {one axis term + any number of ddt terms} equation — the
-        # transient heat/NS hot loop — by folding the ddt identity
-        # ``c1 x`` into the axis-0 CENTER coefficient vector at runtime
-        # (``c1 x + c2 A x`` IS an axis stencil; the merge is a tiny
-        # traced vector op on streamed operands, so BDF2 bootstrap still
-        # never recompiles).
-        Aop_dot = None
-        Aop_ydot = None
-        ax_ids = [i for i, d in enumerate(term_descs) if d[0] == "axis"]
-        ddt_ids = [i for i, d in enumerate(term_descs) if d[0] == "ddt"]
-        if (
-            method in ("cg", "bicgstab")
-            and use_pallas
-            and sym_vecs is None
-            and not obn
-            and len(ax_ids) == 1
-            and len(ax_ids) + len(ddt_ids) == len(term_descs)
-            and x0.ndim - 1 == 3
-            # the dot kernel needs the exact (unpadded) shape
-            and pallas_supported(x0.shape[1:], x0.dtype)
-            and all(len(cs) == 3 for cs in tparams[ax_ids[0]]["axis"])
-            and np.ndim(tparams[ax_ids[0]].get("param", 0.0)) == 0
-        ):
-            from pyapes_tpu.ops.pallas_stencil_db import (
-                pallas_axis_stencil_dot,
-            )
-            from pyapes_tpu.ops.pallas_stencil_v3 import (
-                pallas_axis_stencil_ydot_v3,
-                v3_supported,
-            )
-
-            i_ax = ax_ids[0]
-            sign0 = term_descs[i_ax][2]
-            has_p0 = term_descs[i_ax][5]
-            ddt_signs = tuple(term_descs[i][2] for i in ddt_ids)
-
-            _interp = jax.default_backend() != "tpu"
-
-            def _merged_coeffs(tp):
-                scale = sign0 * (tp[i_ax]["param"] if has_p0 else 1.0)
-                coeffs = tuple(
-                    tuple(c * scale for c in cs) for cs in tp[i_ax]["axis"]
-                )
-                if ddt_ids:
-                    c1 = sum(
-                        s * tp[i]["inv_dt"]
-                        for s, i in zip(ddt_signs, ddt_ids)
-                    )
-                    ap0, ac0, am0 = coeffs[0]
-                    coeffs = ((ap0, ac0 + c1, am0),) + coeffs[1:]
-                return coeffs
-
-            if method == "cg":
-
-                def Aop_dot(v, tp):
-                    return pallas_axis_stencil_dot(
-                        _merged_coeffs(tp), v, interpret=_interp
-                    )
-
-            elif v3_supported(x0.shape[1:], x0.dtype, streams=3):
-                # BiCGSTAB fusion tier: the dot against a SECOND vector
-                # (r0 in the p-stage, s in the t-stage) rides the
-                # operator kernel — saves one full re-read of A v per
-                # stage (round-4 VERDICT item 3)
-
-                def Aop_ydot(v, y, tp):
-                    return pallas_axis_stencil_ydot_v3(
-                        _merged_coeffs(tp), v, y, interpret=_interp
-                    )
-
-        def _fd_setup(why: str, for_precond: bool = False):
-            # Shared setup for the fast-diagonalization DIRECT solve and
-            # the FD PRECONDITIONER (solver/fastdiag.py). The DIRECT
-            # solve demands an exactly-separable Kronecker sum: one
-            # constant-coefficient 3-point axis term plus any number of
-            # ddt (identity-shift) terms on a product active set. The
-            # PRECONDITIONER relaxes this: multiple axis terms are
-            # SUMMED (weights frozen at build time) and non-separable
-            # terms (per-point advection, custom operators) are simply
-            # left out — frozen-coefficient / operator-splitting
-            # preconditioning, exact for the separable part.
-            if obn or excluded is not None or dyn_idxs:
-                raise ValueError(
-                    f"{why}: obstacles break the product structure of "
-                    "the active set — use cg/bicgstab with precond 'mg'"
-                )
-            exact_ax = (
-                len(ax_ids) == 1
-                and len(ax_ids) + len(ddt_ids) == len(term_descs)
-            )
-            # custom terms carrying a separable fd_hint (desc slot 6)
-            # contribute frozen axis matrices to the PRECONDITIONER —
-            # the implicit-RFP / operator-splitting case
-            hint_ids = (
-                [
-                    i
-                    for i, d in enumerate(term_descs)
-                    if d[0] == "custom" and d[6] is not None
-                ]
-                if for_precond
-                else []
-            )
-            ok = (
-                (len(ax_ids) >= 1 or hint_ids)
-                and (exact_ax or for_precond)
-                and all(
-                    len(cs) == 3
-                    for i in ax_ids
-                    for cs in tparams[i]["axis"]
-                )
-                and all(
-                    np.ndim(tparams[i].get("param", 0.0)) == 0
-                    for i in ax_ids
-                )
-            )
-            if not ok:
-                raise ValueError(
-                    f"{why}: equation must be one 3-point axis term "
-                    "(laplacian) plus ddt terms with scalar coefficients"
-                    + (
-                        " (precond 'fd' also accepts extra terms, which"
-                        " it ignores unless they carry an fd_hint)"
-                        if for_precond else ""
-                    )
-                )
-            from pyapes_tpu.solver.fastdiag import FastDiag, axis_matrix_np
-
-            def _axis_mats(i):
-                return [
-                    axis_matrix_np(
-                        *tparams[i]["axis"][j],
-                        active=slicer_t[j],
-                        periodic=bool(paxes and j in paxes),
-                    )
-                    for j in range(mesh.dim)
-                ]
-
-            i_ax = ax_ids[0] if ax_ids else None
-            stream_ax = (
-                (exact_ax or len(ax_ids) == 1) and not hint_ids
-            )
-            if stream_ax:
-                # exactly one axis term: its scalar coefficient streams
-                # through the diagonal symbol at run time
-                mats = _axis_mats(i_ax)
-            else:
-                # several axis terms (e.g. constant-velocity advection +
-                # diffusion) and/or hinted custom terms: sum the per-axis
-                # matrices with the CURRENT sign*param weights baked in —
-                # a frozen-coefficient preconditioner (c_ax pins to 1;
-                # c_dt still streams)
-                mats = None
-                for i in ax_ids:
-                    w = float(term_descs[i][2]) * float(
-                        tparams[i].get("param", 1.0)
-                        if term_descs[i][5]
-                        else 1.0
-                    )
-                    mi = _axis_mats(i)
-                    mats = (
-                        [w * m for m in mi]
-                        if mats is None
-                        else [a + w * m for a, m in zip(mats, mi)]
-                    )
-                for i in hint_ids:
-                    w = float(term_descs[i][2])
-                    mi = [
-                        axis_matrix_np(
-                            *term_descs[i][6][j],
-                            active=slicer_t[j],
-                            periodic=bool(paxes and j in paxes),
-                        )
-                        for j in range(mesh.dim)
-                    ]
-                    mats = (
-                        [w * m for m in mi]
-                        if mats is None
-                        else [a + w * m for a, m in zip(mats, mi)]
-                    )
-            fd_o = config.get("fd_opts") or {}
-            fd = FastDiag(
-                mats,
-                dtype=x0.dtype,
-                transform_dtype=fd_o.get("dtype"),
-                precision=fd_o.get("precision", "highest"),
-            )
-            return fd, (i_ax if stream_ax else None)
-
-        def _fd_scalars_fn(i_ax):
-            # (c_ax, c_dt) of the diagonal symbol from the streamed
-            # per-call term params — shared by the direct solve and the
-            # preconditioner's trace-time setup hook. ``i_ax=None``
-            # pins c_ax=1 (weights already baked into the matrices).
-            if i_ax is not None:
-                sign0 = term_descs[i_ax][2]
-                has_p0 = term_descs[i_ax][5]
-            dd = tuple(ddt_ids)
-            ds = tuple(term_descs[i][2] for i in ddt_ids)
-
-            def scalars(tp):
-                if i_ax is None:
-                    c_ax = jnp.asarray(1.0, x0.dtype)
-                else:
-                    c_ax = sign0 * (
-                        tp[i_ax]["param"]
-                        if has_p0
-                        else jnp.asarray(1.0, x0.dtype)
-                    )
-                c_dt = jnp.asarray(0.0, x0.dtype)
-                for s, i in zip(ds, dd):
-                    c_dt = c_dt + s * tp[i]["inv_dt"]
-                return c_ax, c_dt
-
-            return scalars
-
-        def _make_fd_precond(why):
-            # FD preconditioner + its trace-time scalar hook. With
-            # ``fd_fallback`` configured, a non-separable system (e.g.
-            # obstacle BCs appended after model construction) silently
-            # degrades to an unpreconditioned solve instead of raising.
-            from pyapes_tpu.solver.fastdiag import FDPrecond
-
-            try:
-                fd, i_ax = _fd_setup(why, for_precond=True)
-            except ValueError:
-                if config.get("fd_fallback"):
-                    return None, None
-                raise
-            pre_scale = None
-            if sym_vecs is not None:
-                # the CG loop solves the row-scaled SPD system D A; the
-                # eigen-solve inverts A, so feed it D^-1 r (the
-                # composition is (D A)^-1 — exact and symmetric)
-                ps = sym_vecs[0][None]
-                for dvv in sym_vecs[1:]:
-                    ps = ps * dvv[None]
-                pre_scale = 1.0 / ps[(slice(None),) + tuple(slicer_t)]
-            p = FDPrecond(
-                fd,
-                act_sel=(slice(None),) + tuple(slicer_t),
-                pseudo=bool(config.get("nullspace") == "mean"),
-                pre_scale=pre_scale,
-            )
-            _sc = _fd_scalars_fn(i_ax)
-
-            def setup(tp, _p=p, _s=_sc):
-                _p.set_scalars(*_s(tp))
-
-            return p, setup
-
-        if method == "fastdiag":
-            fd, i_ax = _fd_setup("fastdiag")
-            # compatibility weights for singular eliminated-Neumann
-            # systems: the LEFT null vector is the separable row-scale
-            # field (see _build_cg's null_shift derivation)
-            null_shift = None
-            if config.get("nullspace") == "mean":
-                dvs, any_scale = _neumann_row_scale_vecs(
-                    mesh, x0.shape, bcs_kept, paxes
-                )
-                if any_scale:
-                    null_shift = _separable_scale_field(
-                        dvs, mesh.dim, x0.dtype, as_numpy=False
-                    )
-            fn = _build_fastdiag(
-                Aop, apply_bcs, M, tol, max_it, fd,
-                act_sel=(slice(None),) + tuple(slicer_t),
-                scalars=_fd_scalars_fn(i_ax),
-                project_mean=bool(config.get("nullspace") == "mean"),
-                null_shift=null_shift,
-            )
-        elif method == "cg":
-            if precond_kind in ("fd", "fastdiag"):
-                precond, ps_fn = _make_fd_precond("precond 'fd'")
-                if ps_fn is not None:
-                    precond_setup = ps_fn
-            else:
-                precond = (
-                    mg_spec.preconditioner() if mg_spec is not None else None
-                )
-            # fused dot(r, z): only when the interior mask is exactly the
-            # MG mask (no obstacles, no torus reduction) so the in-kernel
-            # dot equals vsum(r * z * M)
-            precond_dot = None
-            if (
-                mg_spec is not None
-                and mg_spec.can_fuse_rz()
-                and excluded is None
-                and not dyn_idxs
-                and not paxes
-                and not obn
-            ):
-                precond_dot = mg_spec.preconditioner_dot()
-            fmg_init = (
-                mg_spec.fmg_initializer()
-                if (mg_spec is not None and mg_spec.fmg_init)
-                else None
-            )
-            null_shift = None
-            if sym_vecs is not None:
-                ns = sym_vecs[0][None]
-                for d in sym_vecs[1:]:
-                    ns = ns * d[None]
-                null_shift = ns
-            fn = _build_cg(
-                Aop, apply_bcs, M, tol, max_it, criterion, precond,
-                project_mean=bool(config.get("nullspace") == "mean"),
-                Aop_dot=Aop_dot, fmg_init=fmg_init,
-                precond_dot=precond_dot, null_shift=null_shift,
-                precond_setup=precond_setup,
-            )
-        else:
-            if precond_kind in ("fd", "fastdiag"):
-                precond, ps_fn = _make_fd_precond("precond 'fd'")
-                if ps_fn is not None:
-                    precond_setup = ps_fn
-            else:
-                precond = (
-                    mg_spec.preconditioner() if mg_spec is not None else None
-                )
-            fmg_init = (
-                mg_spec.fmg_initializer()
-                if (mg_spec is not None and mg_spec.fmg_init)
-                else None
-            )
-            fn = _build_bicgstab(
-                Aop, apply_bcs, M, tol, max_it, criterion, precond,
-                fmg_init=fmg_init, precond_setup=precond_setup,
-                Aop_ydot=Aop_ydot,
-            )
-        # Nonzero-flux obstacle Neumann: eliminate the affine shell shift
-        # ``e`` into the RHS (computed per call — the flux scale is static
-        # but the raw operator may stream per-call coefficients).
-        affine_obn = tuple(
-            bc for bc in obn if getattr(bc, "bc_val", 0.0) != 0.0
-        )
-        if affine_obn:
-            @jax.jit
-            def rhs_shift(tp, _raw=raw_Aop, _bcs=affine_obn,
-                          _shape=x0.shape, _dtype=x0.dtype):
-                e = jnp.zeros(_shape, _dtype)
-                for bc in _bcs:
-                    e = e + bc.affine_field(_shape, _dtype)
-                return _raw(e, tp)
-        else:
-            rhs_shift = None
-        if config.get("debug") == "nan":
-            # In-loop NaN/div checking (SURVEY §5.2): checkify instruments
-            # every float op INSIDE the compiled while_loop — opt-in (it
-            # costs throughput) but pinpoints the first bad operation
-            # instead of the post-solve "Invalid tolerance" symptom.
-            from jax.experimental import checkify
-
-            cfn = jax.jit(
-                checkify.checkify(
-                    fn,
-                    errors=checkify.float_checks | checkify.nan_checks,
-                )
-            )
-
-            def fn_checked(x0_, rhs_, tp_, bv_, _cfn=cfn):
-                err, out = _cfn(x0_, rhs_, tp_, bv_)
-                err.throw()
-                return out
-
-            _SOLVER_CACHE[key] = (fn_checked, rhs_shift, sym_vecs)
-        else:
-            # config {"donate": True}: donate the initial-guess buffer so
-            # XLA aliases it with the while-loop state / solution output
-            # — one full grid of HBM headroom (the difference between
-            # fitting 768^3 on a 16 GB chip and RESOURCE_EXHAUSTED).
-            # OPT-IN because donation invalidates the caller's x0 array:
-            # a transient field whose ``save_old`` history still aliases
-            # the passed tensor (VARo is the pre-solve VAR) must not
-            # donate.
-            donate = (0,) if config.get("donate") else ()
-            _SOLVER_CACHE[key] = (
-                jax.jit(fn, donate_argnums=donate), rhs_shift, sym_vecs,
-            )
         while len(_SOLVER_CACHE) > _SOLVER_CACHE_MAX:
             _SOLVER_CACHE.popitem(last=False)
 
