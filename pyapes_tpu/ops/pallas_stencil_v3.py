@@ -292,83 +292,6 @@ def pallas_axis_stencil_dot_v3(
     )
 
 
-def _stencil3d_ydot_v3_kernel(
-    x_any, y_blk,
-    ap0, ac0, am0, ap1, ac1, am1, ap2, ac2, am2,
-    out_ref, dot_ref,
-    stage, sems,
-    *, tx: int, nx: int, ny: int, nz: int,
-):
-    """Stencil apply + per-program partial ``sum(y * A x)`` against a
-    SECOND streamed operand ``y`` — the BiCGSTAB fusion tier: the
-    ``dot(r0, A p̂)`` / ``dot(s, A ŝ)`` reductions ride the operator
-    kernel instead of re-reading its output (round-4 VERDICT item 3)."""
-    i, slot = _stage_prologue(x_any, stage, sems, tx, nx)
-    cdt = jnp.promote_types(stage.dtype, jnp.float32)
-    rows = _coeff_rows(
-        (ap0, ac0, am0), (ap1, ac1, am1), (ap2, ac2, am2), tx, ny, nz, cdt
-    )
-    _, out = _slab_apply(stage, slot, rows, tx, ny, nz)
-    out_ref[:, :, :] = out.astype(out_ref.dtype)
-    dot_ref[i] = jnp.sum(y_blk[:, :, :].astype(cdt) * out)
-
-
-def pallas_axis_stencil_ydot_v3(
-    coeffs, x: jnp.ndarray, y: jnp.ndarray, interpret: bool = False
-):
-    """Slab-resident stencil apply returning ``(A x, sum(y * A x))`` per
-    component (``dots`` shaped ``(vdim, 1, 1, 1)``). ``y`` must match
-    ``x``'s shape."""
-    gs = x.shape[1:]
-    assert v3_supported(gs, x.dtype, streams=3), gs
-    assert y.shape == x.shape, (y.shape, x.shape)
-    nx, ny, nz = gs
-    tx = _v3_tile(gs, np.dtype(x.dtype).itemsize, streams=3)
-    ddt = jnp.promote_types(x.dtype, jnp.float32)
-
-    flat, in_specs = _common_specs(coeffs, gs, tx)
-    # y streams as one more pipelined block right after x_any
-    in_specs = (
-        [in_specs[0]]
-        + [pl.BlockSpec((tx, ny, nz), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)]
-        + in_specs[1:]
-    )
-    call = pl.pallas_call(
-        partial(_stencil3d_ydot_v3_kernel, tx=tx, nx=nx, ny=ny, nz=nz),
-        grid=(nx // tx,),
-        out_shape=[
-            jax.ShapeDtypeStruct(gs, x.dtype),
-            jax.ShapeDtypeStruct((nx // tx,), ddt),
-        ],
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec(
-                (tx, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((nx // tx,), lambda i: (0,),
-                         memory_space=pltpu.SMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, tx + 2, ny, nz), x.dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT
-        ),
-        interpret=interpret,
-    )
-    outs, dots = [], []
-    for d in range(x.shape[0]):
-        o, p = call(x[d], y[d], *flat)
-        outs.append(o)
-        dots.append(jnp.sum(p))
-    return (
-        jnp.stack(outs),
-        jnp.stack(dots).reshape((x.shape[0],) + (1,) * len(gs)),
-    )
-
-
 # ---------------------------------------------------------------------------
 # 5-point (QUICK) variant: per-axis 5-vector stencils (offsets +2..-2,
 # the 3rd-order QUICK advection banks) ride the same slab-resident

@@ -1028,11 +1028,10 @@ def _build_solver(
     from pyapes_tpu.ops.pallas_stencil import pallas_supported
 
     Aop_dot = None
-    Aop_ydot = None
     ax_ids = [i for i, d in enumerate(term_descs) if d[0] == "axis"]
     ddt_ids = [i for i, d in enumerate(term_descs) if d[0] == "ddt"]
     if (
-        method in ("cg", "bicgstab")
+        method == "cg"
         and use_pallas
         and sym_vecs is None
         and not obn
@@ -1044,12 +1043,15 @@ def _build_solver(
         and all(len(cs) == 3 for cs in tparams[ax_ids[0]]["axis"])
         and np.ndim(tparams[ax_ids[0]].get("param", 0.0)) == 0
     ):
+        # (A BiCGSTAB analogue — a y-dot kernel fusing dot(r0, A p̂) /
+        # dot(s, A ŝ) into the operator pass — was built in round 4 and
+        # REMOVED in round 5: its only engagement window is a 3-D
+        # {laplacian + ddt} BiCGSTAB solve, where CG/fastdiag are the
+        # right solvers anyway, and it measured 1.08x there; the rz
+        # implicit-RFP hot path that motivated it is 2-D and can never
+        # ride a slab-resident 3-D kernel.)
         from pyapes_tpu.ops.pallas_stencil_db import (
             pallas_axis_stencil_dot,
-        )
-        from pyapes_tpu.ops.pallas_stencil_v3 import (
-            pallas_axis_stencil_ydot_v3,
-            v3_supported,
         )
 
         i_ax = ax_ids[0]
@@ -1073,23 +1075,10 @@ def _build_solver(
                 coeffs = ((ap0, ac0 + c1, am0),) + coeffs[1:]
             return coeffs
 
-        if method == "cg":
-
-            def Aop_dot(v, tp):
-                return pallas_axis_stencil_dot(
-                    _merged_coeffs(tp), v, interpret=_interp
-                )
-
-        elif v3_supported(x0.shape[1:], x0.dtype, streams=3):
-            # BiCGSTAB fusion tier: the dot against a SECOND vector
-            # (r0 in the p-stage, s in the t-stage) rides the
-            # operator kernel — saves one full re-read of A v per
-            # stage (round-4 VERDICT item 3)
-
-            def Aop_ydot(v, y, tp):
-                return pallas_axis_stencil_ydot_v3(
-                    _merged_coeffs(tp), v, y, interpret=_interp
-                )
+        def Aop_dot(v, tp):
+            return pallas_axis_stencil_dot(
+                _merged_coeffs(tp), v, interpret=_interp
+            )
 
     def _fd_setup(why: str, for_precond: bool = False):
         # Shared setup for the fast-diagonalization DIRECT solve and
@@ -1349,7 +1338,6 @@ def _build_solver(
         fn = _build_bicgstab(
             Aop, apply_bcs, M, tol, max_it, criterion, precond,
             fmg_init=fmg_init, precond_setup=precond_setup,
-            Aop_ydot=Aop_ydot,
         )
     # Nonzero-flux obstacle Neumann: eliminate the affine shell shift
     # ``e`` into the RHS (computed per call — the flux scale is static
@@ -1838,7 +1826,7 @@ def _build_fastdiag(
 
 def _build_bicgstab(
     Aop, apply_bcs, M, tolerance, max_it, criterion, precond=None,
-    fmg_init=None, precond_setup=None, Aop_ydot=None,
+    fmg_init=None, precond_setup=None,
 ):
     """BiCGSTAB as a ``lax.while_loop`` (reference ``linalg.py:162-279``,
     after pykrylov). The reference's mid-loop early exit
@@ -1907,15 +1895,8 @@ def _build_bicgstab(
             rho = s["rho_next"]
             p = s["r"] + beta * (s["p"] - s["omega"] * s["v"])
             p_hat = precond(p) * M_ if precond is not None else p
-            if Aop_ydot is not None:
-                # fused operator+dot: r0 is interior-masked, so the
-                # in-kernel dot over the unmasked A p_hat equals
-                # dot(r0, M A p_hat) exactly
-                v_raw, r0v = Aop_ydot(p_hat, r0, tparams)
-                v = v_raw * M_
-            else:
-                v = Aop(p_hat, tparams) * M_
-                r0v = _vsum(r0 * v)
+            v = Aop(p_hat, tparams) * M_
+            r0v = _vsum(r0 * v)
             itr = s["itr"] + 1
             alpha = _nan0(rho / r0v)
             s_vec = s["r"] - alpha * v
@@ -1955,13 +1936,8 @@ def _build_bicgstab(
 
             def do_full(_):
                 s_hat = precond(s_vec) * M_ if precond is not None else s_vec
-                if Aop_ydot is not None:
-                    # s_vec is masked, so dot(s_vec, raw) == dot(s_vec, M t)
-                    t_raw, ts = Aop_ydot(s_hat, s_vec, tparams)
-                    t = t_raw * M_
-                else:
-                    t = Aop(s_hat, tparams) * M_
-                    ts = _vsum(t * s_vec)
+                t = Aop(s_hat, tparams) * M_
+                ts = _vsum(t * s_vec)
                 omega = _nan0(ts / _vsum(t * t))
                 rho_next = -omega * _vsum(r0 * t)
                 x_new = s["x"] + alpha * p_hat + omega * s_hat

@@ -593,30 +593,12 @@ def test_quick_solve_pallas_matches_jnp() -> None:
     assert_allclose(out, ref, atol=5e-6, rtol=1e-5)
 
 
-def test_bicgstab_ydot_interpret() -> None:
-    """The y-dot kernel: (A x, sum(y * A x)) vs the jnp oracle."""
-    from pyapes_tpu.ops.pallas_stencil_v3 import (
-        pallas_axis_stencil_ydot_v3,
-        v3_supported,
-    )
-
-    shape = (8, 16, 128)
-    assert v3_supported(shape, jnp.float32, streams=3)
-    x = _x(shape, jnp.float32)
-    rng = np.random.default_rng(13)
-    y = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
-    coeffs = _coeffs(shape, jnp.float32)
-    ref = apply_axis_stencil(coeffs, x)
-    out, dots = pallas_axis_stencil_ydot_v3(coeffs, x, y, interpret=True)
-    assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
-    want = float(jnp.sum(y * ref))
-    assert_allclose(float(dots[0, 0, 0, 0]), want, rtol=1e-5, atol=1e-4)
-
-
-def test_bicgstab_fused_ydot_solve_matches_jnp() -> None:
-    """End-to-end BiCGSTAB with the fused operator+dot tier (round-4
-    VERDICT item 3): kernel='pallas' (ydot engaged for a {ddt +
-    laplacian} system) == the jnp-path solve."""
+def test_bicgstab_pallas_solve_matches_jnp() -> None:
+    """End-to-end BiCGSTAB on the Pallas stencil tier for a {ddt +
+    laplacian} system == the jnp-path solve. (The round-4 y-dot fusion
+    tier was removed in round 5 — its only engagement window measured
+    1.08x and its motivating rz workload is 2-D — so this now pins the
+    plain Pallas-operator BiCGSTAB path.)"""
     from pyapes_tpu.geometry import Box
     from pyapes_tpu.mesh import Mesh
     from pyapes_tpu.solver.fdm import FDM
