@@ -479,10 +479,14 @@ def main() -> None:
     t_start = time.perf_counter()
     total_budget = float(os.environ.get("PYAPES_BENCH_TOTAL_BUDGET", "1380"))
     # (rung, nominal budget, min seconds that must remain to bother):
-    # min_need = worst measured fresh compile + margin (512^3: 78-437 s
-    # load-dependent; 768^3: 814.5 s under load, MEASURE_r4.jsonl).
+    # min_need = worst measured fresh compile + margin. Round 5's
+    # trace-time-literal fix (FastDiag.solve no longer embeds the full
+    # n^3 eigen-symbol as an HLO constant) collapsed fresh compiles to
+    # 27.8/12.9/54.8 s at 256/512/768^3 (MEASURE_r5.jsonl, vs 78-437 s
+    # at 512^3 and 814.5 s at 768^3 before); budgets keep ~5x headroom
+    # for host-load variance.
     if n == 768:
-        ladder = [(256, 300, 120), (512, 600, 360), (768, 1000, 600)]
+        ladder = [(256, 240, 90), (512, 360, 150), (768, 700, 330)]
     else:
         rungs = sorted({max(n // 4, 16), max(n // 2, 16), n})
         budgets = [(300, 120), (480, 300), (600, 420)][-len(rungs):]

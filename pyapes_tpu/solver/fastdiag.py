@@ -55,6 +55,7 @@ a stagnation exit stops at the dtype's accuracy floor (f64 input:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -200,13 +201,27 @@ class FastDiag:
         dt_in = r.dtype
         tdt = self.fwd[0].dtype
         y = self._transform(self.fwd, r.astype(tdt))
-        lam = self.lams[0].reshape(
+        # Eigen-symbol from the PER-AXIS vectors, built at RUN time. Two
+        # materialization hazards, both measured (round 5): numpy
+        # broadcasting here folds the full n^d symbol at TRACE time into
+        # a giant HLO literal (530 MB at 512^3, 1.8 GB at 768^3 — THE
+        # dominant first-compile cost and 200 MB of the 256^3 serialized
+        # executable), and plain jnp constants let XLA's constant folder
+        # rebuild exactly that literal at COMPILE time. The
+        # optimization_barrier makes the (n-element) vectors opaque to
+        # the folder, so the cube only ever exists fused into the
+        # pointwise divide below — zero extra HBM traffic, KB-scale
+        # program constants.
+        lams = [
+            jax.lax.optimization_barrier(jnp.asarray(l)) for l in self.lams
+        ]
+        lam = lams[0].reshape(
             (-1,) + (1,) * (self.ndim - 1)
         )
         for j in range(1, self.ndim):
             shape = [1] * self.ndim
             shape[j] = -1
-            lam = lam + self.lams[j].reshape(shape)
+            lam = lam + lams[j].reshape(shape)
         sym = c_ax * lam + c_dt
         if pseudo:
             cut = 1e-10 * self.lam_scale * jnp.abs(c_ax)

@@ -526,19 +526,26 @@ def _neumann_row_scale_vecs(mesh, x0_shape, bcs_kept, paxes):
     return dvs, any_scale
 
 
-def _separable_scale_field(dvs, mesh_dim, dtype, as_numpy: bool):
-    """Outer product of the per-axis scale vectors as a broadcastable
-    ``(1, *nx)`` field (numpy for trace-safe closure constants, jnp for
-    direct device use)."""
-    xp = np if as_numpy else jnp
-    ns = None
-    for j, dv in enumerate(dvs):
-        d = xp.asarray(
-            dv.reshape(tuple(-1 if k == j else 1 for k in range(mesh_dim))),
-            dtype=dtype,
-        )
-        ns = d[None] if ns is None else ns * d[None]
-    return ns
+def _null_shift_builder(vecs):
+    """Deferred null-vector field: a callable the solver BUILDERS invoke
+    inside their trace, composing the full ``(1, *nx)`` row-scale field
+    from the per-axis vectors at RUN time. Materializing the outer
+    product here (numpy at trace time, or a jnp closure constant XLA's
+    folder collapses right back) embeds a full-grid literal in the
+    program — measured round 5 as the dominant first-compile cost at
+    bench sizes (a 512^3 literal is 530 MB). Behind the
+    optimization_barrier the folder sees opaque n-vectors and the cube
+    exists only fused into its consumers."""
+    vecs = tuple(vecs)
+
+    def build():
+        ns = None
+        for v in vecs:
+            d = jax.lax.optimization_barrier(jnp.asarray(v))[None]
+            ns = d if ns is None else ns * d
+        return ns
+
+    return build
 
 
 def _torus_grid_and_dynamic_bcs(mesh, paxes, bcs_kept):
@@ -1271,8 +1278,13 @@ def _build_solver(
                 mesh, x0.shape, bcs_kept, paxes
             )
             if any_scale:
-                null_shift = _separable_scale_field(
-                    dvs, mesh.dim, x0.dtype, as_numpy=False
+                null_shift = _null_shift_builder(
+                    np.asarray(dv, dtype=x0.dtype).reshape(
+                        tuple(
+                            -1 if k == j else 1 for k in range(mesh.dim)
+                        )
+                    )
+                    for j, dv in enumerate(dvs)
                 )
         fn = _build_fastdiag(
             Aop, apply_bcs, M, tol, max_it, fd,
@@ -1310,10 +1322,9 @@ def _build_solver(
         )
         null_shift = None
         if sym_vecs is not None:
-            ns = sym_vecs[0][None]
-            for d in sym_vecs[1:]:
-                ns = ns * d[None]
-            null_shift = ns
+            # deferred: composed in-trace from the per-axis vectors (a
+            # numpy outer product here would embed a full-grid literal)
+            null_shift = _null_shift_builder(sym_vecs)
         fn = _build_cg(
             Aop, apply_bcs, M, tol, max_it, criterion, precond,
             project_mean=bool(config.get("nullspace") == "mean"),
@@ -1651,7 +1662,7 @@ def _build_cg(
         # mean-free rhs).
         if project_mean:
             if null_shift is not None:
-                w = null_shift * M_
+                w = null_shift() * M_
                 rhs = rhs * M_ - (_vsum(rhs * M_) / jnp.sum(w)) * w
             else:
                 rhs = demean(rhs * M_)
@@ -1778,7 +1789,7 @@ def _build_fastdiag(
             # component is numerically nil — the pseudo-inverse then
             # matches CG's quotient solve up to a constant.
             if null_shift is not None:
-                w = null_shift * M_
+                w = null_shift() * M_
                 rhs = rhs * M_ - (_vsum(rhs * w) / jnp.sum(w)) * M_
             else:
                 rhs = demean(rhs * M_)
