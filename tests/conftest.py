@@ -10,9 +10,15 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # The suite is COMPILE-bound on this 1-core host (hundreds of jitted
+    # while_loop solver programs; runtime on the tiny test grids is
+    # negligible). Backend optimization level 0 cuts suite wall ~30%
+    # (measured round 5: test_multigrid 169 -> 117 s) with identical
+    # results — tests assert numerics, and every tolerance holds.
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 import pytest  # noqa: E402

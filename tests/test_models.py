@@ -78,7 +78,7 @@ def test_lid_driven_cavity() -> None:
     centerline u-velocity dips negative below the lid vortex."""
     mesh = Mesh(Box[0:1, 0:1], None, [33, 33])
     model = LidDrivenCavity(mesh, nu=0.01, lid_velocity=1.0)
-    model.run(dt=0.02, n_steps=150)
+    model.run(dt=0.02, n_steps=150, fused=True)
 
     u = np.asarray(model.u()[0])
     v = np.asarray(model.v()[0])
@@ -176,7 +176,7 @@ def test_lid_driven_cavity_implicit_advection() -> None:
     mesh = Mesh(Box[0:1, 0:1], None, [33, 33])
     model = LidDrivenCavity(mesh, nu=0.01, lid_velocity=1.0,
                             implicit_advection=True)
-    model.run(dt=0.05, n_steps=60)  # dt ~2.5x the explicit-CFL-safe value
+    model.run(dt=0.05, n_steps=60, fused=True)  # dt ~2.5x the explicit-CFL-safe value
 
     u = np.asarray(model.u()[0])
     assert np.all(np.isfinite(u))
@@ -195,7 +195,7 @@ def test_lid_driven_cavity_ghia_quantitative() -> None:
     mesh = Mesh(Box[0:1, 0:1], None, [65, 65])
     model = LidDrivenCavity(mesh, nu=0.01, lid_velocity=1.0,
                             implicit_advection=True)
-    model.run(dt=0.025, n_steps=1200)
+    model.run(dt=0.025, n_steps=1200, fused=True)
 
     u = np.asarray(model.u()[0])
     v = np.asarray(model.v()[0])
@@ -292,7 +292,7 @@ def test_channel_flow_poiseuille() -> None:
 
     mesh = Mesh(Box[0:3, 0:1], None, [49, 33])
     model = ChannelFlow(mesh, nu=0.05, u_in=1.0)
-    model.run(dt=0.01, n_steps=300)
+    model.run(dt=0.01, n_steps=300, fused=True)
 
     u = np.asarray(model.u()[0])
     v = np.asarray(model.v()[0])
@@ -311,7 +311,7 @@ def test_channel_flow_past_obstacle() -> None:
 
     mesh = Mesh(Box[0:3, 0:1], [Box[0.9:1.2, 0.35:0.65]], [49, 33])
     model = ChannelFlow(mesh, nu=0.05, u_in=1.0)
-    model.run(dt=0.005, n_steps=400)
+    model.run(dt=0.005, n_steps=400, fused=True)
 
     u = np.asarray(model.u()[0])
     assert np.all(np.isfinite(u))
@@ -334,7 +334,7 @@ def test_lid_driven_cavity_ghia_129() -> None:
     mesh = Mesh(Box[0:1, 0:1], None, [129, 129])
     model = LidDrivenCavity(mesh, nu=0.01, lid_velocity=1.0,
                             implicit_advection=True)
-    model.run(dt=0.05, n_steps=600)  # t = 30
+    model.run(dt=0.05, n_steps=600, fused=True)  # t = 30
 
     u = np.asarray(model.u()[0])
     v = np.asarray(model.v()[0])
@@ -354,7 +354,7 @@ def test_lid_driven_cavity_3d() -> None:
     2-D scheme generalizes unchanged."""
     mesh = Mesh(Box[0:1, 0:1, 0:1], None, [21, 21, 21])
     model = LidDrivenCavity(mesh, nu=0.02, lid_velocity=1.0)
-    model.run(dt=0.02, n_steps=50)
+    model.run(dt=0.02, n_steps=50, fused=True)
 
     u = np.asarray(model.u()[0])
     w = np.asarray(model.w()[0])
@@ -415,7 +415,7 @@ def test_channel_duct_3d() -> None:
 
     mesh = Mesh(Box[0:2, 0:1, 0:1], None, [33, 17, 17])
     model = ChannelFlow(mesh, nu=0.05, u_in=1.0)
-    model.run(dt=0.01, n_steps=25)
+    model.run(dt=0.01, n_steps=25, fused=True)
 
     u = np.asarray(model.u()[0])
     assert np.all(np.isfinite(u))
@@ -576,13 +576,13 @@ def test_cavity_3d_quasi2d_reduction() -> None:
     m2 = Mesh(Box[0:1, 0:1], None, [n, n])
     model2 = LidDrivenCavity(m2, nu=nu, rhie_chow=False,
                              config={"tol": 1e-10})
-    model2.run(dt, steps)
+    model2.run(dt, steps, fused=True)
     u2 = np.asarray(model2.u()[0])  # (x, y)
 
     m3 = Mesh(Box[0:1, 0:1, 0:1], None, [n, 5, n])
     model3 = LidDrivenCavity(m3, nu=nu, rhie_chow=False,
                              spanwise="symmetry", config={"tol": 1e-10})
-    model3.run(dt, steps)
+    model3.run(dt, steps, fused=True)
     u3 = np.asarray(model3.u()[0])  # (x, y_span, z)
     v3 = np.asarray(model3.v()[0])
 
@@ -771,7 +771,7 @@ def test_channel_power_law_shear_thinning() -> None:
         mesh, nu=0.05, u_in=1.0,
         mu_strain_fn=power_law_viscosity(K=0.05, n=0.5, eps=1e-3),
     )
-    model.run(dt=0.01, n_steps=300)
+    model.run(dt=0.01, n_steps=300, fused=True)
 
     u = np.asarray(model.u()[0])
     i = 40  # far downstream
@@ -854,7 +854,7 @@ def test_smagorinsky_les_closure_and_high_re_cavity() -> None:
         mesh2, nu=nu_mol, lid_velocity=1.0, lid_profile="regularized",
         mu_strain_fn=smagorinsky_viscosity(nu_mol, mesh2, cs=0.17),
     )
-    les.run(dt=2e-3, n_steps=150)
+    les.run(dt=2e-3, n_steps=150, fused=True)
     u = np.asarray(les.vel[0]())
     v = np.asarray(les.vel[1]())
     assert np.isfinite(u).all() and np.isfinite(v).all()

@@ -173,7 +173,7 @@ def test_cavity_flow_around_immersed_body() -> None:
 
     mesh = Mesh(Box[0:1, 0:1], [Box[0.4:0.6, 0.55:0.75]], [49, 49])
     model = LidDrivenCavity(mesh, nu=0.01, lid_velocity=1.0)
-    model.run(dt=0.01, n_steps=120)
+    model.run(dt=0.01, n_steps=120, fused=True)
 
     u = np.asarray(model.u()[0])
     v = np.asarray(model.v()[0])
@@ -466,7 +466,7 @@ def test_mask_obstacle_flow_past_cylinder() -> None:
     body_fn = lambda X, Y: (X - 0.7) ** 2 + (Y - 0.5) ** 2 < 0.12**2
     mesh = Mesh(Box[0:3, 0:1], [MaskObstacle(body_fn)], [97, 33])
     model = ChannelFlow(mesh, nu=0.02, u_in=1.0)
-    model.run(dt=0.005, n_steps=40)
+    model.run(dt=0.005, n_steps=40, fused=True)
     fin, fout = model.flux(0), model.flux(-1)
     assert abs(fin - fout) / abs(fin) < 0.02, (fin, fout)
     u = np.asarray(model.u()[0])
@@ -524,7 +524,7 @@ def test_body_force_cylinder_drag_lift() -> None:
     body_fn = lambda X, Y: (X - 0.7) ** 2 + (Y - 0.5) ** 2 < 0.12**2
     mesh = Mesh(Box[0:3, 0:1], [MaskObstacle(body_fn)], [97, 33])
     model = ChannelFlow(mesh, nu=0.02, u_in=1.0)
-    model.run(dt=0.005, n_steps=40)
+    model.run(dt=0.005, n_steps=40, fused=True)
     F = model.body_force()
     assert np.isfinite(F).all()
     assert F[0] > 0.0, F  # drag along the flow
