@@ -26,6 +26,26 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    # Persistent compilation cache for the CPU tier (measured round 5 on
+    # test_multigrid: first run +15% to populate, warm reruns 2.3x
+    # faster, ~3 MB/file-of-tests). The library default keeps the cache
+    # OFF because on the TUNNELED TPU backend executable serialization
+    # costs ~3x the compile (backend.enable_compilation_cache); on CPU
+    # the serialization is local microseconds and the economics invert.
+    # Keyed by program hash + jaxlib version — stale entries are
+    # impossible by construction. Opt out: JAX_COMPILATION_CACHE_DIR=""
+    _cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "pyapes_tpu_test_jax_cache",
+    )
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization, never a requirement
+
 
 def pytest_addoption(parser):
     parser.addoption(
