@@ -509,3 +509,70 @@ def test_fastdiag_kernel_periodic_circulant():
            - r[0])
     res -= res.mean()
     assert np.linalg.norm(res) / np.linalg.norm(r) < 1e-11
+
+
+def test_solver_programs_embed_no_fullgrid_literal(monkeypatch):
+    """Round-5 compile-latency guard (MEASURE_r5 fd_symbol_literal_fix):
+    the fastdiag eigen-symbol and the Krylov null-vector field must be
+    built IN-TRACE from per-axis vectors, never embedded as full-grid
+    HLO literals — a 512³ literal is 530 MB and was the dominant
+    first-compile cost (78–815 s). A full-grid constant at n=48 adds
+    ~2 MB of hex to the lowered text; without one the whole program
+    lowers to well under 1 MB, so the text-size bound below fails
+    loudly if either regression returns."""
+    import jax
+
+    texts = []
+    real_jit = jax.jit
+
+    def spy_jit(fn, **kw):
+        jitted = real_jit(fn, **kw)
+        if getattr(fn, "__name__", "") not in ("fd_fn", "cg_fn"):
+            return jitted
+
+        def wrapper(*a, **k):
+            texts.append(real_jit(fn, **kw).lower(*a, **k).as_text())
+            return jitted(*a, **k)
+
+        return wrapper
+
+    monkeypatch.setattr(jax, "jit", spy_jit)
+    linalg.clear_cache()
+
+    n = 48
+    # fastdiag Dirichlet (the eigen-symbol path)
+    mesh = Mesh(Box[0:1, 0:1, 0:1], None, [n, n, n], dtype="single")
+    var = Field(
+        "p", 1, mesh,
+        {"domain": homogeneous_bcs(3, 0.0, "dirichlet"), "obstacle": None},
+        init_val=0.0,
+    )
+    s = Solver({"fdm": {"method": "fastdiag", "tol": 1e-5, "max_it": 5,
+                        "report": False}})
+    fdm = FDM()
+    s.set_eq(fdm.laplacian(1.0, var) == jnp.ones_like(var()))
+    s.solve()
+
+    # all-Neumann CG (the sym_vecs row-scale + null-shift path)
+    var_n = Field(
+        "p", 1, mesh,
+        {"domain": homogeneous_bcs(3, 0.0, "neumann"), "obstacle": None},
+        init_val=0.0,
+    )
+    rhs = jnp.ones_like(var_n())
+    rhs = rhs - jnp.mean(rhs) + 0.0
+    sn = Solver({"fdm": {"method": "cg", "tol": 1e-5, "max_it": 5,
+                         "report": False, "nullspace": "mean"}})
+    sn.set_eq(fdm.laplacian(1.0, var_n) == rhs)
+    sn.solve()
+
+    linalg.clear_cache()
+    assert len(texts) >= 2, [len(t) for t in texts]
+    print("lowered text sizes:", [len(t) for t in texts])
+    for txt in texts:
+        assert len(txt) < 500_000, (
+            f"solver program lowered to {len(txt)} bytes of HLO text "
+            "(clean programs measure 77-144 KB; one 48^3 literal adds ~885 KB) - "
+            "a full-grid literal is back (see MEASURE_r5 "
+            "fd_symbol_literal_fix)"
+        )
