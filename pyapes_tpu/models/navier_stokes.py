@@ -970,19 +970,66 @@ class LidDrivenCavity:
             self._fused = FusedStepRunner(self, donate=donate)
         return self._fused
 
+    def _bootstrap_steps(self, dt: float, n_steps: int, fused: bool) -> int:
+        """Advance through the history bootstrap (until two levels exist),
+        FUSED when requested (round 5). The first step's capture differs
+        structurally from the steady program (no ``_VARoo`` in the state
+        yet; ``Ddt``'s scheme coefficient freezes by the IN-TRACE history
+        count after the in-step ``save_old``), so each bootstrap step
+        gets a THROWAWAY one-shot capture — ~20 s of compile replaces the
+        ~100 s an eager bootstrap step costs on the tunneled chip (2
+        warm steps measured 215.9 s at 128^3: per-piece solver compiles
+        plus ~3,000 glue dispatches; the throwaway capture compiles in
+        23.4 s, MEASURE_r5 ``ns_bootstrap``). Semantics are unchanged:
+        the frozen coefficient each step sees equals what the eager step
+        would have used. Returns the steps remaining."""
+        import jax
+
+        from pyapes_tpu.utils.fuse import FusedStepRunner
+
+        while n_steps > 0 and min(v.n_hist for v in self.vel) < 2:
+            if fused:
+                try:
+                    if min(v.n_hist for v in self.vel) == 0:
+                        # one-shot capture: the no-VARoo state structure
+                        # exists only for this first step
+                        FusedStepRunner(self).step(dt)
+                    else:
+                        # from the second step on the captured structure
+                        # IS the steady one (VARoo present; the scheme
+                        # coefficient freezes by the in-trace history
+                        # count, which is >= 2 here exactly as it is for
+                        # every later step) — capture the model's steady
+                        # runner now and reuse it for the whole run
+                        self.fused_runner().step(dt)
+                except jax.errors.JAXTypeError:
+                    fused = False  # not capturable — eager for the rest
+                    self.step(dt)
+            else:
+                self.step(dt)
+            n_steps -= 1
+        return n_steps
+
+    def _refresh_strain_viscosity(self) -> None:
+        """Recompute the strain-rate viscosity field from the CURRENT
+        velocities. The fused capture restores model attributes after
+        tracing (no tracer may survive), so ``_nu_field`` is not updated
+        by fused steps — without this refresh a post-run reader would
+        see the value from the last EAGER step (stale by the whole fused
+        run; before round 5's fused bootstrap that stale value happened
+        to be from step 2, which is how the gap went unnoticed)."""
+        if self.mu_strain_fn is not None:
+            self.update_viscosity(self.mu_strain_fn(self.strain_rate()))
+
     def run(self, dt: float, n_steps: int, fused: bool = False) -> None:
         if fused:
-            # bake the steady step structure: BDF2's bootstrap coefficient
-            # and the first-step field-clock branch are Python values, so
-            # warm eager steps run until two history levels exist
-            while n_steps > 0 and min(v.n_hist for v in self.vel) < 2:
-                self.step(dt)
-                n_steps -= 1
+            n_steps = self._bootstrap_steps(dt, n_steps, fused=True)
             if n_steps > 0:
                 import jax
 
                 try:
                     self.fused_runner().run(dt, n_steps)
+                    self._refresh_strain_viscosity()
                     return
                 except jax.errors.JAXTypeError as e:
                     # capture failed (e.g. a BC callable that host-coerces
@@ -1160,16 +1207,17 @@ class LidDrivenCavity:
         (``FusedStepRunner.run_batched``): a ``lax.scan`` over the
         whole-step program, with optional per-step on-device diagnostics
         (``diag_fn: model -> pytree``, e.g. ``body_force_device`` +
-        probe reads). Runs the eager BDF2 bootstrap first if needed.
+        probe reads). Runs the history bootstrap first if needed (fused
+        one-shot captures since round 5 — see ``_bootstrap_steps``).
         Returns the stacked diagnostics pytree (device arrays, leading
-        axis = scanned steps) or None; note bootstrap steps are eager
-        and carry no diagnostics."""
-        while n_steps > 0 and min(v.n_hist for v in self.vel) < 2:
-            self.step(dt)
-            n_steps -= 1
+        axis = scanned steps) or None; note bootstrap steps carry no
+        diagnostics."""
+        n_steps = self._bootstrap_steps(dt, n_steps, fused=True)
         if n_steps <= 0:
             return None
-        return self.fused_runner().run_batched(dt, n_steps, diag_fn)
+        diags = self.fused_runner().run_batched(dt, n_steps, diag_fn)
+        self._refresh_strain_viscosity()
+        return diags
 
 
 class ChannelFlow(LidDrivenCavity):
