@@ -98,9 +98,17 @@ def run_benchmark(ny: int = 83, t_end: float = 8.0, every: int = 200,
                 m.body_force_cv_device(margin=margin),
                 dp_node, p_front - p_rear)
 
-    # eager BDF2 bootstrap, then uniform one-dispatch scanned batches
-    model.run(dt, 2)
+    # history bootstrap (fused one-shot captures since round 5), then
+    # uniform one-dispatch scanned batches
+    model.run(dt, 2, fused=True)
     n_batches = (steps - 2) // every
+    if n_batches < 1:
+        raise SystemExit(
+            f"t_end gives only {steps} steps at dt={dt:.2e} — need at "
+            f"least {every + 2} for one diagnostic batch (lower ST_TEND "
+            "was requested below the measurable window; shrink `every` "
+            "or raise ST_TEND)"
+        )
     t0 = time.perf_counter()
     chunks = []
     for i in range(n_batches):

@@ -982,7 +982,9 @@ class LidDrivenCavity:
         plus ~3,000 glue dispatches; the throwaway capture compiles in
         23.4 s, MEASURE_r5 ``ns_bootstrap``). Semantics are unchanged:
         the frozen coefficient each step sees equals what the eager step
-        would have used. Returns the steps remaining."""
+        would have used. Returns ``(steps_remaining, capturable)`` —
+        ``capturable`` goes False if a capture raised (the rest of the
+        bootstrap then ran eagerly) so callers skip further captures."""
         import jax
 
         from pyapes_tpu.utils.fuse import FusedStepRunner
@@ -1002,13 +1004,23 @@ class LidDrivenCavity:
                         # every later step) — capture the model's steady
                         # runner now and reuse it for the whole run
                         self.fused_runner().step(dt)
-                except jax.errors.JAXTypeError:
-                    fused = False  # not capturable — eager for the rest
+                except jax.errors.JAXTypeError as e:
+                    # not capturable (e.g. a BC callable that host-coerces
+                    # the traced t); state is untouched (fuse.py restores
+                    # in a finally) — eager for the rest of the run
+                    import warnings
+
+                    warnings.warn(
+                        "fused step capture failed; falling back to eager "
+                        f"stepping: {type(e).__name__}: {e}"
+                    )
+                    fused = False
+                    self._fused = None
                     self.step(dt)
             else:
                 self.step(dt)
             n_steps -= 1
-        return n_steps
+        return n_steps, fused
 
     def _refresh_strain_viscosity(self) -> None:
         """Recompute the strain-rate viscosity field from the CURRENT
@@ -1023,8 +1035,13 @@ class LidDrivenCavity:
 
     def run(self, dt: float, n_steps: int, fused: bool = False) -> None:
         if fused:
-            n_steps = self._bootstrap_steps(dt, n_steps, fused=True)
-            if n_steps > 0:
+            n_steps, fused = self._bootstrap_steps(dt, n_steps, fused=True)
+            if n_steps == 0:
+                # the whole run was bootstrap: fused steps restore model
+                # attrs, so refresh the strain viscosity here too
+                self._refresh_strain_viscosity()
+                return
+            if fused and n_steps > 0:
                 import jax
 
                 try:
@@ -1194,7 +1211,20 @@ class LidDrivenCavity:
         lo, hi = self._cv_box(idx, margin)
         if dt is None:
             dt = self.vel[0]._dt
-        vo = [v.VARo[0] for v in self.vel] if dt is not None else None
+        # mirror the host twin's guard (``_cv_box`` caller): a set ``_dt``
+        # with NO step taken leaves ``VARo`` at the init state — an
+        # unsteady term built from it would be spurious, so require real
+        # history just like ``body_force_cv``
+        has_hist = all(
+            getattr(v, "_n_hist", 0) > 0 for v in self.vel
+        )
+        vo = (
+            [v.VARo[0] for v in self.vel]
+            if (dt is not None and has_hist)
+            else None
+        )
+        if not has_hist:
+            dt = None
         nu = self._nu_field if self._nu_field is not None else self.nu
         return control_volume_force_device(
             self.p()[0], [v()[0] for v in self.vel],
@@ -1212,8 +1242,23 @@ class LidDrivenCavity:
         Returns the stacked diagnostics pytree (device arrays, leading
         axis = scanned steps) or None; note bootstrap steps carry no
         diagnostics."""
-        n_steps = self._bootstrap_steps(dt, n_steps, fused=True)
+        n_steps, fused = self._bootstrap_steps(dt, n_steps, fused=True)
         if n_steps <= 0:
+            self._refresh_strain_viscosity()
+            return None
+        if not fused:
+            # the bootstrap found the model non-capturable (a BC callable
+            # that host-coerces the traced t): the scan capture below
+            # would raise the same error AFTER state advanced. Degrade
+            # like run(fused=True): warn, step eagerly, no diagnostics.
+            import warnings
+
+            warnings.warn(
+                "run_batched: step capture failed during bootstrap; "
+                "stepping eagerly (per-step diagnostics unavailable)"
+            )
+            for _ in range(n_steps):
+                self.step(dt)
             return None
         diags = self.fused_runner().run_batched(dt, n_steps, diag_fn)
         self._refresh_strain_viscosity()

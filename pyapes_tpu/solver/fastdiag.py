@@ -263,8 +263,11 @@ class FDPrecond:
         # CG symmetrization (``linalg`` ``sym_vecs``): the Krylov loop
         # solves the row-scaled SPD system ``D A x = D b`` whose exact
         # inverse is ``A^-1 D^-1`` — so the eigen-solve must see the
-        # UNSCALED residual. ``pre_scale`` is ``1/D`` on the active set;
-        # the composition stays symmetric (it IS ``(D A)^-1``).
+        # UNSCALED residual. ``pre_scale`` is a DEFERRED builder of
+        # ``1/D`` on the active set (``linalg._null_shift_builder`` —
+        # composed in-trace from per-axis vectors so no full-grid
+        # literal is embedded); the composition stays symmetric (it IS
+        # ``(D A)^-1``).
         self.pre_scale = pre_scale
         self.c_ax = 1.0
         self.c_dt = 0.0
@@ -279,6 +282,6 @@ class FDPrecond:
         z = jnp.zeros_like(r)
         ra = r[self.act_sel]
         if self.pre_scale is not None:
-            ra = ra * self.pre_scale
+            ra = ra * self.pre_scale()
         e = self.fd.solve(ra, self.c_ax, self.c_dt, pseudo=self.pseudo)
         return z.at[self.act_sel].set(e)

@@ -1249,11 +1249,21 @@ def _build_solver(
         if sym_vecs is not None:
             # the CG loop solves the row-scaled SPD system D A; the
             # eigen-solve inverts A, so feed it D^-1 r (the
-            # composition is (D A)^-1 — exact and symmetric)
-            ps = sym_vecs[0][None]
-            for dvv in sym_vecs[1:]:
-                ps = ps * dvv[None]
-            pre_scale = 1.0 / ps[(slice(None),) + tuple(slicer_t)]
+            # composition is (D A)^-1 — exact and symmetric). DEFERRED
+            # per-axis composition (same full-grid-literal hazard as
+            # null_shift — see _null_shift_builder): each vector is
+            # inverted and active-sliced on ITS axis on the host, the
+            # outer product happens in-trace behind the barrier.
+            pre_scale = _null_shift_builder(
+                1.0
+                / np.asarray(v)[
+                    tuple(
+                        slicer_t[j] if k == j else slice(None)
+                        for k in range(mesh.dim)
+                    )
+                ]
+                for j, v in enumerate(sym_vecs)
+            )
         p = FDPrecond(
             fd,
             act_sel=(slice(None),) + tuple(slicer_t),

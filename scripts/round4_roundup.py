@@ -7,8 +7,7 @@ through the tunneled service are host-CPU- and load-sensitive.
 
 Phases:
   quick_ab   : QUICK 5-point apply, jnp roll-sum vs Pallas v5, 512^3
-  ydot_ab    : BiCGSTAB transient-diffusion solve 512^3, fused y-dot
-               on vs off (same pallas stencil path both arms)
+  (ydot_ab   : REMOVED in round 5 with the y-dot kernel tier)
   size_768   : fastdiag Poisson at 768^3 (vmem-fix validation)
   size_1024  : fastdiag Poisson at 1024^3 (expected HBM wall — records
                the failure mode)
@@ -73,79 +72,6 @@ def phase_quick_ab() -> None:
     emit({"phase": "quick_ab", "n": n, "jnp_ms": round(t_jnp * 1e3, 3),
           "pallas_v5_ms": round(t_pl * 1e3, 3),
           "speedup": round(t_jnp / t_pl, 2)})
-
-
-def phase_ydot_ab() -> None:
-    import jax
-    import jax.numpy as jnp
-
-    from pyapes_tpu.geometry import Box
-    from pyapes_tpu.mesh import Mesh
-    from pyapes_tpu.solver import linalg
-    from pyapes_tpu.solver.fdm import FDM
-    from pyapes_tpu.solver.ops import Solver
-    from pyapes_tpu.variables import Field
-    from pyapes_tpu.variables.bcs import homogeneous_bcs
-
-    n = 512
-    mesh = Mesh(Box[0:1, 0:1, 0:1], None, [n, n, n], device="tpu",
-                dtype="single")
-    rhs = jax.random.normal(jax.random.PRNGKey(0), (1, n, n, n),
-                            jnp.float32)
-
-    def solve_arm(disable_ydot: bool):
-        linalg.clear_cache()
-        import pyapes_tpu.ops.pallas_stencil_v3 as v3
-
-        orig = v3.pallas_axis_stencil_ydot_v3
-        if disable_ydot:
-            # make the gate's v3_supported check fail only for the ydot
-            # use: swap the kernel for one that routes to plain Aop path
-            orig_sup = v3.v3_supported
-            v3.v3_supported = (
-                lambda shape, dtype=jnp.float32, streams=2:
-                False if streams == 3 else orig_sup(shape, dtype, streams)
-            )
-        try:
-            var = Field("T", 1, mesh,
-                        {"domain": homogeneous_bcs(3, 0.0, "dirichlet"),
-                         "obstacle": None}, init_val=0.0)
-            s = Solver({"fdm": {
-                "method": "bicgstab", "tol": 1e-7, "max_it": 400,
-                "report": False, "criterion": "residual",
-            }})
-            fdm = FDM()
-            # diffusion-dominated (nu/dt >> 1): enough BiCGSTAB
-            # iterations for the per-iteration fusion to show
-            var.set_time(1e-2, 0.0)
-            var.save_old()
-
-            def once():
-                var.set_var_tensor(jnp.zeros_like(var()))
-                s.set_eq(fdm.ddt(var) - fdm.laplacian(1.0, var) == rhs)
-                s.solve()
-                return s.report
-
-            rep = once()
-            float(var()[0].ravel()[0])
-            walls = []
-            for _ in range(3):
-                tic = time.perf_counter()
-                rep = once()
-                float(var()[0].ravel()[0])
-                walls.append(time.perf_counter() - tic)
-            return min(walls), int(rep["itr"])
-        finally:
-            if disable_ydot:
-                v3.v3_supported = orig_sup
-            v3.pallas_axis_stencil_ydot_v3 = orig
-
-    w_on, it_on = solve_arm(False)
-    w_off, it_off = solve_arm(True)
-    emit({"phase": "ydot_ab", "n": n,
-          "ydot_wall_s": round(w_on, 4), "ydot_itr": it_on,
-          "plain_wall_s": round(w_off, 4), "plain_itr": it_off,
-          "speedup": round(w_off / w_on, 3)})
 
 
 def phase_size(n: int) -> None:
@@ -221,12 +147,9 @@ def main() -> None:
     if phase == "quick_ab":
         phase_quick_ab()
         return
-    if phase == "ydot_ab":
-        phase_ydot_ab()
-        return
     # orchestrate: run in-repo subprocesses per phase
     here = os.path.abspath(__file__)
-    for p in ("quick_ab", "ydot_ab"):
+    for p in ("quick_ab",):
         env = dict(os.environ)
         env["R4_PHASE"] = p
         r = subprocess.run([sys.executable, here], env=env, timeout=2400)

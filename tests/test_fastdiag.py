@@ -566,8 +566,27 @@ def test_solver_programs_embed_no_fullgrid_literal(monkeypatch):
     sn.set_eq(fdm.laplacian(1.0, var_n) == rhs)
     sn.solve()
 
+    # FD-preconditioned CG with Neumann faces: the sym_vecs row-scale
+    # is active, so the preconditioner's pre_scale (1/D on the active
+    # set) must ALSO compose in-trace (round-5 review finding: the
+    # original fix missed this site)
+    var_m = Field(
+        "p", 1, mesh,
+        {"domain": __import__(
+            "pyapes_tpu.variables.bcs", fromlist=["mixed_bcs"]
+        ).mixed_bcs(
+            [0.0] * 6,
+            ["neumann", "dirichlet"] * 3,
+        ), "obstacle": None},
+        init_val=0.0,
+    )
+    sm = Solver({"fdm": {"method": "cg", "tol": 1e-5, "max_it": 5,
+                         "report": False, "precond": "fd"}})
+    sm.set_eq(fdm.laplacian(1.0, var_m) == jnp.ones_like(var_m()))
+    sm.solve()
+
     linalg.clear_cache()
-    assert len(texts) >= 2, [len(t) for t in texts]
+    assert len(texts) >= 3, [len(t) for t in texts]
     print("lowered text sizes:", [len(t) for t in texts])
     for txt in texts:
         assert len(txt) < 500_000, (
